@@ -1,0 +1,193 @@
+package graft
+
+import graft.ecs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing ECS demo queries (SURVEY §2.A): each runs a real
+  * simulation through the `graft.ecs` engine seeded from the test
+  * tables, so results are closed-form SQL-verifiable by the DuckDB
+  * oracle. All seed values are exact binary doubles (floor of money
+  * values, quarter-step dt, small-int velocities), so multi-step float
+  * accumulation equals the closed form bit-for-bit.
+  */
+object EcsQueries {
+
+  case class Position(x: Double, y: Double) extends Component
+  case class Velocity(vx: Double, vy: Double) extends Component
+
+  val PosMeta: ComponentMeta = ComponentMeta.of[Position]
+  val VelMeta: ComponentMeta = ComponentMeta.of[Velocity]
+  val PosVel: Seq[ComponentMeta] = Seq(PosMeta, VelMeta)
+
+  val PosVelHash: String = Archetype.hashOf(PosVel)
+  val PosOnlyHash: String = Archetype.hashOf(Seq(PosMeta))
+
+  /** position += velocity * dt (reference: tests/test_toy.py:15-22). */
+  object MovementProcessor extends Processor {
+    override val priority = 1
+    val components: Seq[ComponentMeta] = PosVel
+    def process(df: DataFrame, dt: Double): DataFrame = df
+      .withColumn("position__x", col("position__x") + col("velocity__vx") * dt)
+      .withColumn("position__y", col("position__y") + col("velocity__vy") * dt)
+  }
+
+  private def seedCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("entity_id"),
+      floor(col("c_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("c_custkey") % 7).cast("double").as("velocity__vx"),
+      ((col("c_custkey") % 5) - 2).cast("double").as("velocity__vy"))
+
+  private def seedSuppliers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "supplier").select(
+      (col("s_suppkey") + 1000000L).cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(1.0).as("position__y"))
+
+  /** A2: full step loop — spawn from customer, 8 steps of dt=0.25. */
+  def movementSim(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_movement")
+    world.addProcessor(MovementProcessor)
+    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    (1 to 8).foreach(_ => world.step(0.25))
+    world.query(PosVel)(PosVelHash)
+      .select("entity_id", "position__x", "position__y")
+      .orderBy("entity_id")
+  }
+
+  val movementSimOracle: String =
+    """SELECT c_custkey AS entity_id,
+      |       floor(c_acctbal) + 2.0 * (c_custkey % 7) AS position__x,
+      |       0.0 + 2.0 * ((c_custkey % 5) - 2) AS position__y
+      |FROM customer ORDER BY entity_id""".stripMargin
+
+  /** A1: two archetypes; a Position query matches both (subset match). */
+  def spawnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_spawn")
+    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    world.spawnBatch(Seq(PosMeta), seedSuppliers(spark, dir))
+    val parts = world.query(Seq(PosMeta)).map { case (hash, df) =>
+      df.select(
+        col("entity_id"), col("position__x"), col("position__y"),
+        lit(hash).as("archetype"))
+    }
+    parts.reduce(_ unionByName _)
+      .orderBy("entity_id")
+  }
+
+  def spawnQueryOracle: String =
+    s"""SELECT * FROM (
+       |  SELECT c_custkey AS entity_id, floor(c_acctbal) AS position__x,
+       |         0.0 AS position__y, '$PosVelHash' AS archetype
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey + 1000000 AS entity_id, floor(s_acctbal) AS position__x,
+       |         1.0 AS position__y, '$PosOnlyHash' AS archetype
+       |  FROM supplier
+       |) ORDER BY entity_id""".stripMargin
+
+  /** A3: per-step history of a 3-step supplier sim (steps 0..3). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_history")
+    world.addProcessor(MovementProcessor)
+    val seed = Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("s_suppkey") % 3).cast("double").as("velocity__vx"),
+      lit(1.0).as("velocity__vy"))
+    world.spawnBatch(PosVel, seed)
+    (1 to 3).foreach(_ => world.step(0.5))
+    world.getHistory(PosVel)(PosVelHash)
+      .select("entity_id", "step", "position__x", "position__y")
+      .orderBy("entity_id", "step")
+  }
+
+  val historyOracle: String =
+    """SELECT s_suppkey AS entity_id, st.step,
+      |       floor(s_acctbal) + 0.5 * st.step * (s_suppkey % 3) AS position__x,
+      |       0.5 * st.step AS position__y
+      |FROM supplier CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS step) st
+      |ORDER BY entity_id, step""".stripMargin
+
+  /** A4: soft-delete — despawned entities drop out of the live query. */
+  def despawn(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_despawn")
+    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    world.despawnWhere(PosVel, col("entity_id") % 3 === 0)
+    world.query(PosVel)(PosVelHash)
+      .select("entity_id", "position__x")
+      .orderBy("entity_id")
+  }
+
+  val despawnOracle: String =
+    """SELECT c_custkey AS entity_id, floor(c_acctbal) AS position__x
+      |FROM customer WHERE c_custkey % 3 <> 0 ORDER BY entity_id""".stripMargin
+
+  /** A5: merge-insert — two upserts on the same (entity, step) key;
+    * the later commit wins.
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_upsert")
+    val base = Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("entity_id"),
+      lit(0.0).as("position__x"),
+      lit(0.0).as("position__y"))
+    world.spawnBatch(Seq(PosMeta), base)
+    val store = world.store
+    def stateAt(x: org.apache.spark.sql.Column): DataFrame =
+      Tables.load(spark, dir, "supplier").select(
+        lit(store.simulation).as("simulation"),
+        lit(store.run).as("run"),
+        col("s_suppkey").cast("long").as("entity_id"),
+        lit(0L).as("step"),
+        lit(true).as("is_active"),
+        x.cast("double").as("position__x"),
+        lit(0.0).as("position__y"))
+    store.upsert(PosOnlyHash, stateAt(floor(col("s_acctbal"))))
+    store.upsert(PosOnlyHash, stateAt(floor(col("s_acctbal")) + 1))
+    world.query(Seq(PosMeta))(PosOnlyHash)
+      .select("entity_id", "position__x")
+      .orderBy("entity_id")
+  }
+
+  val upsertOracle: String =
+    """SELECT s_suppkey AS entity_id, floor(s_acctbal) + 1 AS position__x
+      |FROM supplier ORDER BY entity_id""".stripMargin
+
+  /** A6: archetype fan-out counts for a subset query. */
+  def multiArchetype(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_multi")
+    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    world.spawnBatch(Seq(PosMeta), seedSuppliers(spark, dir))
+    val parts = world.query(Seq(PosMeta)).map { case (hash, df) =>
+      df.groupBy(lit(hash).as("archetype")).agg(count(lit(1)).as("n"))
+    }
+    parts.reduce(_ unionByName _).orderBy("archetype")
+  }
+
+  def multiArchetypeOracle: String =
+    s"""SELECT * FROM (
+       |  SELECT '$PosVelHash' AS archetype, (SELECT count(*) FROM customer) AS n
+       |  UNION ALL
+       |  SELECT '$PosOnlyHash' AS archetype, (SELECT count(*) FROM supplier) AS n
+       |) ORDER BY archetype""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ecs_spawn_query" -> (spawnQuery _),
+    "ecs_movement_sim" -> (movementSim _),
+    "ecs_history" -> (history _),
+    "ecs_despawn" -> (despawn _),
+    "ecs_upsert" -> (upsert _),
+    "ecs_multi_archetype" -> (multiArchetype _))
+
+  val oracles: Map[String, String] = Map(
+    "ecs_spawn_query" -> spawnQueryOracle,
+    "ecs_movement_sim" -> movementSimOracle,
+    "ecs_history" -> historyOracle,
+    "ecs_despawn" -> despawnOracle,
+    "ecs_upsert" -> upsertOracle,
+    "ecs_multi_archetype" -> multiArchetypeOracle)
+}

@@ -1,0 +1,130 @@
+package graft.ecs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** A processor declares the component types it reads/writes and a pure
+  * DataFrame transform (reference: archetype/core/processor.py,
+  * base.py:7-37). Transforms are Column expressions → whole-stage
+  * codegen; no driver-side row handling.
+  */
+trait Processor {
+  def priority: Int = 0
+  def components: Seq[ComponentMeta]
+  def process(df: DataFrame, dt: Double): DataFrame
+}
+
+/** Fetch matching archetypes filtered to requested steps and liveness
+  * (reference: archetype/core/querier.py:24-45).
+  */
+final class QueryManager(store: ArchetypeStore) {
+  def query(metas: Seq[ComponentMeta], steps: Seq[Long]): Map[String, DataFrame] =
+    store.getArchetypes(metas).map { case (h, df) =>
+      h -> df.filter(col("step").isin(steps: _*) && col("is_active"))
+    }
+
+  def getHistory(metas: Seq[ComponentMeta], includeAllRuns: Boolean = false): Map[String, DataFrame] =
+    store.getHistory(metas, includeAllRuns)
+}
+
+/** Stamp the target step and merge-insert each archetype's updates
+  * (reference: archetype/core/updater.py:15-26).
+  */
+final class UpdateManager(store: ArchetypeStore) {
+  def collect(updates: Map[String, DataFrame], step: Long): Unit =
+    updates.foreach { case (hash, df) =>
+      store.upsert(hash, df.withColumn("step", lit(step)))
+    }
+}
+
+/** Sequential priority-ordered execution; a processor's output for an
+  * archetype is visible to later processors in the same step
+  * (reference: archetype/core/system.py:26-59).
+  */
+final class SimpleSystem(querier: QueryManager) {
+  private val procs = mutable.ArrayBuffer.empty[Processor]
+
+  def addProcessor(p: Processor): Unit = procs += p
+  def removeProcessor(p: Processor): Unit = { procs -= p; () }
+
+  def execute(step: Long, dt: Double): Map[String, DataFrame] = {
+    val modified = mutable.LinkedHashMap.empty[String, DataFrame]
+    procs.sortBy(_.priority).foreach { proc =>
+      val queried = querier.query(proc.components, Seq(step))
+      queried.foreach { case (hash, queriedDf) =>
+        val base = modified.getOrElse(hash, queriedDf)
+        val out = proc.process(base, dt)
+        require(out != null, s"Processor ${proc.getClass.getSimpleName} returned null")
+        modified(hash) = out
+      }
+    }
+    modified.toMap
+  }
+}
+
+/** Facade over store/querier/updater/system
+  * (reference: archetype/core/world.py).
+  *
+  * Step semantics: state queried at `currentStep` is transformed and
+  * committed at `currentStep + 1`, so step k holds the state after k
+  * updates and history accumulates one frame per step. (The reference
+  * stamps results back onto the *same* step and then advances the
+  * queried step — updater.py:20 + world.py:25-34 — which makes every
+  * step after the first a no-op on an empty frame; we implement the
+  * evidently intended time-evolution semantics.)
+  */
+final class World private (
+    val store: ArchetypeStore,
+    val querier: QueryManager,
+    val updater: UpdateManager,
+    val system: SimpleSystem,
+    optimizeInterval: Int) {
+
+  var currentStep: Long = 0L
+
+  def step(dt: Double): Unit = {
+    val updates = system.execute(currentStep, dt)
+    updater.collect(updates, currentStep + 1)
+    currentStep += 1
+    if (optimizeInterval > 0 && currentStep % optimizeInterval == 0) store.optimize()
+  }
+
+  def spawn(components: Component*): Long =
+    store.addEntity(components, currentStep)
+
+  def spawnBatch(metas: Seq[ComponentMeta], df: DataFrame): Unit =
+    store.spawnBatch(metas, df, currentStep)
+
+  def despawn(entityId: Long, step: Option[Long] = None): Unit =
+    store.removeEntity(entityId, step.getOrElse(currentStep))
+
+  def despawnWhere(metas: Seq[ComponentMeta], cond: org.apache.spark.sql.Column): Unit =
+    store.matchingHashes(metas).foreach(h => store.despawnWhere(h, cond))
+
+  def addProcessor(p: Processor): Unit = system.addProcessor(p)
+  def removeProcessor(p: Processor): Unit = system.removeProcessor(p)
+
+  def query(metas: Seq[ComponentMeta], step: Option[Long] = None): Map[String, DataFrame] =
+    querier.query(metas, Seq(step.getOrElse(currentStep)))
+
+  def getHistory(metas: Seq[ComponentMeta], includeAllRuns: Boolean = false): Map[String, DataFrame] =
+    querier.getHistory(metas, includeAllRuns)
+}
+
+object World {
+
+  /** Build a world (reference: archetype/core/__init__.py make_world). */
+  def make(
+      spark: SparkSession,
+      simulation: String = s"sim_${java.util.UUID.randomUUID().toString.take(8)}",
+      run: String = s"run_${java.util.UUID.randomUUID().toString.take(8)}",
+      optimizeInterval: Int = 4): World = {
+    val store = new ArchetypeStore(spark, simulation, run)
+    val querier = new QueryManager(store)
+    val updater = new UpdateManager(store)
+    val system = new SimpleSystem(querier)
+    new World(store, querier, updater, system, optimizeInterval)
+  }
+}
