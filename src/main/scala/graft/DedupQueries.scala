@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite (SURVEY §2.C) over `documents`.
+  *
+  * Scale design: every near-dup path generates candidate pairs through
+  * an equi-join key (LSH band hash, simhash block, or bounded id
+  * offset), never an O(n²) cross join; all hashing is codegen'd
+  * built-ins (xxhash64/md5/higher-order array functions) — no UDFs.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Lowercased word tokens as an array column. */
+  private val tokensCol = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+
+  // C1 — exact dedup by content hash, keep lowest doc_id.
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** MinHash signature: for permutation j, min over word-3-shingles of
+    * xxhash64(shingle, j). 64 perms, banded 8×8 for LSH.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val withShingles = docs(s, dir)
+      .withColumn("toks", tokensCol)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(
+          |  sequence(0, greatest(size(toks) - 3, 0)),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin))
+      .filter(size(col("shingles")) > 0)
+    val withSig = withShingles.withColumn("sig", expr(
+      """transform(sequence(0, 63),
+        |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))""".stripMargin))
+    withSig.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 8 + 1, 8)), b))"))
+        .as(Seq("band_id", "band_hash")))
+  }
+
+  // C2 — MinHash+LSH candidate pairs: same (band_id, band_hash) bucket.
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash: 64-bit sign-aggregated token hashes per doc. */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .withColumn("toks", tokensCol)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  // C3 — SimHash near-dup pairs: block on 16-bit quarters (a pair within
+  // hamming distance 3 must agree on ≥1 of 4 blocks), verify with
+  // bit_count(xor) ≤ 3.
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(s, dir)
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), q -> (simhash >> (q * 16)) & 65535)"))
+        .as(Seq("block_id", "block_val")))
+    val a = blocks.select(col("block_id"), col("block_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = blocks.select(col("block_id"), col("block_val"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block_id", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // C4 — exact character-3-gram Jaccard for bounded id-offset pairs
+  // (equi-join on id_b = id_a + off, off ∈ 1..10 — the verification
+  // companion to C2's approximate path).
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir).select(col("doc_id"), expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(text) - 2, 1)),
+        |  i -> substring(text, i, 3)))""".stripMargin).as("g"))
+    val a = grams.select(col("doc_id").as("id_a"), col("g").as("ga"))
+    val b = grams.select(col("doc_id").as("id_b"), col("g").as("gb"))
+    val offsets = explode(expr("sequence(1, 10)")).as("off")
+    a.select(col("id_a"), col("ga"), offsets)
+      .withColumn("id_b", col("id_a") + col("off"))
+      .join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupNgramJaccardSql =
+    """WITH g AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 2, 1)),
+      |   i -> substring(text, i, 3))) AS gr
+      | FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.gr, b.gr))), 4) AS jaccard
+      |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // C5 — embedding-cosine similarity for bounded id-offset pairs
+  // (double-precision sequential fold on both engines).
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.select(col("id_a"), col("va"), explode(expr("sequence(1, 10)")).as("off"))
+      .withColumn("id_b", col("id_a") + col("off"))
+      .join(b, Seq("id_b"))
+      .withColumn("dot", VectorOps.dot(col("va"), col("vb")))
+      .withColumn("cos_sim", round(col("dot") /
+        (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb")))), 4) + lit(0.0))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | round(list_dot_product(a.v, b.v) /
+      |       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) + 0 AS cos_sim
+      |FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  // minhash/simhash signatures use Spark's xxhash64 — not portable to
+  // DuckDB SQL → rows-only check; C4 provides the exact-similarity
+  // oracle-verified companion.
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

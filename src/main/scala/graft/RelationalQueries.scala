@@ -1,0 +1,480 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytical operator suite (SURVEY §2.B) over the
+  * TPC-H-ish tables. Declarative DataFrame plans — Catalyst handles
+  * predicate pushdown, column pruning and join selection; small dims
+  * are broadcast explicitly. Float parity protocol: see SURVEY §5.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  // B1 — groupBy multi-aggregate pricing summary (TPC-H Q1 shape).
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // B2 — selective filter + narrow projection (scan pushdown).
+  private def q2Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size").between(10, 30) && col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  private val q2Sql =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_size BETWEEN 10 AND 30 AND p_type = 'ECONOMY'
+      |ORDER BY p_partkey""".stripMargin
+
+  // B3 — fact⋈fact⋈dim + agg + deterministic top-k (TPC-H Q3 shape).
+  private def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // B4 — broadcast dim chain region→nation→customer.
+  private def q4Broadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val q4Sql =
+    """SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      | JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // B5 — 6-way join, local-supplier predicate (TPC-H Q5 shape).
+  private def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // B6 — selective scan + global agg (TPC-H Q6 shape).
+  private def q6ScanAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+        && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // B7 — global sort + limit (TakeOrdered at the physical level).
+  private def q7SortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  private val q7Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // B8 — window functions: row_number/rank/lag per customer.
+  private def q8Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)), 2).as("prev_price"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q8Sql =
+    """SELECT * FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |   CAST(row_number() OVER w AS BIGINT) AS rn,
+      |   CAST(rank() OVER w AS BIGINT) AS rk,
+      |   round(coalesce(lag(o_totalprice) OVER w, -1.0), 2) AS prev_price
+      | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // B9 — distinct cardinalities (single row).
+  private def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+
+  private val q9Sql =
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps,
+      | count(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
+      |FROM lineitem""".stripMargin
+
+  // B10 — left-semi join (EXISTS).
+  private def q10Semi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  private val q10Sql =
+    """SELECT c_mktsegment, count(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // B11 — left-anti join (NOT EXISTS).
+  private def q11Anti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val q11Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // B12 — union all + agg over heterogeneous sources.
+  private def q12Union(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(lit("order").as("src"),
+      date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("m"))
+    val b = t(s, dir, "lineitem").select(lit("ship").as("src"),
+      date_trunc("month", col("l_shipdate")).cast("timestamp_ntz").as("m"))
+    a.unionByName(b).groupBy(col("src"), col("m")).agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("m"))
+  }
+
+  private val q12Sql =
+    """SELECT src, m, count(*) AS n FROM (
+      | SELECT 'order' AS src, date_trunc('month', o_orderdate) AS m FROM orders
+      | UNION ALL
+      | SELECT 'ship' AS src, date_trunc('month', l_shipdate) AS m FROM lineitem
+      |) GROUP BY src, m ORDER BY src, m""".stripMargin
+
+  // B13 — conditional aggregation.
+  private def q13CaseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_orderpriority")).agg(
+      sum(when(col("o_totalprice") > 150000, 1).otherwise(0)).cast("long").as("n_big"),
+      sum(when(col("o_totalprice") <= 150000, 1).otherwise(0)).cast("long").as("n_small"),
+      round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("f_total"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q13Sql =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      | CAST(sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+      | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // B14 — above-brand-average comparison (decorrelated as a join).
+  private def q14Subquery(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+      .agg(avg(col("p_retailprice")).as("b_avg"))
+    p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice") > col("b_avg") * 1.01)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q14Sql =
+    """SELECT p_partkey, p_brand, p_retailprice FROM part
+      |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.01 FROM part p2
+      |                       WHERE p2.p_brand = part.p_brand)
+      |ORDER BY p_partkey""".stripMargin
+
+  // B15 — aggregate + HAVING.
+  private def q15Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") >= 12)
+      .orderBy(col("o_custkey"))
+
+  private val q15Sql =
+    """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+      |ORDER BY o_custkey""".stripMargin
+
+  // B16 — hierarchical rollup.
+  private def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("total"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val q16Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | round(sum(l_extendedprice), 2) AS total, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // B17 — pivot to wide by market segment.
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  private def q17Pivot(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+    val piv = joined.groupBy(col("n_name"))
+      .pivot("c_mktsegment", Segments)
+      .agg(round(avg(col("c_acctbal")), 4))
+    piv.select(col("n_name") +: Segments.map(v =>
+      round(coalesce(col(v), lit(0.0)), 4).as(v.toLowerCase)): _*)
+      .orderBy(col("n_name"))
+  }
+
+  private val q17Sql = {
+    val cols = Segments.map(v =>
+      s" round(coalesce(avg(CASE WHEN c_mktsegment = '$v' THEN c_acctbal END), 0), 4) AS ${v.toLowerCase}")
+      .mkString(",\n")
+    s"""SELECT n_name,
+       |$cols
+       |FROM customer JOIN nation ON n_nationkey = c_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // B18 — as-of join: latest order at-or-before each event, per user.
+  // Spark has no dataframe as-of join; composed as union + running
+  // last-non-null window — one shuffle on user, scale-safe (no
+  // per-row subqueries, no BNLJ).
+  private def q18AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val oPart = ord.select(col("o_custkey").as("uid"),
+      col("o_orderdate").cast("timestamp_ntz").as("at"),
+      lit(0).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+    val ePart = t(s, dir, "events").select(col("user_id").as("uid"),
+      col("ts").cast("timestamp_ntz").as("at"),
+      lit(1).as("kind"), col("event_id"), lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy(col("uid")).orderBy(col("at"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oPart.unionByName(ePart)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q18Sql =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+      |FROM events e ASOF LEFT JOIN ord o
+      | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  // B19 — range join: price-band histogram. The band table is tiny →
+  // broadcast nested-loop on the range predicate is the right plan.
+  private def q19Range(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 10).toDF("band_id")
+    t(s, dir, "part").join(broadcast(bands),
+      col("p_retailprice") >= lit(900.0) + col("band_id") * 10.0 &&
+        col("p_retailprice") < lit(900.0) + (col("band_id") + 1) * 10.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("band_id"))
+  }
+
+  private val q19Sql =
+    """SELECT band_id, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+      |FROM (SELECT unnest(generate_series(0, 9)) AS band_id) bands
+      |JOIN part ON p_retailprice >= 900.0 + band_id * 10.0
+      |         AND p_retailprice < 900.0 + (band_id + 1) * 10.0
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  // B20 — tumbling time bucket + JSON-ish props extraction.
+  private def q20TimeBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")).as("k_sum"))
+      .orderBy(col("hr"), col("event_type"))
+
+  private val q20Sql =
+    """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+      | round(sum(value), 2) AS total_value,
+      | CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+      |FROM events GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY hr, event_type""".stripMargin
+
+  // B21 — sessionization: 30-min-gap sessions per user
+  // (gaps-and-islands with integer-microsecond arithmetic).
+  private def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wOrd))
+      .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wCum).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q21Sql =
+    """WITH e AS (
+      | SELECT user_id, event_id, ts,
+      |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      | SELECT user_id, ts,
+      |   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      | FROM e
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // B22 — cube / grouping sets.
+  private def q22Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy(col("pri"), col("status"))
+
+  private val q22Sql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+      | coalesce(o_orderstatus, 'ALL') AS status,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY pri, status""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2Filter _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_broadcast_join" -> (q4Broadcast _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "q6_scan_agg" -> (q6ScanAgg _),
+    "q7_sort_limit" -> (q7SortLimit _),
+    "q8_window" -> (q8Window _),
+    "q9_distinct" -> (q9Distinct _),
+    "q10_semi_join" -> (q10Semi _),
+    "q11_anti_join" -> (q11Anti _),
+    "q12_union" -> (q12Union _),
+    "q13_case_agg" -> (q13CaseAgg _),
+    "q14_subquery" -> (q14Subquery _),
+    "q15_having" -> (q15Having _),
+    "q16_rollup" -> (q16Rollup _),
+    "q17_pivot" -> (q17Pivot _),
+    "q18_asof_join" -> (q18AsOf _),
+    "q19_range_join" -> (q19Range _),
+    "q20_time_bucket" -> (q20TimeBucket _),
+    "q21_sessionize" -> (q21Sessionize _),
+    "q22_grouping_sets" -> (q22Cube _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_agg" -> q3Sql,
+    "q4_broadcast_join" -> q4Sql,
+    "q5_multi_join" -> q5Sql,
+    "q6_scan_agg" -> q6Sql,
+    "q7_sort_limit" -> q7Sql,
+    "q8_window" -> q8Sql,
+    "q9_distinct" -> q9Sql,
+    "q10_semi_join" -> q10Sql,
+    "q11_anti_join" -> q11Sql,
+    "q12_union" -> q12Sql,
+    "q13_case_agg" -> q13Sql,
+    "q14_subquery" -> q14Sql,
+    "q15_having" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_pivot" -> q17Sql,
+    "q18_asof_join" -> q18Sql,
+    "q19_range_join" -> q19Sql,
+    "q20_time_bucket" -> q20Sql,
+    "q21_sessionize" -> q21Sql,
+    "q22_grouping_sets" -> q22Sql)
+}

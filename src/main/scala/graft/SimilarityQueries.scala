@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search suite (SURVEY §2.D) over `embeddings`.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query
+  * set against the full corpus — one scan, no shuffle of the corpus;
+  * the LSH path turns ANN into an equi-join on a sign-projection
+  * bucket so candidate generation shuffles only bucket-local rows.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  // D1 — exact top-10 cosine neighbors for query vectors (vec_id ≤ 5).
+  private def knnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("nid"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val knnBruteforceSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 5),
+      | s AS (SELECT qid, e.vec_id AS nid,
+      |         list_dot_product(qv, v) /
+      |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |       FROM q JOIN e ON e.vec_id <> qid),
+      | r AS (SELECT qid, nid, cos,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |       FROM s)
+      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <=10
+      |ORDER BY qid, rn""".stripMargin
+
+  // D2 — sign-projection LSH bucketed ANN: candidates share a 4-bit
+  // sign bucket (16 buckets), top-5 within bucket.
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).withColumn("bucket", VectorOps.signBucket(col("v"), 4))
+    val q = all.filter(col("vec_id") <= 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val c = all.select(col("vec_id").as("nid"), col("v").as("nv"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val knnLshSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    array_to_string(list_transform(embedding[1:4],
+      |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM embeddings),
+      | q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id <= 20),
+      | s AS (SELECT qid, e.vec_id AS nid,
+      |         list_dot_product(qv, v) /
+      |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |       FROM q JOIN e USING (bucket) WHERE e.vec_id <> qid),
+      | r AS (SELECT qid, nid, cos,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |       FROM s)
+      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <=5
+      |ORDER BY qid, rn""".stripMargin
+
+  // D3 — per-label vector norm statistics.
+  private def vecNormStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .orderBy(col("label"))
+
+  private val vecNormStatsSql =
+    """WITH e AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                CAST(embedding AS DOUBLE[]))) AS nrm
+      |           FROM embeddings)
+      |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
+      |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bruteforce" -> (knnBruteforce _),
+    "knn_lsh" -> (knnLsh _),
+    "vec_norm_stats" -> (vecNormStats _))
+
+  val oracles: Map[String, String] = Map(
+    "knn_bruteforce" -> knnBruteforceSql,
+    "knn_lsh" -> knnLshSql,
+    "vec_norm_stats" -> vecNormStatsSql)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
+  * batch-equivalent DataFrame the driver verifies against the DuckDB
+  * oracle, and (b) a genuine streaming builder applied to a streaming
+  * DataFrame — exercised with MemoryStream in StreamingSpec, asserting
+  * stream output == batch output on the same rows.
+  */
+object StreamQueries {
+
+  /** Streaming transform: 6-hour tumbling window counts/sums per
+    * event type, watermarked for state cleanup at scale.
+    */
+  def windowAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+
+  // G1 batch equivalent — identical logic, no watermark.
+  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  // DuckDB time_bucket epoch-aligns 6h buckets exactly like Spark's
+  // window() (epoch offset of the default origin is a multiple of 6h).
+  private val streamWindowAggSql =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+      | count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Streaming transform: first event per (user, event_type) within
+    * the watermark — streaming dropDuplicates.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+        col("ts").cast("timestamp_ntz").as("first_ts"))
+
+  // G2 batch equivalent — deterministic "first" via window rank
+  // (batch dropDuplicates keeps an arbitrary row; the streaming path
+  // keeps first-arrival, which equals earliest-ts on ordered input).
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+        col("ts").cast("timestamp_ntz").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val streamDedupSql =
+    """WITH r AS (
+      | SELECT user_id, event_type, event_id, ts,
+      |   row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      | FROM events
+      |)
+      |SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_dedup" -> (streamDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> streamWindowAggSql,
+    "stream_dedup" -> streamDedupSql)
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite (SURVEY §2.E) over `documents`. All scoring is
+  * built-in string/regexp expressions (codegen'd, UDF-free) so the
+  * same computation is expressible in the DuckDB oracle.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Occurrences of a literal in text via length-difference. */
+  private def hits(c: Column, lit0: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(lit0), ""))) / lit0.length).cast("long")
+
+  private def hitsSql(expr0: String, lit0: String): String =
+    s"CAST((length($expr0) - length(replace($expr0, '$lit0', ''))) / ${lit0.length} AS BIGINT)"
+
+  private val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " a "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "fr" -> Seq(" le ", " et ", " un "),
+    "de" -> Seq(" der ", " und ", " ein "))
+
+  // E1 — stopword-profile language ID with deterministic tiebreak.
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = Profiles.map { case (lang, words) =>
+      lang -> words.map(w => hits(padded, w)).reduce(_ + _)
+    }
+    val pred = when(scores("en") >= scores("es") && scores("en") >= scores("fr") && scores("en") >= scores("de"), "en")
+      .when(scores("es") >= scores("fr") && scores("es") >= scores("de"), "es")
+      .when(scores("fr") >= scores("de"), "fr")
+      .otherwise("de")
+    docs(s, dir).select(col("doc_id"), pred.as("pred_lang"),
+      scores("en").as("score_en"), scores("es").as("score_es"),
+      scores("fr").as("score_fr"), scores("de").as("score_de"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangidSql = {
+    val p = "concat(' ', lower(text), ' ')"
+    def score(words: Seq[String]) = words.map(w => hitsSql(p, w)).mkString(" + ")
+    val en = score(Profiles("en")); val es = score(Profiles("es"))
+    val fr = score(Profiles("fr")); val de = score(Profiles("de"))
+    s"""WITH sc AS (
+       | SELECT doc_id, $en AS score_en, $es AS score_es, $fr AS score_fr, $de AS score_de
+       | FROM documents
+       |)
+       |SELECT doc_id,
+       | CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+       |      WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+       |      WHEN score_fr >= score_de THEN 'fr'
+       |      ELSE 'de' END AS pred_lang,
+       | score_en, score_es, score_fr, score_de
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // E2 — quality scoring: length / punctuation / digit / stopword ratios.
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("long")
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val stopHits = Seq(" the ", " and ", " of ").map(w => hits(padded, w)).reduce(_ + _)
+    docs(s, dir).select(col("doc_id"),
+      len.as("text_len"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long").as("n_words_approx"),
+      round(punct / len, 4).as("punct_ratio"),
+      round(digit / len, 4).as("digit_ratio"),
+      round(stopHits * 5.0 / len, 4).as("stop_ratio"),
+      when(len >= 100 && punct / len <= 0.1, 1L).otherwise(0L).as("quality_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualitySql = {
+    val p = "concat(' ', lower(text), ' ')"
+    val stop = Seq(" the ", " and ", " of ").map(w => hitsSql(p, w)).mkString(" + ")
+    s"""SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS text_len,
+       | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words_approx,
+       | round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+       | round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio,
+       | round(($stop) * 5.0 / length(text), 4) AS stop_ratio,
+       | CAST(CASE WHEN length(text) >= 100
+       |   AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) <= 0.1
+       |   THEN 1 ELSE 0 END AS BIGINT) AS quality_flag
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // E3 — token counting: whitespace words + BPE-ish regex tokens.
+  private val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(expr(s"regexp_extract_all(text, '$TokenPattern', 0)")).cast("long")
+    val words = size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long")
+    docs(s, dir).select(col("doc_id"),
+      toks.as("n_tokens"), words.as("n_words"),
+      round(length(col("text")).cast("double") / greatest(toks, lit(1L)), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textTokensSql =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_tokens,
+       | CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       | round(CAST(length(text) AS DOUBLE) /
+       |   greatest(len(regexp_extract_all(text, '$TokenPattern')), 1), 4) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // E4 — document fingerprint: full-text polynomial hash (Java wrapping
+  // long arithmetic — not portable to DuckDB → rows-only) + winnowing
+  // min-gram fingerprint over rolling 8-grams.
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      expr("""aggregate(
+        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+        |  CAST(7 AS BIGINT),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("full_fp"),
+      expr("""array_min(transform(
+        |  sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> xxhash64(substring(text, i, 8))))""".stripMargin).as("min_gram_fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql)
+}

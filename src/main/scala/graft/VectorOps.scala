@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector helpers over `array<double>` columns using codegen'd
+  * higher-order functions — a sequential left fold, so results are
+  * bit-identical to DuckDB's list_dot_product on the same inputs.
+  */
+object VectorOps {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions: a string of
+    * '1'/'0' per dimension sign — deterministic, SQL-portable, and an
+    * equi-join key for bucketed ANN.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    concat_ws("", transform(slice(v, 1, bits),
+      x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.ecs._
+import graft.EcsQueries.{MovementProcessor, PosMeta, PosVel, Position, Velocity}
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's tests/test_toy.py plus despawn, upsert,
+  * multi-archetype and persistence semantics.
+  */
+class EcsSpec extends SparkSpec {
+
+  test("toy simulation: 3 entities, 10 steps of movement (test_toy.py)") {
+    val world = World.make(spark, "sim_test", "run_toy")
+    world.addProcessor(MovementProcessor)
+    val e1 = world.spawn(Position(0.0, 0.0), Velocity(1.0, 1.0))
+    val e2 = world.spawn(Position(10.0, 5.0), Velocity(2.0, -1.0))
+    val e3 = world.spawn(Position(-5.0, -10.0), Velocity(-0.5, 0.5))
+    assert(Seq(e1, e2, e3) == Seq(1L, 2L, 3L))
+    (1 to 10).foreach(_ => world.step(0.25))
+
+    val hist = world.getHistory(Seq(PosMeta))
+    assert(hist.nonEmpty, "history should return data")
+    val rows = hist.values.head
+    assert(rows.count() == 33L, "3 entities x 11 steps (0..10)")
+
+    val finalState = world.query(PosVel).values.head
+      .orderBy("entity_id").collect()
+    assert(finalState.length == 3)
+    val r1 = finalState(0)
+    assert(r1.getAs[Double]("position__x") == 0.0 + 10 * 0.25 * 1.0)
+    assert(r1.getAs[Double]("position__y") == 2.5)
+    val r2 = finalState(1)
+    assert(r2.getAs[Double]("position__x") == 15.0)
+    assert(r2.getAs[Double]("position__y") == 2.5)
+  }
+
+  test("archetype hash is order-insensitive and name-sensitive") {
+    val a = Archetype.hashOf(Seq(PosMeta, ComponentMeta.of[Velocity]))
+    val b = Archetype.hashOf(Seq(ComponentMeta.of[Velocity], PosMeta))
+    assert(a == b)
+    assert(Archetype.hashOf(Seq(PosMeta)) != a)
+  }
+
+  test("subset-signature query matches wider archetypes") {
+    val world = World.make(spark, "sim_test", "run_subset")
+    world.spawn(Position(1.0, 2.0), Velocity(0.0, 0.0))
+    world.spawn(Position(3.0, 4.0))
+    val posOnly = world.query(Seq(PosMeta))
+    assert(posOnly.size == 2, "Position query must match both archetypes")
+    assert(posOnly.values.map(_.count()).sum == 2L)
+    val posVel = world.query(PosVel)
+    assert(posVel.size == 1, "Position+Velocity query matches only the wider archetype")
+  }
+
+  test("despawn excludes entity from live query but keeps history row") {
+    val world = World.make(spark, "sim_test", "run_despawn")
+    val e1 = world.spawn(Position(1.0, 1.0))
+    world.spawn(Position(2.0, 2.0))
+    world.despawn(e1)
+    val live = world.query(Seq(PosMeta)).values.head
+    assert(live.count() == 1L)
+    assert(live.select("entity_id").head().getLong(0) == 2L)
+    val hist = world.getHistory(Seq(PosMeta)).values.head
+    assert(hist.count() == 2L, "soft delete keeps the row")
+  }
+
+  test("upsert is latest-wins on (simulation, run, entity_id, step)") {
+    val world = World.make(spark, "sim_test", "run_upsert")
+    world.spawn(Position(0.0, 0.0))
+    val store = world.store
+    val hash = Archetype.hashOf(Seq(PosMeta))
+    def state(x: Double) = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("sim_test", "run_upsert", 1L, 0L, true, x, 0.0)),
+      Archetype.schemaOf(Seq(PosMeta)))
+    store.upsert(hash, state(5.0))
+    store.upsert(hash, state(9.0))
+    val live = world.query(Seq(PosMeta)).values.head.collect()
+    assert(live.length == 1)
+    assert(live(0).getAs[Double]("position__x") == 9.0)
+  }
+
+  test("persist + attach round-trips archetype state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ecs").toString
+    val world = World.make(spark, "sim_test", "run_persist")
+    world.addProcessor(MovementProcessor)
+    world.spawn(Position(1.0, 1.0), Velocity(1.0, 0.0))
+    (1 to 2).foreach(_ => world.step(0.5))
+    world.store.persist(dir)
+
+    val store2 = new ArchetypeStore(spark, "sim_test", "run_persist")
+    val hash = store2.attach(PosVel, dir)
+    val df = store2.resolved(hash)
+    assert(df.count() == 3L, "steps 0..2 round-trip")
+    val last = df.filter(col("step") === 2).head()
+    assert(last.getAs[Double]("position__x") == 2.0)
+  }
+
+  test("processor chaining: later processors see earlier output in-step") {
+    val world = World.make(spark, "sim_test", "run_chain")
+    object PlusOne extends Processor {
+      override val priority = 1
+      val components = Seq(PosMeta)
+      def process(df: org.apache.spark.sql.DataFrame, dt: Double) =
+        df.withColumn("position__x", col("position__x") + 1.0)
+    }
+    object TimesTwo extends Processor {
+      override val priority = 2
+      val components = Seq(PosMeta)
+      def process(df: org.apache.spark.sql.DataFrame, dt: Double) =
+        df.withColumn("position__x", col("position__x") * 2.0)
+    }
+    world.addProcessor(TimesTwo)
+    world.addProcessor(PlusOne)
+    world.spawn(Position(3.0, 0.0))
+    world.step(1.0)
+    val x = world.query(Seq(PosMeta)).values.head.head().getAs[Double]("position__x")
+    assert(x == 8.0, "priority order: (3+1)*2, not 3*2+1")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior-level checks for the LLM-pipeline operators beyond the
+  * oracle gate: dedup actually finds planted duplicates, knn actually
+  * ranks an identical vector first, the multimodal decode stub has the
+  * contracted batch shape.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("minhash-lsh finds planted near-duplicates") {
+    import spark.implicits._
+    // near-dup: same token stream, different raw bytes (punctuation +
+    // case noise) — normalization must map both to identical shingles
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val nearDup = ("The quick, brown fox jumps over the lazy dog... and runs far away! " * 5).toUpperCase
+    val other = "completely different content about spark query engines and shuffles " * 5
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("spec_docs")
+    // reuse the production pipeline on a temp dir-shaped input
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, dir).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"near-dup pair (1,2) not found in ${pairs.mkString(",")}")
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("knn ranks an identical direction first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    val mk = (scale: Float, seed: Int) =>
+      Array.tabulate(64)(i => scale * math.sin(seed * 31 + i).toFloat)
+    // vec 100 is colinear with query vec 1 → cosine 1.0, must rank #1
+    Seq((1L, mk(1.0f, 1), 0), (100L, mk(2.0f, 1), 0),
+      (101L, mk(1.0f, 2), 1), (102L, mk(1.0f, 3), 2),
+      (103L, mk(1.0f, 4), 3), (104L, mk(1.0f, 5), 4),
+      (105L, mk(1.0f, 6), 5), (106L, mk(1.0f, 7), 6),
+      (107L, mk(1.0f, 8), 7), (108L, mk(1.0f, 9), 8),
+      (109L, mk(1.0f, 10), 9), (110L, mk(1.0f, 11), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SimilarityQueries.queries("knn_bruteforce")(spark, dir)
+      .filter(col("qid") === 1 && col("rn") === 1).head()
+    assert(top.getAs[Long]("nid") == 100L)
+    assert(top.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("decode stub: one row per input, fixed-width feature vector") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(10)
+      .withColumn("payload", col("text").cast("binary"))
+    val decoded = MultimodalQueries.decodeStub(docs, "payload", featureDim = 4)
+    assert(decoded.count() == 10)
+    val feats = decoded.select("features").collect()
+    assert(feats.forall(_.getSeq[Double](0).length == 4))
+    // deterministic: same input → same features
+    val again = MultimodalQueries.decodeStub(docs, "payload", featureDim = 4)
+      .select("features").collect()
+    assert(feats.map(_.getSeq[Double](0)).toSeq == again.map(_.getSeq[Double](0)).toSeq)
+  }
+
+  test("text quality flags degenerate docs lower than clean docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs2").toString
+    Seq((1L, "the cat and the dog walked over the hill and found a meal of fish " * 3),
+      (2L, "!!!,,,...;;;:::!!!,,,...;;;:::" * 10))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = TextQueries.queries("text_quality")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(q(0).getAs[Long]("quality_flag") == 1L)
+    assert(q(1).getAs[Long]("quality_flag") == 0L)
+    assert(q(1).getAs[Double]("punct_ratio") > 0.9)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Real Structured Streaming runs (MemoryStream → memory sink),
+  * asserting stream output equals the batch-equivalent query on the
+  * same rows.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sampleEvents(n: Int): Seq[Ev] =
+    Tables.load(spark, sfDir, "events")
+      .orderBy("event_id").limit(n)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .as[Ev].collect().toSeq
+
+  test("stream_window_agg: streaming result == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = sampleEvents(300)
+    input.addData(events)
+
+    val q = StreamQueries.windowAggStream(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg_out")
+        .orderBy("bucket", "event_type").collect().toSeq
+      val expected = events.toDF()
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("bucket"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("bucket", "event_type").collect().toSeq
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream_dedup: streaming keeps first arrival per (user, type)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // feed in event-time order so first-arrival == earliest-ts
+    val events = sampleEvents(300).sortBy(e => (e.ts.getTime, e.event_id))
+    input.addData(events)
+
+    val q = StreamQueries.dedupStream(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .orderBy("user_id", "event_type").collect().toSeq
+      val expected = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events.toDF()
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"),
+            col("ts").cast("timestamp_ntz").as("first_ts"))
+          .orderBy("user_id", "event_type").collect().toSeq
+      }
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
