@@ -30,22 +30,32 @@ object DedupQueries {
 
   /** MinHash signature: for permutation j, min over word-3-shingles of
     * xxhash64(shingle, j). 64 perms, banded 8×8 for LSH.
+    *
+    * Shape matters at scale: shingles are EXPLODED to rows and each
+    * permutation is a plain codegen'd xxhash64 column, reduced by a
+    * map-side-combining groupBy(min). (A nested higher-order
+    * `transform(sequence(0,63), j -> array_min(...))` computes the
+    * same thing but is interpreted, ~50× slower at sf0.1.)
     */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val withShingles = docs(s, dir)
+    val shingleRows = docs(s, dir)
       .withColumn("toks", tokensCol)
-      .withColumn("shingles", expr(
+      .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
           |  sequence(0, greatest(size(toks) - 3, 0)),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin))
-      .filter(size(col("shingles")) > 0)
-    val withSig = withShingles.withColumn("sig", expr(
-      """transform(sequence(0, 63),
-        |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))""".stripMargin))
-    withSig.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 7), b -> xxhash64(concat_ws(',', slice(sig, b * 8 + 1, 8)), b))"))
-        .as(Seq("band_id", "band_hash")))
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin)).as("shingle"))
+    // tall shape: (doc, shingle) × perm j → min per (doc, j) → band
+    // hash = order-independent bit_xor of per-perm mins. Small codegen
+    // functions throughout (a 64-column-wide min aggregate generates a
+    // pathologically large whole-stage function: ~45 s cold vs ~4 s).
+    shingleRows
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col("doc_id"), col("j"), xxhash64(col("shingle"), col("j")).as("h"))
+      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("m"))
+      .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
+      .agg(bit_xor(xxhash64(col("m"), col("j"))).as("band_hash"))
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
   }
 
   // C2 — MinHash+LSH candidate pairs: same (band_id, band_hash) bucket.
