@@ -60,7 +60,11 @@ object DedupQueries {
 
   // C2 — MinHash+LSH candidate pairs: same (band_id, band_hash) bucket.
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // persist: the self-join would otherwise recompute the whole
+    // signature pipeline for both sides (bands ≈ 8 rows/doc — tiny
+    // next to the corpus, and the expensive part is above it)
     val bands = minhashBands(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
     val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band_id", "band_hash"))

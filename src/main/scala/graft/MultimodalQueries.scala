@@ -42,8 +42,7 @@ object MultimodalQueries {
 
   // F2 — frame sampling: 16-byte frames off the payload, every 4th
   // frame kept — deterministic partition-friendly explode; the frame
-  // "decode" is the stub below (rows-only: blob slicing isn't portable
-  // to the DuckDB oracle).
+  // "decode" is the stub below.
   private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -82,10 +81,20 @@ object MultimodalQueries {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  private val mmFrameSampleSql =
+    """SELECT doc_id, i AS frame_idx,
+      | CAST(octet_length(encode(substring(text, CAST(i * 16 + 1 AS INT), 16))) AS BIGINT) AS frame_bytes,
+      | md5(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_md5
+      |FROM documents, LATERAL (
+      |  SELECT unnest(generate_series(0, CAST(floor((length(text) - 1) / 16) AS BIGINT))) AS i) t
+      |WHERE i % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> mmBinaryMetaSql)
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

@@ -110,9 +110,9 @@ object TextQueries {
        |   greatest(len(regexp_extract_all(text, '$TokenPattern')), 1), 4) AS chars_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  // E4 — document fingerprint: full-text polynomial hash (Java wrapping
-  // long arithmetic — not portable to DuckDB → rows-only) + winnowing
-  // min-gram fingerprint over rolling 8-grams.
+  // E4 — document fingerprint: full-text modular polynomial hash +
+  // winnowing-style min over rolling 8-gram polynomial hashes (modular
+  // arithmetic keeps it in BIGINT range on both engines).
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       expr("""aggregate(
@@ -121,8 +121,24 @@ object TextQueries {
         |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("full_fp"),
       expr("""array_min(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
-        |  i -> xxhash64(substring(text, i, 8))))""".stripMargin).as("min_gram_fp"))
+        |  i -> aggregate(
+        |    transform(sequence(i, i + 7), k -> ascii(substring(text, k, 1))),
+        |    CAST(7 AS BIGINT),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007)))""".stripMargin).as("min_gram_fp"))
       .orderBy(col("doc_id"))
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(7::BIGINT, list_transform(generate_series(1, length(text)),
+      |     i -> ascii(substring(text, i, 1))::BIGINT)),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS full_fp,
+      | list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)), i ->
+      |   list_reduce(
+      |     list_prepend(7::BIGINT, list_transform(generate_series(i, i + 7),
+      |       k -> ascii(substring(text, k, 1))::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_gram_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
@@ -133,5 +149,6 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
-    "text_tokens" -> textTokensSql)
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
 }
