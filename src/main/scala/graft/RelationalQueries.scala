@@ -344,6 +344,25 @@ object RelationalQueries {
       | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // B23 — as-of join again, but through the custom operator tier:
+  // AsOfJoinPlan (LogicalPlan) → AsOfJoinStrategy → AsOfJoinExec
+  // (sort-merge, one shuffle per side, O(1) merge state). Same output
+  // and oracle as B18's composition — two independent engines, one
+  // contract.
+  private def q23AsOfNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.install(s)
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"),
+        col("o_orderkey"))
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    graft.plans.AsOfJoin.join(ev, ord, "user_id", "ts", "o_custkey", "o_time")
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   // B19 — range join: price-band histogram. The band table is tiny →
   // broadcast nested-loop on the range predicate is the right plan.
   private def q19Range(s: SparkSession, dir: String): DataFrame = {
@@ -449,6 +468,7 @@ object RelationalQueries {
     "q16_rollup" -> (q16Rollup _),
     "q17_pivot" -> (q17Pivot _),
     "q18_asof_join" -> (q18AsOf _),
+    "q23_asof_native" -> (q23AsOfNative _),
     "q19_range_join" -> (q19Range _),
     "q20_time_bucket" -> (q20TimeBucket _),
     "q21_sessionize" -> (q21Sessionize _),
@@ -473,6 +493,7 @@ object RelationalQueries {
     "q16_rollup" -> q16Sql,
     "q17_pivot" -> q17Sql,
     "q18_asof_join" -> q18Sql,
+    "q23_asof_native" -> q18Sql,
     "q19_range_join" -> q19Sql,
     "q20_time_bucket" -> q20Sql,
     "q21_sessionize" -> q21Sql,

@@ -1,12 +1,20 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** Column ↔ catalyst Expression bridge for the classic API (the
-  * constructor is `private[sql]` in Spark 4). Lives in the sql package
-  * solely to re-export that capability to graft's native expressions.
+/** Column/Dataset ↔ catalyst bridge for the classic API (these
+  * constructors are `private[sql]` in Spark 4). Lives in the sql
+  * package solely to re-export those capabilities to graft's native
+  * expressions and custom logical plans.
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Custom as-of join operator: semantics vs hand-built cases, parity
+  * with the window-composition path, and the physical plan shape.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("picks latest right row at-or-before each left time, else null") {
+    val quotes = Seq(
+      (1L, 10L, "q10"), (1L, 20L, "q20"), (1L, 30L, "q30"),
+      (2L, 15L, "p15"))
+      .toDF("key", "t", "quote")
+    val trades = Seq(
+      (1L, 5L, "early"), (1L, 20L, "at"), (1L, 25L, "mid"), (1L, 99L, "late"),
+      (2L, 14L, "before"), (3L, 50L, "nokey"))
+      .toDF("key", "t", "trade")
+    val out = AsOfJoin.join(trades, quotes, "key", "t", "key", "t")
+      .select(trades("key"), trades("t"), col("trade"), col("quote"))
+      .orderBy(trades("key"), trades("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, "early", null), (1L, 20L, "at", "q20"), (1L, 25L, "mid", "q20"),
+      (1L, 99L, "late", "q30"), (2L, 14L, "before", null), (3L, 50L, "nokey", null)))
+  }
+
+  test("native as-of equals window-composition on real tables") {
+    val native = RelationalQueries.queries("q23_asof_native")(spark, sfDir).collect().toSeq
+    val composed = RelationalQueries.queries("q18_asof_join")(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("asof_orderkey")).collect().toSeq
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("physical plan uses AsOfJoinExec with shuffles on the key") {
+    val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+  }
+}
