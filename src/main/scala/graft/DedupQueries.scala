@@ -168,12 +168,66 @@ object DedupQueries {
       |FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
       |ORDER BY id_a, id_b""".stripMargin
 
+  // C6 — duplicate-cluster assignment: connected components over the
+  // near-dup pair graph (jaccard ≥ 0.7), cluster id = min doc_id in the
+  // component. Distributed min-label propagation to fixpoint — the
+  // Pregel-shaped pattern that scales (each iteration is one
+  // equi-join + groupBy min; state checkpointed to cut lineage).
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
+  private val dedupClusterSql =
+    """WITH RECURSIVE g AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 2, 1)),
+      |   i -> substring(text, i, 3))) AS gr
+      | FROM documents
+      |), p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      | WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.gr, b.gr))) >= 0.7
+      |), e AS (
+      | SELECT id_a AS src, id_b AS dst FROM p
+      | UNION ALL SELECT id_b, id_a FROM p
+      |), reach(node, lab) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT e.dst, reach.lab FROM reach JOIN e ON reach.node = e.src
+      |)
+      |SELECT node AS doc_id, min(lab) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_cluster" -> (dedupCluster _))
 
   // minhash/simhash signatures use Spark's xxhash64 — not portable to
   // DuckDB SQL → rows-only check; C4 provides the exact-similarity
@@ -181,5 +235,6 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_cluster" -> dedupClusterSql)
 }

@@ -432,6 +432,25 @@ object RelationalQueries {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // B24 — exact interpolated percentiles per group.
+  private def q24Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q24Sql =
+    """SELECT o_orderpriority,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // B22 — cube / grouping sets.
   private def q22Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -472,7 +491,8 @@ object RelationalQueries {
     "q19_range_join" -> (q19Range _),
     "q20_time_bucket" -> (q20TimeBucket _),
     "q21_sessionize" -> (q21Sessionize _),
-    "q22_grouping_sets" -> (q22Cube _))
+    "q22_grouping_sets" -> (q22Cube _),
+    "q24_percentiles" -> (q24Percentiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -497,5 +517,6 @@ object RelationalQueries {
     "q19_range_join" -> q19Sql,
     "q20_time_bucket" -> q20Sql,
     "q21_sessionize" -> q21Sql,
-    "q22_grouping_sets" -> q22Sql)
+    "q22_grouping_sets" -> q22Sql,
+    "q24_percentiles" -> q24Sql)
 }
