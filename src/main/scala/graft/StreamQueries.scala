@@ -1,8 +1,16 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Row/state types for the stateful sessionizer (top-level for
+  * Encoder derivation).
+  */
+case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+case class SessState(sessionId: Long, lastTs: Long)
+case class SessAssign(user_id: Long, event_id: Long, session_id: Long)
 
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
@@ -73,11 +81,64 @@ object StreamQueries {
       |SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Streaming transform: custom per-key session state via
+    * flatMapGroupsWithState — 30-min-gap session ids per user,
+    * continuing across micro-batches. Within a batch events are
+    * ordered by (ts, event_id); across batches the state carries the
+    * open session's id and last timestamp.
+    */
+  def sessionizeStream(events: Dataset[SessEvent]): Dataset[SessAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var (sid, last) = state.getOption
+            .map(s => (s.sessionId, s.lastTs)).getOrElse((0L, Long.MinValue))
+          val out = sorted.map { e =>
+            if (last == Long.MinValue || e.ts_us - last > 1800000000L) sid += 1
+            last = e.ts_us
+            SessAssign(userId, e.event_id, sid)
+          }
+          state.update(SessState(sid, last))
+          out.iterator
+        })
+  }
+
+  // G3 batch equivalent — per-event session assignment via windows
+  // (same gaps-and-islands arithmetic as q21, exposed per event).
+  private def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wOrd))
+      .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wCum).cast("long"))
+      .select(col("user_id"), col("event_id"), col("session_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val streamSessionSql =
+    """WITH e AS (
+      | SELECT user_id, event_id, ts,
+      |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, event_id,
+      |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |FROM e ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_session" -> (streamSession _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_session" -> streamSessionSql)
 }

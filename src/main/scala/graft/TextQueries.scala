@@ -140,15 +140,65 @@ object TextQueries {
       |     (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_gram_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // E5 — TF-IDF: top-5 terms per document. One explode + three
+  // aggregations (term-frequency, doc length, document frequency);
+  // the corpus size joins in as a broadcast scalar. Identical
+  // double arithmetic on both engines keeps the ranking stable
+  // (ties broken by term).
+  private def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tokens = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    val toks = docs(s, dir).select(col("doc_id"), explode(tokens).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(docLen, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("cnt") / col("total")) * log(col("n_docs") / col("dfreq")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val textTfidfSql =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '')) AS term
+      | FROM documents
+      |), tf AS (
+      | SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY doc_id, term
+      |), dl AS (
+      | SELECT doc_id, count(*) AS total FROM toks GROUP BY doc_id
+      |), dfr AS (
+      | SELECT term, count(*) AS dfreq FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+      |), scored AS (
+      | SELECT tf.doc_id, tf.term,
+      |   (tf.cnt / dl.total) * ln((SELECT count(*) FROM documents) / dfr.dfreq) AS tfidf
+      | FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfr ON tf.term = dfr.term
+      |), ranked AS (
+      | SELECT doc_id, term, tfidf,
+      |   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+      | FROM scored
+      |)
+      |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf
+      |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_tfidf" -> (textTfidf _))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_tfidf" -> textTfidfSql)
 }

@@ -96,6 +96,28 @@ class EcsSpec extends SparkSpec {
     assert(last.getAs[Double]("position__x") == 2.0)
   }
 
+  test("history scoping: per-run by default, all runs of a simulation on request") {
+    val simName = s"sim_multi_${java.util.UUID.randomUUID().toString.take(8)}"
+    val w1 = World.make(spark, simName, "run_a")
+    val w2 = World.make(spark, simName, "run_b")
+    w1.spawn(Position(1.0, 0.0))
+    w2.spawn(Position(2.0, 0.0))
+    // runs live in separate stores here; attach run_a's table into w2's
+    // store scope via persist+attach to model a shared simulation store
+    val dir = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    w1.store.persist(dir)
+    w2.store.persist(dir + "_b")
+    val shared = new ArchetypeStore(spark, simName, "run_a")
+    val hash = shared.attach(Seq(PosMeta), dir)
+    assert(shared.getHistory(Seq(PosMeta))(hash).count() == 1L)
+    // same store, other run scope sees nothing for run_b...
+    val asRunB = new ArchetypeStore(spark, simName, "run_b")
+    asRunB.attach(Seq(PosMeta), dir)
+    assert(asRunB.getHistory(Seq(PosMeta))(hash).count() == 0L)
+    // ...unless includeAllRuns widens to the simulation
+    assert(asRunB.getHistory(Seq(PosMeta), includeAllRuns = true)(hash).count() == 1L)
+  }
+
   test("processor chaining: later processors see earlier output in-step") {
     val world = World.make(spark, "sim_test", "run_chain")
     object PlusOne extends Processor {

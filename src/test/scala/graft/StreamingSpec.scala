@@ -49,6 +49,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_session: stateful sessionizer matches batch across two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val all = sampleEvents(400)
+      .map(e => SessEvent(e.user_id, e.event_id, e.ts.getTime * 1000))
+      .sortBy(e => (e.ts_us, e.event_id))
+    // split by time so per-user order holds across the batch boundary
+    val (first, second) = all.splitAt(all.length / 2)
+    input.addData(first)
+
+    val q = StreamQueries.sessionizeStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .orderBy("user_id", "event_id").collect().toSeq
+      val expected = {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        all.toDF()
+          .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(wOrd))
+          .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+          .select(col("user_id"), col("event_id"),
+            sum(col("is_new")).over(wCum).cast("long").as("session_id"))
+          .orderBy("user_id", "event_id").collect().toSeq
+      }
+      assert(streamed.nonEmpty)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("stream_dedup: streaming keeps first arrival per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
