@@ -184,17 +184,22 @@ object DedupQueries {
     var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     while (changed > 0) {
+      // neighbor-min step
       val neighborMin = edges
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id").as("old"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("mid"))
+      // pointer-jumping step (label := label of label) collapses chains
+      // in O(log diameter) rounds instead of O(diameter)
+      val byId = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val next = stepped.join(byId, col("mid") === col("p_id"))
+        .select(col("doc_id"), col("old"), least(col("mid"), col("p_lab")).as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
     }
     labels.orderBy(col("doc_id"))
   }
