@@ -451,6 +451,81 @@ object RelationalQueries {
       | count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // B25 — range-frame rolling window: 7-day revenue per customer.
+  private def q25Rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("sec"))
+      .rangeBetween(-7L * 86400, 0)
+    t(s, dir, "orders")
+      .withColumn("sec", unix_seconds(col("o_orderdate").cast("timestamp")))
+      .withColumn("rolling_7d", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("rolling_7d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val q25Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | round(sum(o_totalprice) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate
+      |   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // B26 — ntile bucketing over a total order.
+  private def q26Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"), round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("quartile"))
+  }
+
+  private val q26Sql =
+    """SELECT quartile, count(*) AS n, round(min(o_totalprice), 2) AS min_price,
+      | round(max(o_totalprice), 2) AS max_price
+      |FROM (SELECT o_totalprice,
+      |        CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+      |      FROM orders)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  // B27 — string function suite over part names.
+  private def q27Strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        reverse(col("p_name")).as("rname"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("translated"),
+        levenshtein(col("p_type"), col("p_brand")).cast("long").as("lev"),
+        substring(col("p_name"), 3, 5).as("sub35"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+      .orderBy(col("p_partkey"))
+
+  private val q27Sql =
+    """SELECT p_partkey, upper(p_name) AS uname, reverse(p_name) AS rname,
+      | lpad(p_brand, 12, '_') AS padded,
+      | translate(p_type, 'AEIOU', 'aeiou') AS translated,
+      | CAST(levenshtein(p_type, p_brand) AS BIGINT) AS lev,
+      | substring(p_name, 3, 5) AS sub35,
+      | concat_ws('|', p_brand, p_type) AS joined
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // B28 — collect + sort to a deterministic string per group.
+  private def q28Collect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(sort_array(collect_list(col("p_size"))).as("arr"), count(lit(1)).as("n"))
+      .select(col("p_brand"),
+        concat_ws(",", expr("transform(arr, x -> CAST(x AS STRING))")).as("sizes"),
+        col("n"))
+      .orderBy(col("p_brand"))
+
+  private val q28Sql =
+    """SELECT p_brand, array_to_string(list_sort(list(p_size)), ',') AS sizes, count(*) AS n
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // B22 — cube / grouping sets.
   private def q22Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -492,7 +567,11 @@ object RelationalQueries {
     "q20_time_bucket" -> (q20TimeBucket _),
     "q21_sessionize" -> (q21Sessionize _),
     "q22_grouping_sets" -> (q22Cube _),
-    "q24_percentiles" -> (q24Percentiles _))
+    "q24_percentiles" -> (q24Percentiles _),
+    "q25_rolling_window" -> (q25Rolling _),
+    "q26_ntile" -> (q26Ntile _),
+    "q27_string_funcs" -> (q27Strings _),
+    "q28_collect_agg" -> (q28Collect _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -518,5 +597,9 @@ object RelationalQueries {
     "q20_time_bucket" -> q20Sql,
     "q21_sessionize" -> q21Sql,
     "q22_grouping_sets" -> q22Sql,
-    "q24_percentiles" -> q24Sql)
+    "q24_percentiles" -> q24Sql,
+    "q25_rolling_window" -> q25Sql,
+    "q26_ntile" -> q26Sql,
+    "q27_string_funcs" -> q27Sql,
+    "q28_collect_agg" -> q28Sql)
 }
