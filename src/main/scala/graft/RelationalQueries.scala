@@ -526,6 +526,21 @@ object RelationalQueries {
     """SELECT p_brand, array_to_string(list_sort(list(p_size)), ',') AS sizes, count(*) AS n
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // B29 — native JSON extraction from the props column.
+  private def q29Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  private val q29Sql =
+    """SELECT event_type, count(*) AS n,
+      | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // B22 — cube / grouping sets.
   private def q22Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -571,7 +586,8 @@ object RelationalQueries {
     "q25_rolling_window" -> (q25Rolling _),
     "q26_ntile" -> (q26Ntile _),
     "q27_string_funcs" -> (q27Strings _),
-    "q28_collect_agg" -> (q28Collect _))
+    "q28_collect_agg" -> (q28Collect _),
+    "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -601,5 +617,6 @@ object RelationalQueries {
     "q25_rolling_window" -> q25Sql,
     "q26_ntile" -> q26Sql,
     "q27_string_funcs" -> q27Sql,
-    "q28_collect_agg" -> q28Sql)
+    "q28_collect_agg" -> q28Sql,
+    "q29_json" -> q29Sql)
 }

@@ -98,13 +98,38 @@ object SimilarityQueries {
       |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  // D4 — higher-order array functions over vectors: filter/exists
+  // composition per label.
+  private def vecHofStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("n_neg", size(expr("filter(v, x -> x < 0)")).cast("long"))
+      .withColumn("has_big",
+        when(size(expr("filter(v, x -> x > 1.5)")) > 0, 1L).otherwise(0L))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_neg")), 4).as("avg_neg_dims"),
+        sum(col("has_big")).as("n_with_big_dim"))
+      .orderBy(col("label"))
+
+  private val vecHofStatsSql =
+    """WITH e AS (
+      | SELECT label,
+      |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> x < 0)) AS n_neg,
+      |  CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 1.5)) > 0
+      |       THEN 1 ELSE 0 END AS has_big
+      | FROM embeddings)
+      |SELECT label, count(*) AS n, round(avg(n_neg), 4) AS avg_neg_dims,
+      | CAST(sum(has_big) AS BIGINT) AS n_with_big_dim
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
-    "vec_norm_stats" -> (vecNormStats _))
+    "vec_norm_stats" -> (vecNormStats _),
+    "vec_hof_stats" -> (vecHofStats _))
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_lsh" -> knnLshSql,
-    "vec_norm_stats" -> vecNormStatsSql)
+    "vec_norm_stats" -> vecNormStatsSql,
+    "vec_hof_stats" -> vecHofStatsSql)
 }
