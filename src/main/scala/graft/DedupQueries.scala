@@ -181,7 +181,11 @@ object DedupQueries {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // iterate only over edge-touched nodes (the overwhelmingly common
+    // singleton docs need no propagation and union in at the end)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       // neighbor-min step
@@ -201,7 +205,10 @@ object DedupQueries {
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
-    labels.orderBy(col("doc_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "lab"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   private val dedupClusterSql =

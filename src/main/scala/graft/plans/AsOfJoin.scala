@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions._
@@ -41,6 +42,32 @@ case class AsOfJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: Catalyst's ColumnPruning can't see through a custom
+  * node, so without this a wide right/left table would be scanned in
+  * full even when the query projects two columns. Inserting Projects
+  * under the as-of node lets FileSourceStrategy prune the parquet
+  * ReadSchema at physical planning. Idempotent (fires only while it
+  * shrinks a side).
+  */
+object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, a: AsOfJoinPlan) =>
+      val used = p.references ++
+        AttributeSet(Seq(a.leftKey, a.leftTime, a.rightKey, a.rightTime)
+          .flatMap(_.references))
+      val neededL = a.left.output.filter(used.contains)
+      val neededR = a.right.output.filter(used.contains)
+      if (neededL.length < a.left.output.length ||
+          neededR.length < a.right.output.length) {
+        val newLeft = if (neededL.length < a.left.output.length)
+          Project(neededL, a.left) else a.left
+        val newRight = if (neededR.length < a.right.output.length)
+          Project(neededR, a.right) else a.right
+        p.copy(child = a.copy(left = newLeft, right = newRight))
+      } else p
+  }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
@@ -132,11 +159,16 @@ object AsOfJoin {
     * `experimental.extraStrategies` hook, so it works on any session,
     * not only ones built with `withExtensions`).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+    }
+  }
 
   /** Key columns must evaluate to long; time columns to long-backed
     * types (timestamp / timestamp_ntz / long) — cast beforehand
@@ -164,6 +196,8 @@ object AsOfJoin {
   * registration path (AsOfJoin.install covers pre-built sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
+  }
 }

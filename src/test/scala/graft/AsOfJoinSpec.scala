@@ -36,6 +36,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("pruning rule narrows a wide right table's scan schema") {
+    val wideRight = Tables.load(spark, sfDir, "orders")  // all 6 columns
+      .withColumn("o_time", col("o_orderdate").cast("timestamp_ntz"))
+    val left = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val joined = AsOfJoin.join(left, wideRight, "user_id", "ts", "o_custkey", "o_time")
+      .select(col("event_id"), col("o_orderkey"))
+    val explained = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val ordersRead = explained.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("o_orderkey")).get
+    assert(!ordersRead.contains("o_totalprice"),
+      s"unused o_totalprice must be pruned from the scan: $ordersRead")
+    assert(joined.count() > 0)
+  }
+
   test("physical plan uses AsOfJoinExec with shuffles on the key") {
     val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
