@@ -28,14 +28,19 @@ object DedupQueries {
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
-  /** MinHash signature: for permutation j, min over word-3-shingles of
-    * xxhash64(shingle, j). 64 perms, banded 8×8 for LSH.
+  /** MinHash signature: base hash is a modular polynomial over the
+    * word-3-shingle's characters; permutation j applies the affine
+    * universal-hash transform (p·(2j+1) + 7919j + 13) mod M. 64 perms,
+    * banded 8×8, band key = order-independent bit_xor mix — every step
+    * is integer arithmetic reproducible in the DuckDB oracle.
     *
-    * Shape matters at scale: shingles are EXPLODED to rows and each
-    * permutation is a plain codegen'd xxhash64 column, reduced by a
-    * map-side-combining groupBy(min). (A nested higher-order
-    * `transform(sequence(0,63), j -> array_min(...))` computes the
-    * same thing but is interpreted, ~50× slower at sf0.1.)
+    * Shape matters at scale: shingles are EXPLODED to rows, the
+    * polynomial is evaluated once per shingle, and the 64 permutations
+    * are codegen'd affine transforms reduced by a map-side-combining
+    * groupBy(min). (A nested higher-order `transform(sequence(0,63),
+    * j -> array_min(...))` computes the same thing but is interpreted,
+    * ~50× slower at sf0.1; a 64-column-wide min aggregate generates a
+    * pathologically large whole-stage function, ~10× slower cold.)
     */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val shingleRows = docs(s, dir)
@@ -44,17 +49,18 @@ object DedupQueries {
         """array_distinct(transform(
           |  sequence(0, greatest(size(toks) - 3, 0)),
           |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin)).as("shingle"))
-    // tall shape: (doc, shingle) × perm j → min per (doc, j) → band
-    // hash = order-independent bit_xor of per-perm mins. Small codegen
-    // functions throughout (a 64-column-wide min aggregate generates a
-    // pathologically large whole-stage function: ~45 s cold vs ~4 s).
+      .withColumn("p", expr(
+        """aggregate(
+          |  transform(sequence(1, length(shingle)), i -> ascii(substring(shingle, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
     shingleRows
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .select(col("doc_id"), col("j"), xxhash64(col("shingle"), col("j")).as("h"))
+      .select(col("doc_id"), col("p"), explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col("doc_id"), col("j"),
+        ((col("p") * (col("j") * 2 + 1) + (col("j") * 7919 + 13)) % 1000000007L).as("h"))
       .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("m"))
       .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
-      .agg(bit_xor(xxhash64(col("m"), col("j"))).as("band_hash"))
+      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
       .select(col("doc_id"), col("band_id"), col("band_hash"))
   }
 
@@ -73,12 +79,51 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash: 64-bit sign-aggregated token hashes per doc. */
+  private val dedupMinhashLshSql =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS tk
+      | FROM documents
+      |), sh AS (
+      | SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(0, greatest(len(tk) - 3, 0)),
+      |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+      |  FROM toks)
+      |), ph AS (
+      | SELECT doc_id, list_reduce(
+      |   list_prepend(7::BIGINT, list_transform(generate_series(1, length(shingle)),
+      |     i -> ascii(substring(shingle, i, 1))::BIGINT)),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS p
+      | FROM sh
+      |), hj AS (
+      | SELECT doc_id, j, min((p * (2*j+1) + (7919*j+13)) % 1000000007) AS m
+      | FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+      | GROUP BY doc_id, j
+      |), bands AS (
+      | SELECT doc_id, j // 8 AS band_id, bit_xor((m * 131 + j) % 1000000007) AS band_hash
+      | FROM hj GROUP BY doc_id, j // 8
+      |)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM bands a JOIN bands b USING (band_id, band_hash)
+      |WHERE a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash: sign-aggregated token hashes per doc. The 61-bit token
+    * hash combines two modular polynomials (bases 31/37, distinct
+    * moduli) so the whole signature is integer arithmetic reproducible
+    * in the DuckDB oracle.
+    */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    def poly(mult: Int, mod: Long, init: Long) = expr(
+      s"""aggregate(
+         |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+         |  CAST($init AS BIGINT),
+         |  (acc, c) -> (acc * $mult + c) % $mod)""".stripMargin)
     val tok = docs(s, dir)
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", shiftleft(poly(31, 1000000007L, 7), 31) + poly(37, 998244353L, 11))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -108,6 +153,44 @@ object DedupQueries {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupSimhashSql = {
+    def polySql(mult: Int, mod: Long, init: Long) =
+      s"""list_reduce(list_prepend($init::BIGINT,
+         |   list_transform(generate_series(1, length(tok)),
+         |     i -> ascii(substring(tok, i, 1))::BIGINT)),
+         |   (acc, c) -> (acc * $mult + c) % $mod)""".stripMargin
+    val bitSums = (0 until 64).map(i =>
+      s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+      .mkString(",\n ")
+    val simhashExpr = (0 until 64).map(i =>
+      s"(CASE WHEN b$i > 0 THEN 1::BIGINT << $i ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |   x -> x <> '')) AS tok
+       | FROM documents
+       |), th AS (
+       | SELECT doc_id, (${polySql(31, 1000000007L, 7)} << 31)
+       |   + ${polySql(37, 998244353L, 11)} AS h
+       | FROM toks
+       |), bits AS (
+       | SELECT doc_id, $bitSums
+       | FROM th GROUP BY doc_id
+       |), sig AS (
+       | SELECT doc_id, $simhashExpr AS simhash FROM bits
+       |), blocks AS (
+       | SELECT doc_id, simhash, q AS block_id, (simhash >> (q*16)) & 65535 AS block_val
+       | FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) qs
+       |), cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       | FROM blocks a JOIN blocks b USING (block_id, block_val)
+       | WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // C4 — exact character-3-gram Jaccard for bounded id-offset pairs
@@ -241,11 +324,10 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster" -> (dedupCluster _))
 
-  // minhash/simhash signatures use Spark's xxhash64 — not portable to
-  // DuckDB SQL → rows-only check; C4 provides the exact-similarity
-  // oracle-verified companion.
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_cluster" -> dedupClusterSql)

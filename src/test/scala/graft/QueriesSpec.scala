@@ -7,7 +7,7 @@ package graft
   */
 class QueriesSpec extends SparkSpec {
 
-  private val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash")
+  private val rowsOnly = Set.empty[String]
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
