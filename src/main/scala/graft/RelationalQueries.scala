@@ -471,16 +471,19 @@ object RelationalQueries {
       |   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2) AS rolling_7d
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
-  // B26 — ntile bucketing over a total order.
-  private def q26Ntile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+  // B26 — ntile bucketing over a total order. Distributed two-phase
+  // ntile (graft.operators.DistributedNtile): range-repartition +
+  // per-partition ranks + broadcast offsets — NOT the single-partition
+  // `ntile().over(Window.orderBy(...))`, which serializes the whole
+  // table through one task at scale.
+  private def q26Ntile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedNtile
+      .withNtile(t(s, dir, "orders"), 4, "quartile",
+        col("o_totalprice").desc, col("o_orderkey"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy(col("quartile"))
-  }
 
   private val q26Sql =
     """SELECT quartile, count(*) AS n, round(min(o_totalprice), 2) AS min_price,
