@@ -1,18 +1,43 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: one JSON line with per-query seconds on
-  * SPARK_GRAFT_SF_DIR. Each query is first run once at sf0.001 to pay
-  * JVM/codegen warm-up outside the measurement (cold-start noise was
-  * ±5× per query otherwise), then measured once at the target SF in
-  * deterministic (sorted) order.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (r2):
+  *   - Each query runs once at sf0.001 first to pay JVM/codegen
+  *     warm-up outside the measurement (cold-start noise was ±5× per
+  *     query otherwise).
+  *   - Each query then runs SPARK_GRAFT_TRIALS times (default 3) at
+  *     the target SF; the JSON reports the per-query MEDIAN plus
+  *     min/max, so one co-tenant stall doesn't poison the number
+  *     (BENCH_r01 showed 30× swings on this machine).
+  *   - Queries are forced through a `noop` sink, not `.count()`: under
+  *     a count Catalyst prunes unused result columns — for q18-style
+  *     window queries that deleted the entire window computation and
+  *     benchmarked an empty shell. The noop write materializes every
+  *     output column without driver collection.
+  *   - A query that throws is reported in an explicit "errors" map
+  *     (name → exception class+message) and its time is excluded from
+  *     the total; failures are never silently folded into timings.
   */
 object Bench {
+
+  /** Force full computation of every output column, no driver collect. */
+  private def exhaust(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,17 +48,36 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = ordered.flatMap { case (name, fn) =>
+      val times = (1 to trials).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          exhaust(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+        }
+      }
+      if (times.isEmpty) None
+      else Some((name, median(times), times.min, times.max))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":[" + fmt(mn) + "," + fmt(mx) + "]"
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc single-query timing (dev tool): runs each named query twice
-  * (warm-up + measured) on the given SF dir.
-  * Usage: runMain graft.Profile <sfDir> [query ...]
+/** Ad-hoc profiler: `runMain graft.Profile <sfDir> <query...>`.
+  * Runs each named query once warm (sf0.001) then 3 timed trials
+  * through a noop sink (full materialization — `.count()` lets
+  * Catalyst prune the work under test), printing median [min..max].
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -18,12 +19,17 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      fn(spark, "/root/testdata/sf0.001").count() // warm
-      val t0 = System.nanoTime()
-      val rows = fn(spark, dir).count()
-      println(f"[profile] $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      exhaust(fn(spark, "/root/testdata/sf0.001")) // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        exhaust(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[profile] $n%-24s median ${times(1)}%8.2f s  [${times.head}%.2f..${times.last}%.2f]")
     }
     spark.stop()
   }

@@ -351,7 +351,12 @@ object RelationalQueries {
   // contract.
   private def q23AsOfNative(s: SparkSession, dir: String): DataFrame = {
     graft.plans.AsOfJoin.install(s)
+    // repartition by o_custkey ALONE before the groupBy: hash(o_custkey)
+    // satisfies both the agg's ClusteredDistribution(custkey, orderdate)
+    // (subset clustering) and the as-of join's
+    // ClusteredDistribution(custkey) — one shuffle of orders, not two
     val ord = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
       .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"),

@@ -3,12 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Native as-of join — the whole-operator customization tier
   * (SURVEY §3): a logical node, a planner strategy, and a sort-merge
@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * Semantics: for every left row, attach the single right row with the
   * same key and the greatest time ≤ the left row's time (LEFT OUTER:
   * unmatched left rows keep nulls) — the DuckDB `ASOF LEFT JOIN`
-  * contract the oracle uses.
+  * contract the oracle uses. A null key or time never matches (null
+  * left rows emit null right columns; null right rows are skipped),
+  * matching SQL ASOF null semantics.
   *
   * Scale design: both sides hash-cluster on the key and sort within
   * partitions by (key, time) — one shuffle each, then a streaming
@@ -26,6 +28,15 @@ import org.apache.spark.sql.functions._
   * seen per key). No windowed union materialization, no broadcast
   * requirement, skew bounded by per-key density like any sort-merge
   * join.
+  *
+  * Hot-path shape: key/time extraction is a code-generated
+  * `UnsafeProjection` per side (not interpreted `Expression.eval`),
+  * the blocked right head's key/time are cached between left rows
+  * (not re-evaluated per left row), and the only per-row allocation is
+  * one copy per CONSUMED right row. Long-backed key/time types
+  * (long/int/short/byte/date/timestamp/timestamp_ntz) take a primitive
+  * comparison path; any other orderable type (string, decimal, double)
+  * falls back to the type's interpreted ordering.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -48,13 +59,37 @@ case class AsOfJoinPlan(
   * node, so without this a wide right/left table would be scanned in
   * full even when the query projects two columns. Inserting Projects
   * under the as-of node lets FileSourceStrategy prune the parquet
-  * ReadSchema at physical planning. Idempotent (fires only while it
-  * shrinks a side).
+  * ReadSchema at physical planning. Fires for a Project above the
+  * as-of node with any chain of Filters in between (their condition
+  * references are kept). Idempotent (fires only while it shrinks a
+  * side).
   */
 object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+
+  /** Descend through a chain of Filters; return the as-of node (if
+    * that's what the chain bottoms out in) plus the filters' combined
+    * references.
+    */
+  private def throughFilters(plan: LogicalPlan): Option[(AsOfJoinPlan, AttributeSet)] =
+    plan match {
+      case a: AsOfJoinPlan => Some((a, AttributeSet.empty))
+      case Filter(cond, child) =>
+        throughFilters(child).map { case (a, refs) => (a, refs ++ cond.references) }
+      case _ => None
+    }
+
+  /** Rebuild the Filter chain over a replaced as-of node. */
+  private def rebuild(plan: LogicalPlan, newAsOf: LogicalPlan): LogicalPlan =
+    plan match {
+      case _: AsOfJoinPlan => newAsOf
+      case f @ Filter(_, child) => f.copy(child = rebuild(child, newAsOf))
+      case other => other
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case p @ Project(_, a: AsOfJoinPlan) =>
-      val used = p.references ++
+    case p @ Project(_, child) if throughFilters(child).isDefined =>
+      val (a, filterRefs) = throughFilters(child).get
+      val used = p.references ++ filterRefs ++
         AttributeSet(Seq(a.leftKey, a.leftTime, a.rightKey, a.rightTime)
           .flatMap(_.references))
       val neededL = a.left.output.filter(used.contains)
@@ -65,7 +100,7 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
           Project(neededL, a.left) else a.left
         val newRight = if (neededR.length < a.right.output.length)
           Project(neededR, a.right) else a.right
-        p.copy(child = a.copy(left = newLeft, right = newRight))
+        p.copy(child = rebuild(child, a.copy(left = newLeft, right = newRight)))
       } else p
   }
 }
@@ -94,10 +129,18 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  /** Fixed-width long-backed types read without boxing. */
+  private def longGetter(dt: DataType): Option[(InternalRow, Int) => Long] = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      Some((r, i) => r.getLong(i))
+    case IntegerType | DateType => Some((r, i) => r.getInt(i).toLong)
+    case ShortType => Some((r, i) => r.getShort(i).toLong)
+    case ByteType => Some((r, i) => r.getByte(i).toLong)
+    case _ => None
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyExpr = leftKey
@@ -107,42 +150,138 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
+    val keyDt = lKeyExpr.dataType
+    val timeDt = lTimeExpr.dataType
+    val primitive = longGetter(keyDt).isDefined && longGetter(timeDt).isDefined
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(lKeyExpr, lOut)
-      val lTime = org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(lTimeExpr, lOut)
-      val rKey = org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(rKeyExpr, rOut)
-      val rTime = org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(rTimeExpr, rOut)
-      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // codegen'd (key, time) extraction — one projection per side,
+      // reused buffer, no per-row interpreted eval
+      val lKt = UnsafeProjection.create(
+        Seq(BindReferences.bindReference(lKeyExpr, lOut),
+          BindReferences.bindReference(lTimeExpr, lOut)))
+      val rKt = UnsafeProjection.create(
+        Seq(BindReferences.bindReference(rKeyExpr, rOut),
+          BindReferences.bindReference(rTimeExpr, rOut)))
+      // right attrs must be read as nullable: unmatched left rows feed
+      // an all-null right row, and a non-nullable BoundReference would
+      // skip the null check and read garbage (0.0) instead
+      val proj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
-      val rBuf = rIter.buffered
-      var matchKey = Long.MinValue
-      var lastMatch: InternalRow = null
+      if (primitive) {
+        val getKey = longGetter(keyDt).get
+        val getTime = longGetter(timeDt).get
+        // last consumed right row for the current key (already copied)
+        var lastMatch: InternalRow = null
+        var matchKey = 0L
+        var haveMatch = false
+        // blocked right head, its key/time cached until consumed
+        var headRow: InternalRow = null
+        var hk = 0L
+        var ht = 0L
 
-      lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        // advance the right side through every row with
-        // (key, time) <= (k, t), remembering the newest per key
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && ht <= t)) {
-            lastMatch = head.copy()
-            matchKey = hk
-            rBuf.next()
-          } else advancing = false
+        def headReady(): Boolean = {
+          while (headRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val kt = rKt(r)
+            if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+              hk = getKey(kt, 0) // width-honest read (int-backed types)
+              ht = getTime(kt, 1)
+              headRow = r
+            } // right rows with null key/time can never match — skip
+          }
+          headRow != null
         }
-        val rMatch = if (lastMatch != null && matchKey == k) lastMatch else nullRight
-        proj(joined(lRow, rMatch))
+
+        lIter.map { lRow =>
+          val kt = lKt(lRow)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) {
+            proj(joined(lRow, nullRight))
+          } else {
+            val k = getKey(kt, 0)
+            val t = getTime(kt, 1)
+            var advancing = true
+            while (advancing && headReady()) {
+              if (hk < k || (hk == k && ht <= t)) {
+                lastMatch = headRow.copy() // one copy per consumed right row
+                matchKey = hk
+                haveMatch = true
+                headRow = null
+              } else advancing = false
+            }
+            val rMatch = if (haveMatch && matchKey == k) lastMatch else nullRight
+            proj(joined(lRow, rMatch))
+          }
+        }
+      } else {
+        // generic orderable types (string / decimal / double keys or
+        // times): boxed values + interpreted orderings
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyDt))
+        val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeDt))
+        val keyRowA = new GenericInternalRow(1)
+        val keyRowB = new GenericInternalRow(1)
+        val timeRowA = new GenericInternalRow(1)
+        val timeRowB = new GenericInternalRow(1)
+        def cmpKey(a: Any, b: Any): Int = {
+          keyRowA.update(0, a); keyRowB.update(0, b)
+          keyOrd.compare(keyRowA, keyRowB)
+        }
+        def cmpTime(a: Any, b: Any): Int = {
+          timeRowA.update(0, a); timeRowB.update(0, b)
+          timeOrd.compare(timeRowA, timeRowB)
+        }
+
+        var lastMatch: InternalRow = null
+        var matchKey: Any = null
+        var haveMatch = false
+        var headRow: InternalRow = null
+        var hk: Any = null
+        var ht: Any = null
+
+        def headReady(): Boolean = {
+          while (headRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val kt = rKt(r)
+            if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+              hk = kt.get(0, keyDt) match {
+                case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+                case v => v
+              }
+              ht = kt.get(1, timeDt) match {
+                case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+                case v => v
+              }
+              headRow = r
+            }
+          }
+          headRow != null
+        }
+
+        lIter.map { lRow =>
+          val kt = lKt(lRow)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) {
+            proj(joined(lRow, nullRight))
+          } else {
+            val k = kt.get(0, keyDt)
+            val t = kt.get(1, timeDt)
+            var advancing = true
+            while (advancing && headReady()) {
+              val kc = cmpKey(hk, k)
+              if (kc < 0 || (kc == 0 && cmpTime(ht, t) <= 0)) {
+                lastMatch = headRow.copy()
+                matchKey = hk
+                haveMatch = true
+                headRow = null
+              } else advancing = false
+            }
+            val rMatch =
+              if (haveMatch && cmpKey(matchKey, k) == 0) lastMatch else nullRight
+            proj(joined(lRow, rMatch))
+          }
+        }
       }
     }
   }
@@ -170,10 +309,14 @@ object AsOfJoin {
     }
   }
 
-  /** Key columns must evaluate to long; time columns to long-backed
-    * types (timestamp / timestamp_ntz / long) — cast beforehand
-    * otherwise. Null keys/times are the caller's responsibility (as
-    * with the reference semantics, entity/event keys are non-null).
+  /** As-of join `left` to `right`: for each left row, the latest right
+    * row with equal key and right time ≤ left time (left outer).
+    *
+    * Key types must match across sides and be orderable; same for time
+    * types. Long-backed key/time (long/int/short/byte/date/timestamp/
+    * timestamp_ntz) run the primitive merge path; other orderable
+    * types (string, decimal, double) use interpreted orderings. Null
+    * keys/times never match.
     */
   def join(
       left: DataFrame, right: DataFrame,
@@ -181,12 +324,22 @@ object AsOfJoin {
       rightKey: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
     install(spark)
+    val lk = GraftBridge.expression(left(leftKey))
+    val lt = GraftBridge.expression(left(leftTime))
+    val rk = GraftBridge.expression(right(rightKey))
+    val rt = GraftBridge.expression(right(rightTime))
+    def check(side: String, l: Expression, r: Expression): Unit = {
+      require(DataType.equalsIgnoreNullability(l.dataType, r.dataType),
+        s"as-of join $side types must match: left ${l.dataType.sql} vs right ${r.dataType.sql}" +
+          " — cast one side first")
+      require(RowOrdering.isOrderable(l.dataType),
+        s"as-of join $side type ${l.dataType.sql} is not orderable")
+    }
+    check("key", lk, rk)
+    check("time", lt, rt)
     val plan = AsOfJoinPlan(
       GraftBridge.analyzedPlan(left), GraftBridge.analyzedPlan(right),
-      GraftBridge.expression(left(leftKey)),
-      GraftBridge.expression(left(leftTime)),
-      GraftBridge.expression(right(rightKey)),
-      GraftBridge.expression(right(rightTime)))
+      lk, lt, rk, rt)
     GraftBridge.ofRows(spark, plan)
   }
 }

@@ -52,6 +52,69 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("null keys and times never match (left nulls emit null right)") {
+    val quotes = Seq((Some(1L), Some(10L), "q10"), (None, Some(5L), "qnull"),
+      (Some(1L), None, "tnull"))
+      .toDF("key", "t", "quote")
+    val trades = Seq((Some(1L), Some(20L), "ok"), (None, Some(20L), "knull"),
+      (Some(1L), None, "tnull"))
+      .toDF("key", "t", "trade")
+    val out = AsOfJoin.join(trades, quotes, "key", "t", "key", "t")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // only the fully non-null pair joins; null-key/time rows on either
+    // side neither match nor crash
+    assert(out == Set(("ok", "q10"), ("knull", null), ("tnull", null)))
+  }
+
+  test("int keys and times run the primitive path correctly") {
+    val quotes = Seq((1, 10, "q10"), (1, 30, "q30")).toDF("key", "t", "quote")
+    val trades = Seq((1, 20, "a"), (1, 35, "b"), (2, 40, "c")).toDF("key", "t", "trade")
+    val out = AsOfJoin.join(trades, quotes, "key", "t", "key", "t")
+      .select(col("trade"), col("quote")).orderBy(col("trade")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "q10"), ("b", "q30"), ("c", null)))
+  }
+
+  test("string keys run the generic orderable path correctly") {
+    val quotes = Seq(("aapl", 10L, 100.0), ("aapl", 20L, 101.0), ("msft", 5L, 50.0))
+      .toDF("sym", "t", "px")
+    val trades = Seq(("aapl", 15L), ("aapl", 25L), ("goog", 9L), ("msft", 5L))
+      .toDF("sym", "t")
+    val out = AsOfJoin.join(trades, quotes, "sym", "t", "sym", "t")
+      .select(trades("sym"), trades("t"), col("px"))
+      .orderBy(trades("sym"), trades("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("aapl", 15L, 100.0), ("aapl", 25L, 101.0), ("goog", 9L, -1.0), ("msft", 5L, 50.0)))
+  }
+
+  test("mismatched key types fail fast with a clear message") {
+    val l = Seq((1L, 1L)).toDF("key", "t")
+    val r = Seq(("x", 1L)).toDF("key", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(l, r, "key", "t", "key", "t")
+    }
+    assert(e.getMessage.contains("types must match"))
+  }
+
+  test("pruning rule fires through an intervening Filter") {
+    val wideRight = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_time", col("o_orderdate").cast("timestamp_ntz"))
+    val left = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val joined = AsOfJoin.join(left, wideRight, "user_id", "ts", "o_custkey", "o_time")
+      .filter(col("event_id") > 10)  // Filter between Project and as-of node
+      .select(col("event_id"), col("o_orderkey"))
+    val explained = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val ordersRead = explained.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("o_orderkey")).get
+    assert(!ordersRead.contains("o_totalprice"),
+      s"unused o_totalprice must be pruned through the Filter: $ordersRead")
+    assert(joined.count() > 0)
+  }
+
   test("physical plan uses AsOfJoinExec with shuffles on the key") {
     val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
