@@ -226,29 +226,37 @@ object DedupQueries {
       |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
       |ORDER BY id_a, id_b""".stripMargin
 
-  // C5 — embedding-cosine similarity for bounded id-offset pairs
-  // (double-precision sequential fold on both engines).
+  // C5 — corpus-wide embedding near-dup: multi-table random-hyperplane
+  // sign LSH (8 tables × 8 bits, SQL-portable integer-hash planes)
+  // generates candidates as an equi-join on (table, bucket) — no
+  // all-pairs product — then exact cosine verifies. The synthetic
+  // corpus has no true near-dups (max cosine ≈ 0.51), so the verify
+  // threshold is 0.3 to exercise the full pipeline end-to-end; the
+  // planted-pair recall proof (cos ≥ 0.99 pairs at arbitrary id
+  // distance) lives in LshRecallSpec.
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    a.select(col("id_a"), col("va"), explode(expr("sequence(1, 10)")).as("off"))
-      .withColumn("id_b", col("id_a") + col("off"))
-      .join(b, Seq("id_b"))
-      .withColumn("dot", VectorOps.dot(col("va"), col("vb")))
-      .withColumn("cos_sim", round(col("dot") /
-        (sqrt(VectorOps.dot(col("va"), col("va"))) * sqrt(VectorOps.dot(col("vb"), col("vb")))), 4) + lit(0.0))
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
-      .orderBy(col("id_a"), col("id_b"))
+    graft.operators.RandomHyperplaneLsh
+      .nearDupPairs(e, "vec_id", "v", threshold = 0.3, tables = 8, bits = 8, dim = 64)
   }
 
   private val dedupEmbeddingSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      | round(list_dot_product(a.v, b.v) /
-      |       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) + 0 AS cos_sim
-      |FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+      |        CAST(((1103*(p*64+d)+12289) % 8191) - 4095 AS DOUBLE)) AS w
+      |       FROM (SELECT unnest(generate_series(0, 63)) AS p) ps),
+      |bk AS (SELECT e.vec_id, p // 8 AS tbl,
+      |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |          AND a.vec_id < b.vec_id),
+      |sim AS (SELECT id_a, id_b,
+      |         round(list_dot_product(x.v, y.v) /
+      |          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) + 0 AS cos_sim
+      |        FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b)
+      |SELECT id_a, id_b, cos_sim FROM sim WHERE cos_sim >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
   // C6 — duplicate-cluster assignment: connected components over the

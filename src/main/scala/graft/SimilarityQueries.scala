@@ -45,38 +45,39 @@ object SimilarityQueries {
       |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <=10
       |ORDER BY qid, rn""".stripMargin
 
-  // D2 — sign-projection LSH bucketed ANN: candidates share a 4-bit
-  // sign bucket (16 buckets), top-5 within bucket.
+  // D2 — multi-table random-hyperplane LSH ANN: candidates are
+  // bucket-mates in any of 8 tables × 8 sign bits (seeded SQL-portable
+  // hyperplanes, shared with dedup_embedding), top-5 by exact cosine.
+  // Recall-vs-bruteforce on planted clusters is proven in
+  // LshRecallSpec.
   private def knnLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = emb(s, dir).withColumn("bucket", VectorOps.signBucket(col("v"), 4))
-    val q = all.filter(col("vec_id") <= 20)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
-    val c = all.select(col("vec_id").as("nid"), col("v").as("nv"), col("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("nid"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-      .orderBy(col("qid"), col("rn"))
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") <= 20).select(col("vec_id"), col("v"))
+    graft.operators.RandomHyperplaneLsh
+      .knn(all.select(col("vec_id"), col("v")), q, "vec_id", "v",
+        k = 5, tables = 8, bits = 8, dim = 64)
   }
 
   private val knnLshSql =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |    array_to_string(list_transform(embedding[1:4],
-      |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      |  FROM embeddings),
-      | q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id <= 20),
-      | s AS (SELECT qid, e.vec_id AS nid,
-      |         list_dot_product(qv, v) /
-      |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
-      |       FROM q JOIN e USING (bucket) WHERE e.vec_id <> qid),
-      | r AS (SELECT qid, nid, cos,
-      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
-      |       FROM s)
-      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <=5
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+      |        CAST(((1103*(p*64+d)+12289) % 8191) - 4095 AS DOUBLE)) AS w
+      |       FROM (SELECT unnest(generate_series(0, 63)) AS p) ps),
+      |bk AS (SELECT e.vec_id, p // 8 AS tbl,
+      |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |q AS (SELECT * FROM bk WHERE vec_id <= 20),
+      |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      |         FROM q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |          AND c.vec_id <> q.vec_id),
+      |s AS (SELECT qid, nid,
+      |        list_dot_product(x.v, y.v) /
+      |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+      |      FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = nid),
+      |r AS (SELECT qid, nid, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
   // D3 — per-label vector norm statistics.

@@ -23,12 +23,4 @@ object VectorOps {
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Sign-bit LSH bucket over the first `bits` dimensions: a string of
-    * '1'/'0' per dimension sign — deterministic, SQL-portable, and an
-    * equi-join key for bucketed ANN.
-    */
-  def signBucket(v: Column, bits: Int): Column =
-    concat_ws("", transform(slice(v, 1, bits),
-      x => when(x >= 0, lit("1")).otherwise(lit("0"))))
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.VectorOps
+
+/** Multi-table random-hyperplane (sign) LSH over `array<double>`
+  * embedding columns — the corpus-wide candidate generator behind
+  * embedding near-dup detection and approximate kNN.
+  *
+  * Hyperplane family: component `w(p, d)` of plane `p` is the
+  * integer-valued double `((1103·(p·dim+d) + 12289) mod 8191) − 4095`.
+  * Integer arithmetic keeps every component exactly representable, so
+  * DuckDB replays the same planes from the same formula and the
+  * sign-of-dot-product agrees bit-for-bit with the codegen'd
+  * [[graft.functions.DotProductExpr]] (same sequential fold as
+  * `list_dot_product` — proven for MinHash/SimHash in round 1).
+  *
+  * Bucketing: `tables` independent hash tables, each keyed by a
+  * `bits`-bit integer whose j-th bit is `dot(v, plane(t·bits+j)) ≥ 0`.
+  * For vectors at angle θ, a single bit agrees with probability
+  * `1 − θ/π`, a table collides with `(1 − θ/π)^bits`, and any-table
+  * recall is `1 − (1 − (1−θ/π)^bits)^tables` — near-dup pairs
+  * (cos ≥ 0.95, θ ≤ 0.1π) collide in ≥1 of 8×8-bit tables with
+  * p ≈ 0.99.
+  *
+  * Scale shape: candidate generation is an equi-join on
+  * `(table, bucket)` — no all-pairs product anywhere. Expected bucket
+  * occupancy is `n / 2^bits` per table; at larger corpora raise
+  * `bits` (and `tables` to hold recall). Pair verification re-joins
+  * ids to vectors — two keyed shuffles — rather than carrying vector
+  * payloads through the distinct.
+  */
+object RandomHyperplaneLsh {
+
+  /** Plane `p` as an integer-valued double array (see formula above). */
+  def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => (((1103L * (p.toLong * dim + d) + 12289L) % 8191L) - 4095L).toDouble)
+
+  /** The `bits`-bit sign bucket of `v` in table `tbl` (long column). */
+  def bucket(v: Column, tbl: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      when(VectorOps.dot(v, typedlit(hyperplane(tbl * bits + j, dim))) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** One row per (input row × table): `idCol`, vecCol as `v`, `tbl`,
+    * `bucket`. The equi-join surface for candidate generation.
+    */
+  def bucketed(e: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, dim: Int): DataFrame = {
+    val tb = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), bucket(col(vecCol), t, bits, dim).as("bucket"))
+    }
+    e.select(col(idCol), col(vecCol).as("v"),
+        explode(array(tb: _*)).as("tb"))
+      .select(col(idCol), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Distinct unordered candidate pairs (`id_a < id_b`) that share at
+    * least one (table, bucket).
+    */
+  def candidatePairs(e: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, dim: Int): DataFrame = {
+    val bk = bucketed(e, idCol, vecCol, tables, bits, dim)
+    val a = bk.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Corpus-wide near-duplicate pairs: LSH candidates verified by
+    * exact cosine ≥ `threshold` (4-dp rounded). Output
+    * `(id_a, id_b, cos_sim)` ordered by ids.
+    */
+  def nearDupPairs(e: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val cand = candidatePairs(e, idCol, vecCol, tables, bits, dim)
+    val va = e.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = e.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("va"), col("vb")) /
+          (sqrt(VectorOps.dot(col("va"), col("va"))) *
+            sqrt(VectorOps.dot(col("vb"), col("vb")))), 4) + lit(0.0))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Approximate top-`k` cosine neighbors for a (small, broadcast)
+    * query set: candidates are bucket-mates in any table, ranked by
+    * exact cosine. Output `(qid, rn, nid, cos_sim)`.
+    */
+  def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = bucketed(corpus, idCol, vecCol, tables, bits, dim)
+      .select(col("tbl"), col("bucket"), col(idCol).as("nid"), col("v").as("nv"))
+    val qb = bucketed(queries, idCol, vecCol, tables, bits, dim)
+      .select(col("tbl"), col("bucket"), col(idCol).as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+}
