@@ -22,7 +22,7 @@ object DedupQueries {
     docs(s, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keep_id"))
+      .transform(QueryShape.stagedSort(_, col("keep_id")))
 
   private val dedupExactSql =
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -76,7 +76,7 @@ object DedupQueries {
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
   }
 
   private val dedupMinhashLshSql =
@@ -152,7 +152,7 @@ object DedupQueries {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
   }
 
   private val dedupSimhashSql = {
@@ -196,21 +196,26 @@ object DedupQueries {
   // C4 — exact character-3-gram Jaccard for bounded id-offset pairs
   // (equi-join on id_b = id_a + off, off ∈ 1..10 — the verification
   // companion to C2's approximate path).
+  // Shuffle-shape note (r2): the pair skeleton (id_a, id_b) is built
+  // and shuffled NARROW — exploding the ×10 offsets on a side that
+  // carries gram arrays would copy and shuffle every array ten times
+  // (measured 2.7× slower at sf0.1). Arrays attach by two id
+  // equi-joins afterwards.
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir).select(col("doc_id"), expr(
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 2, 1)),
         |  i -> substring(text, i, 3)))""".stripMargin).as("g"))
-    val a = grams.select(col("doc_id").as("id_a"), col("g").as("ga"))
-    val b = grams.select(col("doc_id").as("id_b"), col("g").as("gb"))
-    val offsets = explode(expr("sequence(1, 10)")).as("off")
-    a.select(col("id_a"), col("ga"), offsets)
-      .withColumn("id_b", col("id_a") + col("off"))
-      .join(b, Seq("id_b"))
+    val pairs = docs(s, dir).select(col("doc_id").as("id_a"),
+        explode(expr("sequence(1, 10)")).as("off"))
+      .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
+    pairs
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
   }
 
   private val dedupNgramJaccardSql =
@@ -264,7 +269,24 @@ object DedupQueries {
   // component. Distributed min-label propagation to fixpoint — the
   // Pregel-shaped pattern that scales (each iteration is one
   // equi-join + groupBy min; state checkpointed to cut lineage).
+  //
+  // Iteration hygiene (r2): the convergence count is folded into the
+  // checkpoint-materializing pass via a LongAccumulator (no separate
+  // count() job — task retries can only overcount, which at worst
+  // costs one extra no-op iteration); checkpoints are RELIABLE
+  // (survive executor loss on a real cluster, unlike localCheckpoint's
+  // executor-local blocks); each iteration's cache and the previous
+  // iteration's checkpoint reference are released as soon as the next
+  // one materializes.
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
+    // pairs feeds both branches of the edge union — persist so the
+    // jaccard pipeline runs once, released as soon as edges' cache
+    // fills (during the initial labels checkpoint below)
     val pairs = dedupNgramJaccard(s, dir)
       .filter(col("jaccard") >= 0.7)
       .select(col("id_a"), col("id_b"))
@@ -276,7 +298,8 @@ object DedupQueries {
     // singleton docs need no propagation and union in at the end)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .checkpoint(eager = true)
+    pairs.unpersist(false)
     var changed = 1L
     while (changed > 0) {
       // neighbor-min step
@@ -290,16 +313,26 @@ object DedupQueries {
       // pointer-jumping step (label := label of label) collapses chains
       // in O(log diameter) rounds instead of O(diameter)
       val byId = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val acc = sc.longAccumulator("graft.cc.changed")
       val next = stepped.join(byId, col("mid") === col("p_id"))
         .select(col("doc_id"), col("old"), least(col("mid"), col("p_lab")).as("cluster_id"))
-        .localCheckpoint(true)
-      changed = next.filter(col("cluster_id") =!= col("old")).count()
-      labels = next.select(col("doc_id"), col("cluster_id"))
+        .as[(Long, Long, Long)]
+        .map { case (id, old, lab) => if (lab != old) acc.add(1); (id, lab) }
+        .toDF("doc_id", "cluster_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one pass computes + caches (accumulator exact); the checkpoint
+      // write job replays from cache
+      val chk = next.checkpoint(eager = true)
+      changed = acc.value
+      next.unpersist(false)
+      labels.unpersist(false)
+      labels = chk
     }
+    edges.unpersist(false)
     docs(s, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster_id", "lab"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
   }
 
   private val dedupClusterSql =

@@ -29,7 +29,7 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("nid"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-      .orderBy(col("qid"), col("rn"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
   }
 
   private val knnBruteforceSql =

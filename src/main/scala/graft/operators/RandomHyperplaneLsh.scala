@@ -87,7 +87,7 @@ object RandomHyperplaneLsh {
             sqrt(VectorOps.dot(col("vb"), col("vb")))), 4) + lit(0.0))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(df => graft.QueryShape.stagedSort(df, col("id_a"), col("id_b")))
   }
 
   /** Approximate top-`k` cosine neighbors for a (small, broadcast)
@@ -110,6 +110,6 @@ object RandomHyperplaneLsh {
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("nid"),
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-      .orderBy(col("qid"), col("rn"))
+      .transform(df => graft.QueryShape.stagedSort(df, col("qid"), col("rn")))
   }
 }
