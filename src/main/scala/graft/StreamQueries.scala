@@ -132,13 +132,41 @@ object StreamQueries {
       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |FROM e ORDER BY user_id, event_id""".stripMargin
 
+  // G4 — ECS streaming ingestion (batch equivalent): the events table
+  // folds into a World in two deterministic "micro-batches" (split by
+  // event_id parity) through the same EcsStreamIngest.ingestBatch the
+  // streaming bridge uses; output is the final live per-user state.
+  // Oracle = the closed-form aggregate the two-step fold must equal.
+  // Cross-micro-batch continuity over a real MemoryStream is proven in
+  // StreamingSpec.
+  private def streamEcsIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.ecs.{EcsStreamIngest, World}
+    val world = World.make(s, simulation = "ingest_sim", run = "ingest_run",
+      optimizeInterval = 0)
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    EcsStreamIngest.ingestBatch(world, ev.filter(col("event_id") % 2 === 0))
+    EcsStreamIngest.ingestBatch(world, ev.filter(col("event_id") % 2 === 1))
+    EcsStreamIngest.liveState(world)
+      .getOrElse(sys.error("no live state after ingest"))
+      .select(col("user_id"), round(col("total"), 2).as("total_value"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val streamEcsIngestSql =
+    """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
-    "stream_session" -> (streamSession _))
+    "stream_session" -> (streamSession _),
+    "stream_ecs_ingest" -> (streamEcsIngest _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_session" -> streamSessionSql)
+    "stream_session" -> streamSessionSql,
+    "stream_ecs_ingest" -> streamEcsIngestSql)
 }

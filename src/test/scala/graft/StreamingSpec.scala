@@ -84,6 +84,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_ecs_ingest: world state continues across micro-batches") {
+    import graft.ecs.{EcsStreamIngest, World}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val all = sampleEvents(300)
+    val (first, second) = all.splitAt(all.length / 2)
+    val world = World.make(spark, simulation = "stream_sim", run = "r1",
+      optimizeInterval = 0)
+
+    val q = EcsStreamIngest.attach(world, input.toDF(), "ecs_ingest_test")
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      assert(world.currentStep == 1L)
+      val afterB1 = EcsStreamIngest.liveState(world).get
+        .select(col("user_id"), round(col("total"), 2).as("t"), col("n_events"))
+        .orderBy("user_id").collect().toSeq
+      val expB1 = first.toDF().groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("t"), count(lit(1)).as("n_events"))
+        .orderBy("user_id").collect().toSeq
+      assert(afterB1 == expB1 && afterB1.nonEmpty)
+
+      input.addData(second)
+      q.processAllAvailable()
+      assert(world.currentStep == 2L)
+      val afterB2 = EcsStreamIngest.liveState(world).get
+        .select(col("user_id"), round(col("total"), 2).as("t"), col("n_events"))
+        .orderBy("user_id").collect().toSeq
+      val expAll = all.toDF().groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("t"), count(lit(1)).as("n_events"))
+        .orderBy("user_id").collect().toSeq
+      assert(afterB2 == expAll)
+      // history holds one frame per step for an entity seen in both halves
+      val both = first.map(_.user_id).toSet.intersect(second.map(_.user_id).toSet)
+      assert(both.nonEmpty)
+      val hist = world.getHistory(Seq(EcsStreamIngest.meta)).values.head
+        .filter(col("entity_id") === both.head)
+        .select(col("step")).as[Long].collect().sorted.toSeq
+      assert(hist == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream_dedup: streaming keeps first arrival per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
