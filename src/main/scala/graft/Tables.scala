@@ -8,12 +8,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Sessions that read `events` need TIMESTAMP(NANOS) surfaced as raw
+    * longs; prefer setting this at session construction (all graft
+    * mains and specs do) — `load` only falls back to setting it for
+    * externally-built sessions, and only when unset.
+    */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as raw nanos and convert (exact: the
       // generator writes microsecond-precision values).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.get(NanosAsLongKey, "false") != "true")
+        spark.conf.set(NanosAsLongKey, "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

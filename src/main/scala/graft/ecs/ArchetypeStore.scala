@@ -46,6 +46,11 @@ final class ArchetypeStore(
   private val entitySig = mutable.HashMap.empty[Long, String]
   private val entityCounter = new AtomicLong(0L)
   private val commitCounter = new AtomicLong(0L)
+  private val checkpointed = mutable.HashMap.empty[String, DataFrame]
+  // durable-persistence watermarks: highest _v already on disk and the
+  // next commit directory index, per archetype
+  private val durableMaxV = mutable.HashMap.empty[String, Long]
+  private val nextCommit = mutable.HashMap.empty[String, Long]
 
   def signatures: Map[String, Seq[ComponentMeta]] = sigByHash.toMap
 
@@ -114,12 +119,19 @@ final class ArchetypeStore(
     }
   }
 
-  /** Batch soft-delete on an archetype. */
+  /** Batch soft-delete on an archetype: APPENDS tombstone rows
+    * (matching rows re-stamped `is_active = false` under a fresh
+    * version) rather than rewriting history in place — latest-wins
+    * resolves them identically, and the append-only contract is what
+    * lets `commitDelta` persist despawns incrementally.
+    */
   def despawnWhere(hash: String, cond: org.apache.spark.sql.Column): Unit = {
     flush()
     val scoped = cond && col("simulation") === simulation && col("run") === run
-    tables(hash) = tables(hash).withColumn(
-      "is_active", when(scoped, lit(false)).otherwise(col("is_active")))
+    val tombstones = ArchetypeStore.latestWinsKeepVersion(tables(hash).filter(scoped))
+      .withColumn("is_active", lit(false))
+      .withColumn(VersionCol, lit(commitCounter.incrementAndGet()))
+    tables(hash) = tables(hash).unionByName(tombstones)
   }
 
   // -------------------------------------------------------------------
@@ -184,11 +196,18 @@ final class ArchetypeStore(
 
   /** Compact: materialize resolved state, cut lineage (the analogue of
     * LanceDB `table.optimize()`). Call every few steps in a long loop.
+    * The previous compaction's checkpoint blocks are released once the
+    * new one materializes, so long simulations hold at most one
+    * snapshot per archetype.
     */
   def optimize(): Unit = {
     flush()
     tables.keys.toSeq.foreach { h =>
+      val old = checkpointed.get(h)
       tables(h) = tables(h).localCheckpoint(true)
+      checkpointed(h) = tables(h)
+      old.foreach(o => org.apache.spark.sql.GraftBridge.checkpointRdd(o)
+        .foreach(_.unpersist(false)))
     }
   }
 
@@ -206,6 +225,99 @@ final class ArchetypeStore(
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/$hash.sig"), names)
     }
+  }
+
+  // -------------------------------------------------------------------
+  // Durable incremental persistence (r2): append-only parquet commits.
+  //
+  // Layout: `$dir/$hash/commit=<n>/simulation=…/run=…/*.parquet` — each
+  // commitDelta writes ONLY rows versioned after the previous commit as
+  // a new `commit=<n>` partition (parquet append mode; nothing is
+  // rewritten). compact() folds every live commit into one base commit
+  // and advances the `_base` marker file, so readers scan
+  // `commit >= base` — the simplified Delta-style log that makes a
+  // 100 TB store persist O(delta) per commit instead of O(table).
+  // Old commit directories below the base are dead and can be vacuumed
+  // out-of-band.
+  // -------------------------------------------------------------------
+
+  private def baseMarkerPath(dir: String, hash: String) =
+    java.nio.file.Paths.get(s"$dir/$hash/_base")
+
+  private def readBase(dir: String, hash: String): Long = {
+    val p = baseMarkerPath(dir, hash)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else 0L
+  }
+
+  /** Durably append rows not yet committed; O(delta), no rewrite. */
+  def commitDelta(dir: String): Unit = {
+    flush()
+    tables.foreach { case (hash, df) =>
+      val lastV = durableMaxV.getOrElse(hash, -1L)
+      val highV = commitCounter.get()
+      val n = nextCommit.getOrElse(hash, readBase(dir, hash))
+      df.filter(col(VersionCol) > lastV)
+        .withColumn("commit", lit(n))
+        .repartition(col("simulation"), col("run"))
+        .sortWithinPartitions(col("step"), col("entity_id"))
+        .write.mode("append")
+        .partitionBy("commit", "simulation", "run")
+        .parquet(s"$dir/$hash")
+      val names = sigByHash(hash).map(_.name).mkString(",")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/$hash.sig"), names)
+      durableMaxV(hash) = highV
+      nextCommit(hash) = n + 1
+    }
+  }
+
+  /** Fold all live commits into one base commit (latest-wins resolved,
+    * versions preserved) and advance the `_base` marker. The analogue
+    * of log-structured compaction; run periodically, not per commit.
+    */
+  def compactDurable(dir: String): Unit = {
+    sigByHash.keys.foreach { hash =>
+      val path = s"$dir/$hash"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val base = readBase(dir, hash)
+        val live = spark.read.parquet(path).filter(col("commit") >= base)
+        val n = nextCommit.getOrElse(hash, base + 1)
+        latestWinsKeepVersion(live.drop("commit"))
+          .withColumn("commit", lit(n))
+          .repartition(col("simulation"), col("run"))
+          .sortWithinPartitions(col("step"), col("entity_id"))
+          .write.mode("append")
+          .partitionBy("commit", "simulation", "run")
+          .parquet(path)
+        java.nio.file.Files.writeString(baseMarkerPath(dir, hash), n.toString)
+        nextCommit(hash) = n + 1
+      }
+    }
+  }
+
+  /** Attach a durable store written by commitDelta/compactDurable: the
+    * in-memory table reads live commits lazily; counters resume past
+    * the durable high-water marks.
+    */
+  def attachDurable(metas: Seq[ComponentMeta], dir: String): String = {
+    val hash = ensureTable(metas)
+    val base = readBase(dir, hash)
+    val schema = withVersion(Archetype.schemaOf(Archetype.signature(metas)))
+    val all = spark.read.parquet(s"$dir/$hash")
+    val live = all.filter(col("commit") >= base)
+    tables(hash) = live.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val marks = all.agg(max(col("commit").cast("long")),
+      max(col(VersionCol)), max(col("entity_id"))).head()
+    val maxCommit = if (marks.isNullAt(0)) base else marks.getLong(0)
+    val maxV = if (marks.isNullAt(1)) 0L else marks.getLong(1)
+    val maxId = if (marks.isNullAt(2)) 0L else marks.getLong(2)
+    nextCommit(hash) = maxCommit + 1
+    durableMaxV(hash) = maxV
+    commitCounter.updateAndGet(v => math.max(v, maxV))
+    entityCounter.updateAndGet(v => math.max(v, maxId))
+    hash
   }
 
   /** Re-attach a persisted archetype table written by persist(). */
@@ -248,10 +360,16 @@ object ArchetypeStore {
         VersionCol, org.apache.spark.sql.types.LongType, nullable = false))
 
   /** Latest committed version per (simulation, run, entity_id, step). */
-  def latestWins(df: DataFrame): DataFrame = {
+  def latestWins(df: DataFrame): DataFrame =
+    latestWinsKeepVersion(df).drop(VersionCol)
+
+  /** Latest-wins resolution that keeps the winning row's version —
+    * compaction and tombstoning need `_v` to stay monotonic.
+    */
+  def latestWinsKeepVersion(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(MergeKeys.map(col): _*).orderBy(col(VersionCol).desc)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", VersionCol)
+      .drop("_rn")
   }
 }

@@ -94,6 +94,12 @@ final class World private (
   def spawn(components: Component*): Long =
     store.addEntity(components, currentStep)
 
+  /** Spawn at an explicit step (reference: world.py:39-44 allows
+    * `step=` to backfill or pre-stage entities).
+    */
+  def spawnAt(step: Long, components: Component*): Long =
+    store.addEntity(components, step)
+
   def spawnBatch(metas: Seq[ComponentMeta], df: DataFrame): Unit =
     store.spawnBatch(metas, df, currentStep)
 

@@ -17,4 +17,14 @@ object GraftBridge {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** The materialized RDD behind a (local)checkpointed DataFrame, for
+    * explicit block release — `Dataset.unpersist` doesn't reach
+    * checkpoint blocks (they aren't in the CacheManager).
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    analyzedPlan(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }
