@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SketchAggregates
+
+/** Sketch-aggregate suite (SURVEY §2.I) — approximate analytics whose
+  * shuffle cost is one fixed-size buffer per group instead of the raw
+  * stream. The oracle can't replay a sketch, so each query outputs the
+  * EXACT value (which DuckDB reproduces) next to a boolean asserting
+  * the sketch landed inside its published error bound — the row
+  * hash-matches only if the sketch is actually accurate.
+  */
+object SketchQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // I1 — HLL distinct users per event type: exact countDistinct beside
+  // the TypedImperativeAggregate HLL; p=12 → 4096 registers, standard
+  // error 1.04/√4096 ≈ 1.6%, so 5% is a ≥3σ bound.
+  private def sketchHllDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        SketchAggregates.hll(col("user_id"), precision = 12).as("hll_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("hll_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("hll_within_5pct"))
+      .orderBy(col("event_type"))
+
+  private val sketchHllDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      | true AS hll_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // I2 — Count-Min frequency estimates for the event-type domain: CMS
+  // never undercounts, and overshoot is bounded by ε·N with
+  // ε = e/width ≈ 0.0013 (width 2048) at failure probability e^-depth.
+  private def sketchCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val aggs = EventTypes.flatMap { t =>
+      Seq(sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+        SketchAggregates.cmsEstimate(col("event_type"), lit(t)).as(s"est_$t"))
+    }
+    val totals = ev.agg(aggs.head, aggs.tail :+ count(lit(1)).as("n_all"): _*)
+    val rows = EventTypes.map { t =>
+      struct(lit(t).as("event_type"), col(s"n_$t").as("n"),
+        (col(s"est_$t") >= col(s"n_$t") &&
+          col(s"est_$t") <= col(s"n_$t") + col("n_all") * 0.0014).as("cms_ok"))
+    }
+    totals.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.event_type"), col("r.n"), col("r.cms_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sketchCmsFreqSql =
+    """SELECT event_type, count(*) AS n, true AS cms_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_distinct" -> (sketchHllDistinct _),
+    "sketch_cms_freq" -> (sketchCmsFreq _))
+
+  val oracles: Map[String, String] = Map(
+    "sketch_hll_distinct" -> sketchHllDistinctSql,
+    "sketch_cms_freq" -> sketchCmsFreqSql)
+}

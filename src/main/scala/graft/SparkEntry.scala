@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EcsQueries.queries ++ RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ StreamQueries.queries ++ SourceQueries.queries
+      MultimodalQueries.queries ++ StreamQueries.queries ++
+      SourceQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -21,5 +22,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EcsQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MultimodalQueries.oracles ++ StreamQueries.oracles ++ SourceQueries.oracles
+      MultimodalQueries.oracles ++ StreamQueries.oracles ++
+      SourceQueries.oracles ++ SketchQueries.oracles
 }

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.types._
+
+/** Sketch aggregates for 100 TB-scale approximate analytics, built as
+  * native `TypedImperativeAggregate`s (partial sketches merge on the
+  * map side; the shuffle carries one fixed-size buffer per group
+  * instead of the raw values — the whole point at scale).
+  *
+  * Both follow the published constructions only:
+  *  - HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with the
+  *    standard linear-counting small-range correction.
+  *  - Count-Min Sketch (Cormode, Muthukrishnan 2005), point query =
+  *    min over depth rows.
+  * Hashing is Spark's own XxHash64 of the child value with per-use
+  * seeds.
+  */
+object SketchAggregates {
+
+  import org.apache.spark.sql.GraftBridge
+
+  /** `approx_count_distinct`-style HLL with 2^p registers. */
+  def hll(col: Column, precision: Int = 12): Column =
+    GraftBridge.column(
+      HllAggregate(GraftBridge.expression(col), precision).toAggregateExpression())
+
+  /** Count-Min point estimate of `col = value` occurrences. */
+  def cmsEstimate(col: Column, value: Column, depth: Int = 5, width: Int = 2048): Column =
+    GraftBridge.column(
+      CmsAggregate(GraftBridge.expression(col), GraftBridge.expression(value),
+        depth, width).toAggregateExpression())
+}
+
+/** HyperLogLog distinct-count sketch over any hashable column.
+  * Buffer = 2^precision byte registers; estimate = bias-corrected
+  * harmonic mean with linear counting below 2.5·m.
+  */
+case class HllAggregate(
+    child: Expression,
+    precision: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(precision >= 4 && precision <= 16, "precision must be in [4, 16]")
+  private val m = 1 << precision
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v, child.dataType, 42L)
+      val idx = (h >>> (64 - precision)).toInt
+      val w = h << precision
+      // rank = position of the leftmost 1-bit in the suffix (1-based);
+      // all-zero suffix gets the max rank
+      val rank = (if (w == 0L) 64 - precision else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rank > buf(idx)) buf(idx) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += math.pow(2.0, -buf(i).toDouble)
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllAggregate =
+    copy(child = newChildren.head)
+  override def prettyName: String = "graft_hll"
+}
+
+/** Count-Min frequency sketch: `depth × width` counters; the aggregate
+  * evaluates the point estimate for `queryValue` (min over rows).
+  * The sketch itself (the buffer) is what merges across partitions —
+  * one estimate per group costs depth·width longs on the wire
+  * regardless of input cardinality.
+  */
+case class CmsAggregate(
+    child: Expression,
+    queryValue: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16 && width >= 16,
+    "depth in [1,16], width >= 16")
+  // queryValue must be a constant (evaluated against the empty row at
+  // sketch-eval time); checked lazily — at construction the Column may
+  // still be an unresolved literal node.
+
+  override def children: Seq[Expression] = Seq(child, queryValue)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  private def bucket(v: Any, row: Int): Int = {
+    val h = XxHash64Function.hash(v, child.dataType, 1000003L * (row + 1))
+    ((h % width + width) % width).toInt
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      var r = 0
+      while (r < depth) { buf(r * width + bucket(v, r)) += 1L; r += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val q = queryValue.eval(InternalRow.empty)
+    if (q == null) 0L
+    else {
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = buf(r * width + bucket(q, r))
+        if (c < est) est = c
+        r += 1
+      }
+      est
+    }
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsAggregate =
+    copy(child = newChildren.head, queryValue = newChildren(1))
+  override def prettyName: String = "graft_cms"
+}
