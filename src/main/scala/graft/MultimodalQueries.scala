@@ -90,11 +90,131 @@ object MultimodalQueries {
       |WHERE i % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------------------
+  // F3/F4 — REAL decode: each doc's payload is synthesized as a valid
+  // WAV / BMP whose content is a closed-form function of doc_id, then
+  // run through graft.operators.MediaCodec's genuine byte-level
+  // decoders (RIFF chunk walk, PCM extraction; BMP bottom-up rows +
+  // 4-byte padding; nearest-neighbor resize). The oracle recomputes
+  // the decoded statistics from the same closed forms — so the row
+  // only hash-matches if header parsing, sample extraction, padding
+  // arithmetic and the resize kernel are all correct. All stats are
+  // exact-integer sums divided once, so doubles agree bit-for-bit.
+  // ------------------------------------------------------------------
+
+  private def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (100 + id % 50).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 201) - 100).toInt)
+          val wav = MediaCodec.encodeWavPcm16(rate, samples)
+          val d = MediaCodec.decodeWav(wav) // the real parser path
+          val sum = d.samples.foldLeft(0L)(_ + _)
+          val sumSq = d.samples.foldLeft(0L)((a, v) => a + v.toLong * v)
+          val nS = d.samples.length
+          MmAudioRow(id, d.sampleRate.toLong, nS.toLong,
+            sum.toDouble / nS, math.sqrt(sumSq.toDouble / nS))
+        }
+      }
+      .toDF()
+      // round in Column space: Spark round == DuckDB round (proven
+      // across the suite); JVM math.rint is half-even and is not
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        (round(col("mean_amp"), 4) + lit(0.0)).as("mean_amp"),
+        round(col("rms"), 4).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioDecodeSql =
+    """WITH s AS (
+      | SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sample_rate, i,
+      |   ((doc_id * 31 + i * 7) % 201) - 100 AS v
+      | FROM documents, LATERAL (
+      |   SELECT unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i) t
+      |)
+      |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      | CAST(count(*) AS BIGINT) AS n_samples,
+      | round(CAST(sum(v) AS DOUBLE) / count(*), 4) + 0 AS mean_amp,
+      | round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 4) AS rms
+      |FROM s GROUP BY doc_id, sample_rate ORDER BY doc_id""".stripMargin
+
+  private def mmImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            (((id + x * 7 + y * 13) % 256).toInt,
+              ((id * 3 + x * 5 + y * 11) % 256).toInt,
+              ((id * 5 + x * 3 + y * 17) % 256).toInt)
+          }
+          val bmp = MediaCodec.encodeBmp24(w, h, px)
+          val d = MediaCodec.decodeBmp(bmp) // real parse: padding + bottom-up
+          val sumR = d.pixels.foldLeft(0L)((a, p) => a + p._1)
+          val thumb = MediaCodec.resizeNearest(d, 4, 4)
+          val thumbSum = thumb.foldLeft(0L)((a, p) => a + p._1 + p._2 + p._3)
+          MmImageRow(id, d.width.toLong, d.height.toLong,
+            sumR.toDouble / (w * h), thumbSum.toDouble / 48)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("thumb_gray"), 4).as("thumb_gray"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageDecodeSql =
+    """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      |             FROM documents),
+      |px AS (
+      | SELECT doc_id, w, h, x, y, (doc_id + x * 7 + y * 13) % 256 AS r,
+      |   (doc_id * 3 + x * 5 + y * 11) % 256 AS g,
+      |   (doc_id * 5 + x * 3 + y * 17) % 256 AS b
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+      |meanr AS (
+      | SELECT doc_id, round(CAST(sum(r) AS DOUBLE) / (max(w) * max(h)), 4) AS mean_r
+      | FROM px GROUP BY doc_id),
+      |thumb AS (
+      | SELECT d.doc_id,
+      |   round(CAST(sum(p.r + p.g + p.b) AS DOUBLE) / 48, 4) AS thumb_gray
+      | FROM dims d,
+      |  LATERAL (SELECT unnest(generate_series(0, 3)) AS tx) txs,
+      |  LATERAL (SELECT unnest(generate_series(0, 3)) AS ty) tys
+      | JOIN px p ON p.doc_id = d.doc_id
+      |  AND p.x = tx * d.w // 4 AND p.y = ty * d.h // 4
+      | GROUP BY d.doc_id)
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+      | m.mean_r, t.thumb_gray
+      |FROM dims d JOIN meanr m ON m.doc_id = d.doc_id
+      |JOIN thumb t ON t.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_image_decode" -> (mmImageDecode _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_audio_decode" -> mmAudioDecodeSql,
+    "mm_image_decode" -> mmImageDecodeSql)
 }
+
+/** Output rows for the decode queries (top-level for Encoders). */
+case class MmAudioRow(doc_id: Long, sample_rate: Long, n_samples: Long,
+    mean_amp: Double, rms: Double)
+case class MmImageRow(doc_id: Long, width: Long, height: Long,
+    mean_r: Double, thumb_gray: Double)

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.MediaCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level behavior of the real WAV/BMP codecs — the properties the
+  * closed-form oracle relies on.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("WAV: PCM16 roundtrip preserves rate and samples exactly") {
+    val samples = Array(0, 1, -1, 32767, -32768, 100, -100)
+    val d = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(44100, samples))
+    assert(d.sampleRate == 44100 && d.channels == 1 && d.bitsPerSample == 16)
+    assert(d.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV: decoder walks past unknown chunks (incl. odd-length padding)") {
+    val base = MediaCodec.encodeWavPcm16(8000, Array(5, -5, 7))
+    // splice a 3-byte 'LIST' chunk (padded to 4) between WAVE and fmt
+    val bb = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 12)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0))
+    bb.put(base, 12, base.length - 12)
+    val spliced = bb.array()
+    // fix RIFF size
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val d = MediaCodec.decodeWav(spliced)
+    assert(d.samples.toSeq == Seq(5, -5, 7))
+  }
+
+  test("WAV: malformed input fails loudly") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav("JUNKJUNKJUNKJUNK".getBytes)
+    }
+  }
+
+  test("BMP: roundtrip across padded and unpadded widths") {
+    // width 8 -> rowSize 24 (no pad); width 9 -> 27 -> padded to 28
+    Seq(8, 9, 10, 11).foreach { w =>
+      val h = 3
+      val px = Array.tabulate(w * h)(i => (i % 256, (i * 2) % 256, (i * 3) % 256))
+      val d = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px))
+      assert(d.width == w && d.height == h)
+      assert(d.pixels.toSeq == px.toSeq, s"roundtrip mismatch at width $w")
+    }
+  }
+
+  test("BMP: row order is top-down after decode (bottom-up on disk)") {
+    // 1x2 image: top pixel red, bottom pixel blue
+    val px = Array((255, 0, 0), (0, 0, 255))
+    val bytes = MediaCodec.encodeBmp24(1, 2, px)
+    // on disk, the FIRST row after the 54-byte header must be the
+    // BOTTOM image row (blue), stored BGR
+    assert((bytes(54) & 0xff) == 255 && (bytes(56) & 0xff) == 0, "disk row 0 = blue")
+    val d = MediaCodec.decodeBmp(bytes)
+    assert(d.pixels.toSeq == px.toSeq)
+  }
+
+  test("nearest-neighbor resize picks the exact source pixels") {
+    val w = 8; val h = 4
+    val px = Array.tabulate(w * h)(i => (i, 0, 0))
+    val img = MediaCodec.BmpData(w, h, px)
+    val t = MediaCodec.resizeNearest(img, 4, 2)
+    // target (tx,ty) -> source (tx*8/4, ty*4/2) = (2tx, 2ty)
+    val expect = for (ty <- 0 until 2; tx <- 0 until 4)
+      yield ((2 * ty) * w + 2 * tx, 0, 0)
+    assert(t.toSeq == expect)
+  }
+}
