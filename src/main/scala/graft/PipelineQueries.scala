@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY §2.J) beyond dedup/
+  * similarity: the selection and hygiene steps a 100 TB corpus run
+  * needs around them.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // J1 — deterministic stratified sampling: documents are stratified
+  // into length bands and sampled at per-band rates via a modular hash
+  // of doc_id — the distributed, seed-stable equivalent of
+  // `df.stat.sampleBy` (which is RNG-per-partition and neither
+  // reproducible across engines nor replayable by the oracle). One
+  // scan, no shuffle until the output sort; rates are exact-fraction
+  // thresholds on the hash ring.
+  private def pipelineStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val ring = 9973L // prime ring size; hash = (doc_id * 7919 + 13) mod ring
+    val d = docs(s, dir)
+      .withColumn("band",
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 350, "medium")
+          .otherwise("long"))
+      .withColumn("h", (col("doc_id") * 7919L + 13L) % ring)
+    // short docs kept at 20%, medium 50%, long 100%
+    val kept = d.filter(
+      (col("band") === "short" && col("h") < ring / 5) ||
+        (col("band") === "medium" && col("h") < ring / 2) ||
+        col("band") === "long")
+    kept.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("band"))
+  }
+
+  private val pipelineStratifiedSampleSql =
+    """WITH d AS (
+      | SELECT doc_id,
+      |   CASE WHEN length(text) < 200 THEN 'short'
+      |        WHEN length(text) < 350 THEN 'medium' ELSE 'long' END AS band,
+      |   (doc_id * 7919 + 13) % 9973 AS h
+      | FROM documents)
+      |SELECT band, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM d
+      |WHERE (band = 'short' AND h < 9973 // 5)
+      |   OR (band = 'medium' AND h < 9973 // 2)
+      |   OR band = 'long'
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // J2 — benchmark-contamination check: character-8-gram overlap of
+  // every corpus document against a probe set (the "benchmark" — here
+  // the first 20 docs). Grams explode to rows; hyper-common grams
+  // (document frequency > 5% of the corpus) are stop-listed FIRST —
+  // that's what keeps the gram equi-join from exploding on "the "-like
+  // grams at scale AND what makes a hit mean real overlap rather than
+  // shared boilerplate. Probe side is tiny → broadcast.
+  private def pipelineContamination(s: SparkSession, dir: String): DataFrame = {
+    val gramRows = docs(s, dir).select(col("doc_id"), explode(expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> substring(text, i, 8)))""".stripMargin)).as("gram"))
+    val nDocs = docs(s, dir).select(count(lit(1)).as("n"))
+    // rare grams only: document frequency ≤ 5%
+    val rare = gramRows.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 20 <= col("n"))
+      .select(col("gram"))
+    val filtered = gramRows.join(rare, Seq("gram"))
+    val probe = filtered.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), col("gram"))
+    val corpus = filtered.filter(col("doc_id") >= 20)
+    corpus.join(broadcast(probe), Seq("gram"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared_8grams"))
+      .filter(col("shared_8grams") >= 3)
+      .orderBy(col("doc_id"), col("probe_id"))
+  }
+
+  private val pipelineContaminationSql =
+    """WITH g AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 7, 1)),
+      |   i -> substring(text, i, 8)))) AS gram
+      | FROM documents),
+      |rare AS (
+      | SELECT gram FROM g GROUP BY gram
+      | HAVING count(*) * 20 <= (SELECT count(*) FROM documents)),
+      |f AS (SELECT doc_id, gram FROM g JOIN rare USING (gram)),
+      |probe AS (SELECT doc_id AS probe_id, gram FROM f WHERE doc_id < 20),
+      |corpus AS (SELECT doc_id, gram FROM f WHERE doc_id >= 20)
+      |SELECT c.doc_id, p.probe_id, count(*) AS shared_8grams
+      |FROM corpus c JOIN probe p USING (gram)
+      |GROUP BY c.doc_id, p.probe_id
+      |HAVING count(*) >= 3
+      |ORDER BY doc_id, probe_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
+    "pipeline_contamination" -> (pipelineContamination _))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
+    "pipeline_contamination" -> pipelineContaminationSql)
+}

@@ -14,7 +14,7 @@ object SparkEntry {
     EcsQueries.queries ++ RelationalQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ StreamQueries.queries ++
-      SourceQueries.queries ++ SketchQueries.queries
+      SourceQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -23,5 +23,5 @@ object SparkEntry {
     EcsQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MultimodalQueries.oracles ++ StreamQueries.oracles ++
-      SourceQueries.oracles ++ SketchQueries.oracles
+      SourceQueries.oracles ++ SketchQueries.oracles ++ PipelineQueries.oracles
 }
