@@ -112,20 +112,21 @@ object TextQueries {
 
   // E4 — document fingerprint: full-text modular polynomial hash +
   // winnowing-style min over rolling 8-gram polynomial hashes (modular
-  // arithmetic keeps it in BIGINT range on both engines).
-  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+  // arithmetic keeps it in BIGINT range on both engines). Native
+  // codegen'd expressions (graft.functions.TextHashExpressions) — the
+  // nested-HOF formulation ran an interpreted fold per window and was
+  // the slowest query in the r2 bench (48 s → sub-second at sf0.1).
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    def nat(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftBridge.column(e)
     docs(s, dir).select(col("doc_id"),
-      expr("""aggregate(
-        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-        |  CAST(7 AS BIGINT),
-        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("full_fp"),
-      expr("""array_min(transform(
-        |  sequence(1, greatest(length(text) - 7, 1)),
-        |  i -> aggregate(
-        |    transform(sequence(i, i + 7), k -> ascii(substring(text, k, 1))),
-        |    CAST(7 AS BIGINT),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007)))""".stripMargin).as("min_gram_fp"))
+      nat(graft.functions.PolyHashExpr(GraftBridge.expression(col("text"))))
+        .as("full_fp"),
+      nat(graft.functions.MinGramHashExpr(GraftBridge.expression(col("text")), 8))
+        .as("min_gram_fp"))
       .orderBy(col("doc_id"))
+  }
 
   private val textFingerprintSql =
     """SELECT doc_id,
