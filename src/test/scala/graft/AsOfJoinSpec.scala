@@ -115,6 +115,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q23 shuffles orders exactly once (agg reuses the join's partitioning)") {
+    val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
+    df.collect()
+    // AQE's toString appends the Initial Plan — count the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the orders side repartitions by o_custkey BEFORE the groupBy, so
+    // hash(o_custkey) satisfies both the agg's clustering and the
+    // as-of distribution — a second orders exchange is a regression
+    val ordersExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(o_custkey")).size
+    assert(ordersExchanges == 1,
+      s"expected exactly one orders-side exchange, got $ordersExchanges:\n${plan.take(2500)}")
+  }
+
   test("physical plan uses AsOfJoinExec with shuffles on the key") {
     val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
