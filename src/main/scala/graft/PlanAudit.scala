@@ -11,7 +11,9 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q1_agg", "q2_filter_project", "q3_join_agg", "q5_multi_join",
-      "q18_asof_join", "dedup_minhash_lsh", "knn_lsh", "knn_bruteforce")
+      "q18_asof_join", "q23_asof_native", "q26_ntile",
+      "dedup_minhash_lsh", "dedup_embedding", "knn_lsh", "knn_bruteforce",
+      "sketch_hll_distinct", "text_fingerprint", "pipeline_contamination")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

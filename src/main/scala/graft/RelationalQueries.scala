@@ -566,7 +566,32 @@ object RelationalQueries {
       |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
       |ORDER BY pri, status""".stripMargin
 
+  // B30 — set operations: INTERSECT / EXCEPT (both deduplicating, per
+  // SQL semantics). Customers with orders in BOTH bands minus a
+  // high-value exclusion set; Catalyst plans these as left-semi /
+  // left-anti joins over distinct aggregates — no row-by-row set
+  // machinery.
+  private def q30SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val low = o.filter(col("o_totalprice") < 50000).select(col("o_custkey"))
+    val high = o.filter(col("o_totalprice") >= 50000).select(col("o_custkey"))
+    val vip = o.filter(col("o_totalprice") >= 400000).select(col("o_custkey"))
+    low.intersect(high).except(vip)
+      .select(col("o_custkey").as("custkey"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q30Sql =
+    """SELECT o_custkey AS custkey FROM (
+      | SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_totalprice >= 50000
+      | EXCEPT
+      | SELECT o_custkey FROM orders WHERE o_totalprice >= 400000
+      |) ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_setops" -> (q30SetOps _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2Filter _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -598,6 +623,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q30_setops" -> q30Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg" -> q3Sql,
