@@ -368,6 +368,35 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  // B31 — FORWARD as-of through the native operator: each event
+  // attaches the user's NEXT order at-or-after the event time
+  // (DuckDB replays it as ASOF with the inequality flipped).
+  private def q31AsOfForward(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.install(s)
+    val ord = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"),
+        col("o_orderkey"))
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    graft.plans.AsOfJoin.join(ev, ord, "user_id", "ts", "o_custkey", "o_time",
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("next_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q31Sql =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+      |FROM events e ASOF LEFT JOIN ord o
+      | ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   // B19 — range join: price-band histogram. The band table is tiny →
   // broadcast nested-loop on the range predicate is the right plan.
   private def q19Range(s: SparkSession, dir: String): DataFrame = {
@@ -592,6 +621,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_setops" -> (q30SetOps _),
+    "q31_asof_forward" -> (q31AsOfForward _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2Filter _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -624,6 +654,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q30_setops" -> q30Sql,
+    "q31_asof_forward" -> q31Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg" -> q3Sql,

@@ -132,6 +132,42 @@ object StreamQueries {
       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |FROM e ORDER BY user_id, event_id""".stripMargin
 
+  /** Streaming transform: stream-stream interval join — each click
+    * pairs with the same user's purchases within the following 12
+    * hours. Both sides watermarked so join state is bounded (Spark
+    * drops buffered rows once the watermark passes the interval).
+    */
+  def clickPurchaseJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  // G5 batch equivalent — identical interval-join logic on the static
+  // events table.
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    clickPurchaseJoinStream(clicks, purchases)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val streamJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      | ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // G4 — ECS streaming ingestion (batch equivalent): the events table
   // folds into a World in two deterministic "micro-batches" (split by
   // event_id parity) through the same EcsStreamIngest.ingestBatch the
@@ -162,11 +198,13 @@ object StreamQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
     "stream_session" -> (streamSession _),
-    "stream_ecs_ingest" -> (streamEcsIngest _))
+    "stream_ecs_ingest" -> (streamEcsIngest _),
+    "stream_join" -> (streamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_session" -> streamSessionSql,
-    "stream_ecs_ingest" -> streamEcsIngestSql)
+    "stream_ecs_ingest" -> streamEcsIngestSql,
+    "stream_join" -> streamJoinSql)
 }

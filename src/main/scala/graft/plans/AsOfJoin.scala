@@ -44,7 +44,8 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -107,8 +108,8 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -119,7 +120,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -205,14 +207,22 @@ case class AsOfJoinExec(
             val t = getTime(kt, 1)
             var advancing = true
             while (advancing && headReady()) {
-              if (hk < k || (hk == k && ht <= t)) {
-                lastMatch = headRow.copy() // one copy per consumed right row
-                matchKey = hk
-                haveMatch = true
+              // backward consumes rows at-or-before t (remembering the
+              // newest); forward discards rows strictly before t and
+              // matches the blocked head itself
+              if (hk < k || (hk == k && (if (forward) ht < t else ht <= t))) {
+                if (!forward) {
+                  lastMatch = headRow.copy() // one copy per consumed right row
+                  matchKey = hk
+                  haveMatch = true
+                }
                 headRow = null
               } else advancing = false
             }
-            val rMatch = if (haveMatch && matchKey == k) lastMatch else nullRight
+            val rMatch =
+              if (forward) { if (headRow != null && hk == k) headRow else nullRight }
+              else if (haveMatch && matchKey == k) lastMatch
+              else nullRight
             proj(joined(lRow, rMatch))
           }
         }
@@ -270,15 +280,20 @@ case class AsOfJoinExec(
             var advancing = true
             while (advancing && headReady()) {
               val kc = cmpKey(hk, k)
-              if (kc < 0 || (kc == 0 && cmpTime(ht, t) <= 0)) {
-                lastMatch = headRow.copy()
-                matchKey = hk
-                haveMatch = true
+              val tc = cmpTime(ht, t)
+              if (kc < 0 || (kc == 0 && (if (forward) tc < 0 else tc <= 0))) {
+                if (!forward) {
+                  lastMatch = headRow.copy()
+                  matchKey = hk
+                  haveMatch = true
+                }
                 headRow = null
               } else advancing = false
             }
             val rMatch =
-              if (haveMatch && cmpKey(matchKey, k) == 0) lastMatch else nullRight
+              if (forward) { if (headRow != null && cmpKey(hk, k) == 0) headRow else nullRight }
+              else if (haveMatch && cmpKey(matchKey, k) == 0) lastMatch
+              else nullRight
             proj(joined(lRow, rMatch))
           }
         }
@@ -310,7 +325,9 @@ object AsOfJoin {
   }
 
   /** As-of join `left` to `right`: for each left row, the latest right
-    * row with equal key and right time ≤ left time (left outer).
+    * row with equal key and right time ≤ left time (left outer) —
+    * or, with `forward = true`, the EARLIEST right row with time ≥
+    * left time (the DuckDB `ASOF ... ON l.t <= r.t` direction).
     *
     * Key types must match across sides and be orderable; same for time
     * types. Long-backed key/time (long/int/short/byte/date/timestamp/
@@ -321,7 +338,8 @@ object AsOfJoin {
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lk = GraftBridge.expression(left(leftKey))
@@ -339,7 +357,7 @@ object AsOfJoin {
     check("time", lt, rt)
     val plan = AsOfJoinPlan(
       GraftBridge.analyzedPlan(left), GraftBridge.analyzedPlan(right),
-      lk, lt, rk, rt)
+      lk, lt, rk, rt, forward)
     GraftBridge.ofRows(spark, plan)
   }
 }

@@ -115,6 +115,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("forward direction picks the earliest right row at-or-after each left time") {
+    val quotes = Seq((1L, 10L, "q10"), (1L, 30L, "q30"), (2L, 5L, "q5"))
+      .toDF("key", "t", "quote")
+    val trades = Seq((1L, 10L, "at"), (1L, 20L, "between"), (1L, 35L, "after"),
+      (2L, 1L, "before"), (3L, 1L, "nokey"))
+      .toDF("key", "t", "trade")
+    val out = AsOfJoin.join(trades, quotes, "key", "t", "key", "t", forward = true)
+      .select(col("trade"), col("quote")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("at" -> "q10", "between" -> "q30", "after" -> null,
+      "before" -> "q5", "nokey" -> null))
+  }
+
   test("q23 shuffles orders exactly once (agg reuses the join's partitioning)") {
     val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
     df.collect()

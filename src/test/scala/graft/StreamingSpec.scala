@@ -84,6 +84,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_join: stream-stream interval join matches batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickIn = MemoryStream[Ev]
+    val purchaseIn = MemoryStream[Ev]
+    val all = sampleEvents(400)
+    val clicks = all.filter(_.event_type == "click")
+    val purchases = all.filter(_.event_type == "purchase")
+    clickIn.addData(clicks)
+    purchaseIn.addData(purchases)
+
+    val q = StreamQueries.clickPurchaseJoinStream(
+      clickIn.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      purchaseIn.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("join_out")
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      val expected = clicks.toDF().as("c").join(purchases.toDF().as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 12 HOURS"))
+        .select(col("c.user_id"), col("c.event_id").as("click_id"),
+          col("p.event_id").as("purchase_id"))
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream_ecs_ingest: world state continues across micro-batches") {
     import graft.ecs.{EcsStreamIngest, World}
     implicit val sqlCtx = spark.sqlContext
