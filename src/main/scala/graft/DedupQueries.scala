@@ -200,21 +200,27 @@ object DedupQueries {
   // and shuffled NARROW — exploding the ×10 offsets on a side that
   // carries gram arrays would copy and shuffle every array ten times
   // (measured 2.7× slower at sf0.1). Arrays attach by two id
-  // equi-joins afterwards.
+  // equi-joins afterwards. Grams are injective base-131 long codes
+  // (graft.functions.GramCodeArrayExpr) and the per-pair step is a
+  // codegen'd sorted merge — no per-pair string hash sets; Jaccard
+  // values are exactly the string-gram values.
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir).select(col("doc_id"), expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(length(text) - 2, 1)),
-        |  i -> substring(text, i, 3)))""".stripMargin).as("g"))
+    import org.apache.spark.sql.GraftBridge
+    val gramCodes = GraftBridge.column(
+      graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))
+    val grams = docs(s, dir).select(col("doc_id"), gramCodes.as("g"))
     val pairs = docs(s, dir).select(col("doc_id").as("id_a"),
         explode(expr("sequence(1, 10)")).as("off"))
       .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
+    val inter = GraftBridge.column(graft.functions.SortedIntersectCountExpr(
+      GraftBridge.expression(col("ga")), GraftBridge.expression(col("gb"))))
     pairs
       .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .withColumn("inter", inter)
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
+        round(col("inter").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("inter")), 4).as("jaccard"))
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
   }
 
@@ -222,7 +228,9 @@ object DedupQueries {
     """WITH g AS (
       | SELECT doc_id, list_distinct(list_transform(
       |   generate_series(1, greatest(length(text) - 2, 1)),
-      |   i -> substring(text, i, 3))) AS gr
+      |   i -> ascii(substring(text, i, 1)) * 17161
+      |      + ascii(substring(text, i + 1, 1)) * 131
+      |      + ascii(substring(text, i + 2, 1)))) AS gr
       | FROM documents
       |)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -339,7 +347,9 @@ object DedupQueries {
     """WITH RECURSIVE g AS (
       | SELECT doc_id, list_distinct(list_transform(
       |   generate_series(1, greatest(length(text) - 2, 1)),
-      |   i -> substring(text, i, 3))) AS gr
+      |   i -> ascii(substring(text, i, 1)) * 17161
+      |      + ascii(substring(text, i + 1, 1)) * 131
+      |      + ascii(substring(text, i + 2, 1)))) AS gr
       | FROM documents
       |), p AS (
       | SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram codes for pairwise set similarity.
+  *
+  * A `win`-gram is encoded positionally in base 131: for 3-grams,
+  * `code = c0·131² + c1·131 + c2` with positions past the end
+  * contributing 0. Base 131 exceeds every codepoint in the corpus, so
+  * the encoding is INJECTIVE — gram-code set equality is gram set
+  * equality, and Jaccard over codes is exactly Jaccard over grams.
+  * DuckDB replays the same arithmetic with `ascii(substring(...))`
+  * products, so the oracle stays value-identical.
+  *
+  * The pairwise step then runs [[SortedIntersectCountExpr]] — a
+  * primitive merge over two sorted long arrays — instead of
+  * `array_intersect`/`array_union`, which build a hash set of strings
+  * per evaluated pair.
+  */
+case class GramCodeArrayExpr(child: Expression, win: Int) extends UnaryExpression {
+
+  require(win >= 1 && win <= 8, "window must be in [1, 8] (codes fit a long)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Distinct sorted window codes of `s` (shared by eval and tests). */
+  def codes(s: String): Array[Long] = {
+    val n = s.length
+    val windows = math.max(n - win + 1, 1)
+    val out = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      var h = 0L
+      var k = 0
+      while (k < win) {
+        h = h * 131L + (if (i + k < n) s.charAt(i + k).toLong else 0L)
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedup in place
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(codes(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("gramExpr", this, classOf[GramCodeArrayExpr].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $expr.codes($c.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramCodeArrayExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_codes"
+}
+
+/** Count of common elements between two SORTED distinct long arrays —
+  * one linear merge, no per-row hash set.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      s"""
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i);
+         |  long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_intersect_count"
+}
