@@ -168,6 +168,42 @@ object StreamQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Streaming transform: stream-stream LEFT OUTER interval join —
+    * like [[clickPurchaseJoinStream]] but clicks with no purchase in
+    * the window emit with a null purchase once the watermark passes
+    * the interval end (the state-timeout semantics outer streaming
+    * joins need).
+    */
+  def clickPurchaseOuterStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"), "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  // G6 batch equivalent — left interval join on the static table.
+  private def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    clickPurchaseOuterStream(clicks, purchases)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val streamJoinOuterSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      | ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // G4 — ECS streaming ingestion (batch equivalent): the events table
   // folds into a World in two deterministic "micro-batches" (split by
   // event_id parity) through the same EcsStreamIngest.ingestBatch the
@@ -199,12 +235,14 @@ object StreamQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_session" -> (streamSession _),
     "stream_ecs_ingest" -> (streamEcsIngest _),
-    "stream_join" -> (streamJoin _))
+    "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_session" -> streamSessionSql,
     "stream_ecs_ingest" -> streamEcsIngestSql,
-    "stream_join" -> streamJoinSql)
+    "stream_join" -> streamJoinSql,
+    "stream_join_outer" -> streamJoinOuterSql)
 }

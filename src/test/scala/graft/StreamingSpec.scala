@@ -115,6 +115,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_join_outer: unmatched clicks emit nulls after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickIn = MemoryStream[Ev]
+    val purchaseIn = MemoryStream[Ev]
+    val all = sampleEvents(400)
+    val clicks = all.filter(_.event_type == "click")
+    val purchases = all.filter(_.event_type == "purchase")
+    val maxTs = all.map(_.ts.getTime).max
+
+    val q = StreamQueries.clickPurchaseOuterStream(
+      clickIn.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      purchaseIn.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_outer_out").start()
+    try {
+      clickIn.addData(clicks)
+      purchaseIn.addData(purchases)
+      q.processAllAvailable()
+      // outer (null) results can only emit once the watermark clears
+      // click_ts + 12h: push both watermarks far past every event
+      val flush = Ev(999999L, new java.sql.Timestamp(maxTs + 3L * 24 * 3600 * 1000),
+        -1L, "flush", 0.0, "{}")
+      clickIn.addData(Seq(flush))
+      purchaseIn.addData(Seq(flush.copy(event_id = 999998L)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("join_outer_out")
+        .filter(col("user_id") =!= -1L) // drop the flush rows
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      val expected = clicks.toDF().as("c").join(purchases.toDF().as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 12 HOURS"), "left_outer")
+        .select(col("c.user_id"), col("c.event_id").as("click_id"),
+          col("p.event_id").as("purchase_id"))
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      assert(streamed == expected)
+      // the outer semantics actually exercised: some null purchases
+      assert(streamed.exists(_.isNullAt(2)))
+    } finally q.stop()
+  }
+
   test("stream_ecs_ingest: world state continues across micro-batches") {
     import graft.ecs.{EcsStreamIngest, World}
     implicit val sqlCtx = spark.sqlContext
