@@ -80,6 +80,72 @@ object SimilarityQueries {
       |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  // D5 — IVF (inverted-file) ANN: a 16-centroid coarse quantizer
+  // partitions the corpus into inverted lists; each query probes its
+  // 2 nearest centroids and ranks only those lists by exact cosine.
+  // Centroids are SEEDED (the vectors of vec_id < 16) rather than
+  // k-means-trained — training is orthogonal to the distributed
+  // shape (assignment = one broadcast join + per-vector argmin;
+  // search touches nprobe/K of the corpus), and seeding keeps every
+  // step replayable in the DuckDB oracle. At scale: K grows with
+  // corpus size, lists become bucketed tables, probe stays an
+  // equi-join on centroid id.
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).select(col("vec_id"), col("v"))
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // dist²(v, c) = v·v − 2 v·c + c·c, deterministic (cid) tie-break
+    def assign(df: DataFrame, idCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("dist2"), col("cid"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("dist2",
+          VectorOps.dot(col("v"), col("v")) -
+            lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
+            VectorOps.dot(col("cv"), col("cv")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .select(col(idCol), col("v"), col("cid"))
+    }
+    val lists = assign(all, "vec_id", 1)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+    val probes = assign(all.filter(col("vec_id") <= 10), "vec_id", 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnIvfSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |ad AS (SELECT e.vec_id, e.v, cent.cid,
+      |         list_dot_product(e.v, e.v)
+      |         - 2 * list_dot_product(e.v, cent.cv)
+      |         + list_dot_product(cent.cv, cent.cv) AS dist2
+      |       FROM e CROSS JOIN cent),
+      |ar AS (SELECT vec_id, v, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crn
+      |       FROM ad),
+      |lists AS (SELECT vec_id AS nid, v AS nv, cid FROM ar WHERE crn = 1),
+      |probes AS (SELECT vec_id AS qid, v AS qv, cid FROM ar
+      |           WHERE crn <= 2 AND vec_id <= 10),
+      |s AS (SELECT p.qid, l.nid,
+      |        list_dot_product(p.qv, l.nv) /
+      |        (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))) AS cos
+      |      FROM lists l JOIN probes p USING (cid) WHERE l.nid <> p.qid),
+      |r AS (SELECT qid, nid, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin
+
   // D3 — per-label vector norm statistics.
   private def vecNormStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -125,12 +191,14 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
+    "knn_ivf" -> (knnIvf _),
     "vec_norm_stats" -> (vecNormStats _),
     "vec_hof_stats" -> (vecHofStats _))
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_lsh" -> knnLshSql,
+    "knn_ivf" -> knnIvfSql,
     "vec_norm_stats" -> vecNormStatsSql,
     "vec_hof_stats" -> vecHofStatsSql)
 }
