@@ -64,7 +64,10 @@ object PipelineQueries {
         |  sequence(1, greatest(length(text) - 7, 1)),
         |  i -> substring(text, i, 8)))""".stripMargin)).as("gram"))
     val nDocs = docs(s, dir).select(count(lit(1)).as("n"))
-    // rare grams only: document frequency ≤ 5%
+    // rare grams only: document frequency ≤ 5%. (A count-window over
+    // the gram partition would avoid computing gramRows twice, but the
+    // sort-based WindowExec measured slower than hash-agg + join —
+    // 2.8 s vs 2.5 s at sf0.1 — so the two-scan shape stays.)
     val rare = gramRows.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))

@@ -40,9 +40,38 @@ object SourceQueries {
       | round(sum(l_extendedprice), 2) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // H2 — ORC round-trip: the other columnar format Spark ships
+  // natively. Writes orders to ORC sorted within partitions by the
+  // filter key (so ORC row-group min/max stats prune the predicate on
+  // read-back, the same stats story as parquet), reads it back with
+  // a pushed filter, and aggregates.
+  private def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("o_totalprice") >= 200000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val srcOrcRoundtripSql =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      | round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders WHERE o_totalprice >= 200000.0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_roundtrip" -> (srcRoundtrip _))
+    "src_roundtrip" -> (srcRoundtrip _),
+    "src_orc_roundtrip" -> (srcOrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
-    "src_roundtrip" -> srcRoundtripSql)
+    "src_roundtrip" -> srcRoundtripSql,
+    "src_orc_roundtrip" -> srcOrcRoundtripSql)
 }
