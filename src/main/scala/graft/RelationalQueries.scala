@@ -619,8 +619,34 @@ object RelationalQueries {
       | SELECT o_custkey FROM orders WHERE o_totalprice >= 400000
       |) ORDER BY custkey""".stripMargin
 
+  // B32 — MAP-typed columns: per-user map of event_type → total value
+  // (map_from_entries over a sorted entry list), queried back with
+  // size / element_at / map_keys. The oracle computes the equivalent
+  // scalars with conditional aggregation — the map is a Spark-side
+  // shape, the VALUES prove it was built and probed correctly.
+  private def q32MapOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(round(sum(col("value")), 2).as("tv"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("tv"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0.0)).as("click_total"),
+        array_join(map_keys(col("m")), ",").as("types"))
+      .orderBy(col("user_id"))
+
+  private val q32Sql =
+    """SELECT user_id,
+      | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      | coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0.0) AS click_total,
+      | array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_setops" -> (q30SetOps _),
+    "q32_map_ops" -> (q32MapOps _),
     "q31_asof_forward" -> (q31AsOfForward _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2Filter _),
@@ -654,6 +680,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q30_setops" -> q30Sql,
+    "q32_map_ops" -> q32Sql,
     "q31_asof_forward" -> q31Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
