@@ -1,6 +1,7 @@
 package graft.ecs
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -10,17 +11,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (reference: archetype/core/world.py:23-33 — the engine is built to
   * be *driven*; this is the driver).
   *
-  * Each micro-batch folds into the world as one simulation step:
-  * aggregate the batch per user, full-outer-merge with the current
-  * live state, commit at `currentStep + 1`. Entities spawned from the
-  * stream use `entity_id = user_id` — the external key IS the entity
-  * identity, the scalable idiom for bulk ingestion (a driver-side
-  * id counter would serialize 100 TB of spawns through one process).
+  * Each micro-batch folds into the world as one simulation step and
+  * appends rows ONLY for the entities the batch touched — per-batch
+  * write cost and table growth are O(batch), not O(total state).
+  * History therefore holds SPARSE frames: step k carries a row only
+  * for entities updated at step k, and the live view is an
+  * as-of-latest read (each entity's row at its highest step), not a
+  * query at a single step. This is the same merge-on-read contract the
+  * store already applies within a step (latest `_v` wins per
+  * (entity, step)) lifted to the step axis; `optimize()` compaction
+  * bounds the read amplification of the history scan.
+  *
+  * Entities spawned from the stream use `entity_id = user_id` — the
+  * external key IS the entity identity, the scalable idiom for bulk
+  * ingestion (a driver-side id counter would serialize 100 TB of
+  * spawns through one process).
   *
   * Scale shape: per batch, one shuffle to aggregate the delta and one
-  * keyed outer join against the live state — no driver-side rows, no
-  * collect. State growth is bounded by the archetype store's
-  * merge-on-read + periodic `optimize()` compaction.
+  * keyed join of that (small) delta against the live view — the delta
+  * side broadcasts when it fits, and only touched entities are ever
+  * rewritten. No driver-side rows, no collect.
   */
 object EcsStreamIngest {
 
@@ -31,31 +41,43 @@ object EcsStreamIngest {
   val meta: ComponentMeta = ComponentMeta.of[UserScore]
   private val P = meta.prefix // "userscore__"
 
-  /** Current live (user_id, total, n_events, entity_id) state. */
+  /** Current live (user_id, total, n_events, entity_id) state: each
+    * entity's frame at its highest recorded step (frames are sparse —
+    * a step only has rows for entities that batch touched).
+    */
   def liveState(world: World): Option[DataFrame] =
-    world.query(Seq(meta)).values.reduceOption(_ unionByName _)
-      .map(_.select(col("entity_id"), col(s"${P}user_id").as("user_id"),
-        col(s"${P}total").as("total"), col(s"${P}n_events").as("n_events")))
+    world.getHistory(Seq(meta)).values.reduceOption(_ unionByName _)
+      .map { hist =>
+        val latest = Window.partitionBy(col("entity_id"))
+          .orderBy(col("step").desc)
+        hist.withColumn("_sn", row_number().over(latest))
+          .filter(col("_sn") === 1 && col("is_active"))
+          .select(col("entity_id"), col(s"${P}user_id").as("user_id"),
+            col(s"${P}total").as("total"), col(s"${P}n_events").as("n_events"))
+      }
 
   /** Fold one micro-batch of raw events (`user_id`, `value` columns)
-    * into the world as one step.
+    * into the world as one step, appending rows only for the users
+    * present in the batch.
     */
   def ingestBatch(world: World, batch: DataFrame): Unit = {
     val delta = batch.groupBy(col("user_id"))
       .agg(sum(col("value")).as("d_total"), count(lit(1)).as("d_n"))
-    val merged = liveState(world) match {
+    // Left join FROM the delta: untouched entities never enter the
+    // output, so the appended frame is exactly the batch's user set.
+    val updated = liveState(world) match {
       case Some(cur) =>
-        cur.join(delta, Seq("user_id"), "full_outer")
+        delta.join(cur, Seq("user_id"), "left_outer")
           .select(
             coalesce(col("entity_id"), col("user_id")).as("entity_id"),
             col("user_id"),
-            (coalesce(col("total"), lit(0.0)) + coalesce(col("d_total"), lit(0.0))).as("total"),
-            (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_events"))
+            (coalesce(col("total"), lit(0.0)) + col("d_total")).as("total"),
+            (coalesce(col("n_events"), lit(0L)) + col("d_n")).as("n_events"))
       case None =>
         delta.select(col("user_id").as("entity_id"), col("user_id"),
           col("d_total").as("total"), col("d_n").as("n_events"))
     }
-    val prefixed = merged.select(col("entity_id"),
+    val prefixed = updated.select(col("entity_id"),
       col("user_id").as(s"${P}user_id"), col("total").as(s"${P}total"),
       col("n_events").as(s"${P}n_events"))
     world.store.spawnBatch(Seq(meta), prefixed, world.currentStep + 1)

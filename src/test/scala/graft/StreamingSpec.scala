@@ -196,6 +196,50 @@ class StreamingSpec extends SparkSpec {
         .filter(col("entity_id") === both.head)
         .select(col("step")).as[Long].collect().sorted.toSeq
       assert(hist == Seq(1L, 2L))
+      // O(delta) contract: each step's appended frame is exactly the
+      // batch's distinct-user set, NOT a full state snapshot
+      val frames = world.getHistory(Seq(EcsStreamIngest.meta)).values.head
+        .groupBy(col("step")).agg(count(lit(1)).as("n"))
+        .orderBy("step").as[(Long, Long)].collect().toSeq
+      assert(frames == Seq(
+        1L -> first.map(_.user_id).distinct.size.toLong,
+        2L -> second.map(_.user_id).distinct.size.toLong))
+    } finally q.stop()
+  }
+
+  test("stream_ecs_ingest: batch touching a user subset appends only that subset") {
+    import graft.ecs.{EcsStreamIngest, World}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val all = sampleEvents(200)
+    val users = all.map(_.user_id).distinct.sorted
+    assert(users.size >= 4)
+    // batch 2 = events of a strict subset (first half) of batch-1 users
+    val subset = users.take(users.size / 2).toSet
+    val second = all.filter(e => subset.contains(e.user_id)).take(40)
+    val world = World.make(spark, simulation = "stream_sub", run = "r1",
+      optimizeInterval = 0)
+    val q = EcsStreamIngest.attach(world, input.toDF(), "ecs_ingest_subset")
+    try {
+      input.addData(all)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      // step-2 frame rows == batch-2 distinct users (strict subset)
+      val stepCounts = world.getHistory(Seq(EcsStreamIngest.meta)).values.head
+        .groupBy(col("step")).agg(count(lit(1)).as("n"))
+        .orderBy("step").as[(Long, Long)].collect().toMap
+      assert(stepCounts(2L) == second.map(_.user_id).distinct.size.toLong)
+      assert(stepCounts(2L) < stepCounts(1L))
+      // untouched users still resolve from their step-1 frame; touched
+      // users fold both batches — live == full aggregate over all rows
+      val live = EcsStreamIngest.liveState(world).get
+        .select(col("user_id"), round(col("total"), 2).as("t"), col("n_events"))
+        .orderBy("user_id").collect().toSeq
+      val expected = (all ++ second).toDF().groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("t"), count(lit(1)).as("n_events"))
+        .orderBy("user_id").collect().toSeq
+      assert(live == expected)
     } finally q.stop()
   }
 
