@@ -228,96 +228,162 @@ final class ArchetypeStore(
   }
 
   // -------------------------------------------------------------------
-  // Durable incremental persistence (r2): append-only parquet commits.
+  // Durable incremental persistence (r2, atomic protocol r3):
+  // append-only parquet commits published through a manifest.
   //
-  // Layout: `$dir/$hash/commit=<n>/simulation=…/run=…/*.parquet` — each
-  // commitDelta writes ONLY rows versioned after the previous commit as
-  // a new `commit=<n>` partition (parquet append mode; nothing is
-  // rewritten). compact() folds every live commit into one base commit
-  // and advances the `_base` marker file, so readers scan
-  // `commit >= base` — the simplified Delta-style log that makes a
-  // 100 TB store persist O(delta) per commit instead of O(table).
-  // Old commit directories below the base are dead and can be vacuumed
-  // out-of-band.
+  // Layout: `$dir/$hash/commit=<n>/simulation=…/run=…/*.parquet` data
+  // plus `$dir/$hash/_manifest`, the single source of truth for what
+  // is committed. Write protocol (Delta/Iceberg-shaped):
+  //
+  //   1. write the delta to `$dir/$hash/_staging/<uuid>` (the leading
+  //      underscore hides it from Spark's file listing);
+  //   2. atomically rename the staged directory to `commit=<n>`;
+  //   3. write the manifest LAST (temp file + atomic rename), moving
+  //      `maxCommit` to n and recording the version/entity watermarks.
+  //
+  // Readers trust ONLY the manifest: they scan `commit` in
+  // [base, maxCommit] with an explicit schema (no footer inference),
+  // so a crash at any point leaves either a hidden staging dir or an
+  // unreferenced `commit=<n>` dir — both invisible. A retried commit
+  // deletes the orphan target before renaming. `attachDurable`
+  // recovers all watermarks from the manifest in O(1) — no table scan.
+  // Commits below `base` (superseded by compaction) and orphans are
+  // dead and can be vacuumed out-of-band.
   // -------------------------------------------------------------------
 
-  private def baseMarkerPath(dir: String, hash: String) =
-    java.nio.file.Paths.get(s"$dir/$hash/_base")
+  /** Commit watermarks: everything a reader/writer needs to resume. */
+  final case class Manifest(base: Long, maxCommit: Long, maxV: Long, maxEntity: Long)
 
-  private def readBase(dir: String, hash: String): Long = {
-    val p = baseMarkerPath(dir, hash)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toLong
-    else 0L
+  private def manifestPath(dir: String, hash: String) =
+    java.nio.file.Paths.get(s"$dir/$hash/_manifest")
+
+  def readManifest(dir: String, hash: String): Option[Manifest] = {
+    val p = manifestPath(dir, hash)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val kv = java.nio.file.Files.readString(p).linesIterator
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.trim.toLong }
+        .toMap
+      Some(Manifest(kv("base"), kv("maxCommit"), kv("maxV"), kv("maxEntity")))
+    }
   }
 
-  /** Durably append rows not yet committed; O(delta), no rewrite. */
+  /** Publish a manifest atomically: temp file, then rename. A manifest
+    * is one small file, so the rename (or single PUT on object stores)
+    * is the commit point.
+    */
+  private def writeManifest(dir: String, hash: String, m: Manifest): Unit = {
+    val p = manifestPath(dir, hash)
+    val tmp = p.resolveSibling(s"_manifest.tmp.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(tmp,
+      s"base=${m.base}\nmaxCommit=${m.maxCommit}\nmaxV=${m.maxV}\nmaxEntity=${m.maxEntity}\n")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stage `df` under a hidden dir, then atomically rename it into
+    * place as `commit=<n>`. Deletes an orphaned target left by a
+    * crashed previous attempt (it is unreferenced by the manifest, so
+    * removal is safe).
+    */
+  private def stageCommit(dir: String, hash: String, n: Long, df: DataFrame): Unit = {
+    val staging = java.nio.file.Paths.get(
+      s"$dir/$hash/_staging/${java.util.UUID.randomUUID()}")
+    df.repartition(col("simulation"), col("run"))
+      .sortWithinPartitions(col("step"), col("entity_id"))
+      .write.mode("overwrite")
+      .partitionBy("simulation", "run")
+      .parquet(staging.toString)
+    val target = java.nio.file.Paths.get(s"$dir/$hash/commit=$n")
+    if (java.nio.file.Files.exists(target))
+      deleteRecursively(target)
+    java.nio.file.Files.move(staging, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Full read schema incl. partition columns, passed explicitly so
+    * readers never infer from footers (a torn file in an uncommitted
+    * directory must not be able to fail the read path).
+    */
+  private def durableReadSchema(metas: Seq[ComponentMeta]) = {
+    import org.apache.spark.sql.types._
+    StructType(withVersion(Archetype.schemaOf(Archetype.signature(metas)))
+      .fields :+ StructField("commit", LongType, nullable = false))
+  }
+
+  /** Only the manifest's committed range is visible. */
+  private def liveDurable(dir: String, hash: String,
+      metas: Seq[ComponentMeta], m: Manifest): DataFrame =
+    spark.read.schema(durableReadSchema(metas))
+      .parquet(s"$dir/$hash")
+      .filter(col("commit") >= m.base && col("commit") <= m.maxCommit)
+
+  /** Durably append rows not yet committed; O(delta), no rewrite.
+    * Publication is atomic: data renamed into place, manifest last.
+    */
   def commitDelta(dir: String): Unit = {
     flush()
     tables.foreach { case (hash, df) =>
+      val prev = readManifest(dir, hash)
       val lastV = durableMaxV.getOrElse(hash, -1L)
       val highV = commitCounter.get()
-      val n = nextCommit.getOrElse(hash, readBase(dir, hash))
-      df.filter(col(VersionCol) > lastV)
-        .withColumn("commit", lit(n))
-        .repartition(col("simulation"), col("run"))
-        .sortWithinPartitions(col("step"), col("entity_id"))
-        .write.mode("append")
-        .partitionBy("commit", "simulation", "run")
-        .parquet(s"$dir/$hash")
+      val n = nextCommit.getOrElse(hash,
+        prev.map(_.maxCommit + 1).getOrElse(0L))
+      stageCommit(dir, hash, n, df.filter(col(VersionCol) > lastV))
       val names = sigByHash(hash).map(_.name).mkString(",")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/$hash.sig"), names)
+      writeManifest(dir, hash, Manifest(
+        base = prev.map(_.base).getOrElse(0L),
+        maxCommit = n,
+        maxV = highV,
+        maxEntity = entityCounter.get()))
       durableMaxV(hash) = highV
       nextCommit(hash) = n + 1
     }
   }
 
   /** Fold all live commits into one base commit (latest-wins resolved,
-    * versions preserved) and advance the `_base` marker. The analogue
-    * of log-structured compaction; run periodically, not per commit.
+    * versions preserved) and publish a manifest whose base == the new
+    * commit. The analogue of log-structured compaction; run
+    * periodically, not per commit.
     */
   def compactDurable(dir: String): Unit = {
-    sigByHash.keys.foreach { hash =>
-      val path = s"$dir/$hash"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-        val base = readBase(dir, hash)
-        val live = spark.read.parquet(path).filter(col("commit") >= base)
-        val n = nextCommit.getOrElse(hash, base + 1)
-        latestWinsKeepVersion(live.drop("commit"))
-          .withColumn("commit", lit(n))
-          .repartition(col("simulation"), col("run"))
-          .sortWithinPartitions(col("step"), col("entity_id"))
-          .write.mode("append")
-          .partitionBy("commit", "simulation", "run")
-          .parquet(path)
-        java.nio.file.Files.writeString(baseMarkerPath(dir, hash), n.toString)
+    sigByHash.foreach { case (hash, sig) =>
+      readManifest(dir, hash).foreach { m =>
+        val live = liveDurable(dir, hash, sig, m)
+        val n = m.maxCommit + 1
+        stageCommit(dir, hash, n, latestWinsKeepVersion(live.drop("commit")))
+        writeManifest(dir, hash, m.copy(base = n, maxCommit = n))
         nextCommit(hash) = n + 1
       }
     }
   }
 
   /** Attach a durable store written by commitDelta/compactDurable: the
-    * in-memory table reads live commits lazily; counters resume past
-    * the durable high-water marks.
+    * in-memory table reads live commits lazily; counters resume from
+    * the manifest watermarks — O(1), no data scan at attach time.
     */
   def attachDurable(metas: Seq[ComponentMeta], dir: String): String = {
     val hash = ensureTable(metas)
-    val base = readBase(dir, hash)
+    val m = readManifest(dir, hash).getOrElse(
+      sys.error(s"attachDurable: no manifest at $dir/$hash — nothing committed"))
     val schema = withVersion(Archetype.schemaOf(Archetype.signature(metas)))
-    val all = spark.read.parquet(s"$dir/$hash")
-    val live = all.filter(col("commit") >= base)
-    tables(hash) = live.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val marks = all.agg(max(col("commit").cast("long")),
-      max(col(VersionCol)), max(col("entity_id"))).head()
-    val maxCommit = if (marks.isNullAt(0)) base else marks.getLong(0)
-    val maxV = if (marks.isNullAt(1)) 0L else marks.getLong(1)
-    val maxId = if (marks.isNullAt(2)) 0L else marks.getLong(2)
-    nextCommit(hash) = maxCommit + 1
-    durableMaxV(hash) = maxV
-    commitCounter.updateAndGet(v => math.max(v, maxV))
-    entityCounter.updateAndGet(v => math.max(v, maxId))
+    tables(hash) = liveDurable(dir, hash, metas, m)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    nextCommit(hash) = m.maxCommit + 1
+    durableMaxV(hash) = m.maxV
+    commitCounter.updateAndGet(v => math.max(v, m.maxV))
+    entityCounter.updateAndGet(v => math.max(v, m.maxEntity))
     hash
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
   }
 
   /** Re-attach a persisted archetype table written by persist(). */
