@@ -286,6 +286,33 @@ object DedupQueries {
   // executor-local blocks); each iteration's cache and the previous
   // iteration's checkpoint reference are released as soon as the next
   // one materializes.
+  /** One label-propagation round: neighbor-min then pointer-jumping
+    * (label := label of label, collapsing chains in O(log diameter)
+    * rounds). Returns the next labels plan plus an [[Observation]]
+    * whose `changed` metric counts moved labels — filled by whatever
+    * action materializes the plan, so convergence costs zero extra
+    * jobs and the whole round stays codegen'd (no typed map).
+    */
+  private[graft] def ccStep(edges: DataFrame, labels: DataFrame):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val neighborMin = edges
+      .join(labels, col("dst") === col("doc_id"))
+      .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+    val stepped = labels
+      .join(neighborMin, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"), col("cluster_id").as("old"),
+        least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("mid"))
+    val byId = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_cc_${java.util.UUID.randomUUID().toString.take(8)}")
+    val next = stepped.join(byId, col("mid") === col("p_id"))
+      .select(col("doc_id"), col("old"), least(col("mid"), col("p_lab")).as("cluster_id"))
+      .observe(obs, sum(when(col("cluster_id") =!= col("old"), 1L)
+        .otherwise(0L)).as("changed"))
+      .select(col("doc_id"), col("cluster_id"))
+    (next, obs)
+  }
+
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = s.sparkContext
@@ -310,28 +337,14 @@ object DedupQueries {
     pairs.unpersist(false)
     var changed = 1L
     while (changed > 0) {
-      // neighbor-min step
-      val neighborMin = edges
-        .join(labels, col("dst") === col("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val stepped = labels
-        .join(neighborMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("mid"))
-      // pointer-jumping step (label := label of label) collapses chains
-      // in O(log diameter) rounds instead of O(diameter)
-      val byId = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
-      val acc = sc.longAccumulator("graft.cc.changed")
-      val next = stepped.join(byId, col("mid") === col("p_id"))
-        .select(col("doc_id"), col("old"), least(col("mid"), col("p_lab")).as("cluster_id"))
-        .as[(Long, Long, Long)]
-        .map { case (id, old, lab) => if (lab != old) acc.add(1); (id, lab) }
-        .toDF("doc_id", "cluster_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one pass computes + caches (accumulator exact); the checkpoint
-      // write job replays from cache
+      val (nextPlan, obs) = ccStep(edges, labels)
+      val next = nextPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one pass computes + caches and fills the observed convergence
+      // metric (declarative, stays inside whole-stage codegen — no
+      // typed map, no DeserializeToObject, no extra count() job); the
+      // checkpoint write job replays from cache
       val chk = next.checkpoint(eager = true)
-      changed = acc.value
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       next.unpersist(false)
       labels.unpersist(false)
       labels = chk

@@ -127,9 +127,18 @@ case class CmsAggregate(
 
   require(depth >= 1 && depth <= 16 && width >= 16,
     "depth in [1,16], width >= 16")
-  // queryValue must be a constant (evaluated against the empty row at
-  // sketch-eval time); checked lazily — at construction the Column may
-  // still be an unresolved literal node.
+
+  // queryValue must be a constant (it is evaluated against the empty
+  // row at sketch-eval time). Enforced at analysis, when children are
+  // resolved — at construction the Column may still be an unresolved
+  // literal node.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!queryValue.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cms query value must be a foldable (constant) expression, " +
+          s"got: ${queryValue.sql}")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(child, queryValue)
   override def nullable: Boolean = false

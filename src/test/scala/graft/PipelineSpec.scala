@@ -31,6 +31,27 @@ class PipelineSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("cc iteration step: codegen-safe (no typed map) and observed convergence count") {
+    import spark.implicits._
+    // chain 1-2-3 plus singleton-free labels; one round moves 2 and 3
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val edges = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val labels = Seq(1L, 2L, 3L).toDF("doc_id")
+      .withColumn("cluster_id", col("doc_id"))
+    val (next, obs) = DedupQueries.ccStep(edges, labels)
+    val rows = next.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // neighbor-min: 2 -> 1, 3 -> 2; pointer-jump reads OLD labels so 3
+    // stays at 2 this round (collapses to 1 in the next round)
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(obs.get("changed").asInstanceOf[Long] == 2L)
+    // the whole round must stay declarative: a typed .map would plan
+    // DeserializeToObject / SerializeFromObject stages
+    val plan = next.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      s"iteration plan fell out of codegen:\n$plan")
+  }
+
   test("knn ranks an identical direction first") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString

@@ -50,6 +50,15 @@ class SketchSpec extends SparkSpec {
       "absent key estimate bounded by collision mass")
   }
 
+  test("CMS: non-constant query value fails analysis with a clear error") {
+    val df = Seq("a", "b").toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(SketchAggregates.cmsEstimate(col("v"), col("v"))).collect()
+    }
+    assert(e.getMessage.contains("foldable"),
+      s"expected a foldable-constraint error, got: ${e.getMessage}")
+  }
+
   test("CMS: overshoot bounded by eps*N under heavy collisions") {
     // 10k distinct keys crammed into width 64 -> collisions guaranteed;
     // bound: est <= true + e/width * N at prob 1 - e^-depth
