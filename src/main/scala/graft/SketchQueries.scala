@@ -17,16 +17,20 @@ object SketchQueries {
 
   // I1 — HLL distinct users per event type: exact countDistinct beside
   // the TypedImperativeAggregate HLL; p=12 → 4096 registers, standard
-  // error 1.04/√4096 ≈ 1.6%, so 5% is a ≥3σ bound.
-  private def sketchHllDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"),
-        SketchAggregates.hll(col("user_id"), precision = 12).as("hll_users"))
-      .select(col("event_type"), col("exact_users"),
-        (abs(col("hll_users") - col("exact_users")) <=
-          col("exact_users") * 0.05).as("hll_within_5pct"))
-      .orderBy(col("event_type"))
+  // error 1.04/√4096 ≈ 1.6%, so 5% is a ≥3σ bound. Deliberately runs
+  // through the registered SQL surface (graft_hll in spark.sql), so
+  // the correctness gate exercises the same path an analyst would.
+  private def sketchHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("graft_hll_events")
+    s.sql(
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS exact_users,
+        | abs(graft_hll(user_id, 12) - count(DISTINCT user_id))
+        |   <= count(DISTINCT user_id) * 0.05 AS hll_within_5pct
+        |FROM graft_hll_events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
 
   private val sketchHllDistinctSql =
     """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -137,6 +137,13 @@ case class CmsAggregate(
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"graft_cms query value must be a foldable (constant) expression, " +
           s"got: ${queryValue.sql}")
+    else if (!DataType.equalsIgnoreNullability(queryValue.dataType, child.dataType))
+      // the sketch hashes values AS the child's type; a query constant
+      // of another type (e.g. INT 7 probing a BIGINT column) would hash
+      // differently and silently return 0
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cms query value type ${queryValue.dataType.sql} must match " +
+          s"the sketched column type ${child.dataType.sql} — cast the constant")
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
