@@ -12,6 +12,10 @@ case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
 case class SessState(sessionId: Long, lastTs: Long)
 case class SessAssign(user_id: Long, event_id: Long, session_id: Long)
 
+/** Rows/outputs for the streaming HLL maintainer (G7). */
+case class SketchRow(shard: Long, item: Long)
+case class SketchEstimate(shard: Long, approx_items: Long)
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -204,6 +208,55 @@ object StreamQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Streaming transform (G7): per-shard HyperLogLog registers
+    * maintained across micro-batches via mapGroupsWithState — the
+    * streaming-sketch pattern for approximate distinct counts over an
+    * unbounded stream. State is one FIXED-SIZE 2^p-byte buffer per
+    * key (never the value set), so per-key state is O(1) no matter
+    * how many items arrive — the property that makes this viable for
+    * billions of events per key. Each batch emits the key's refreshed
+    * estimate (Update mode). The register algebra is
+    * [[graft.functions.HllSketch]] — the exact same hashing the batch
+    * `graft_hll` aggregate uses, so an incrementally-maintained sketch
+    * is byte-equal to the batch sketch over the union of the batches.
+    */
+  def hllMaintainStream(rows: Dataset[SketchRow],
+      precision: Int = 12): Dataset[SketchEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.HllSketch
+    rows.groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[SketchRow], state: GroupState[Array[Byte]]) => {
+          val buf = state.getOption.getOrElse(HllSketch.emptyBuffer(precision))
+          it.foreach(r => HllSketch.updateHashed(buf, precision,
+            HllSketch.hashLong(r.item)))
+          state.update(buf)
+          SketchEstimate(shard, HllSketch.estimate(buf))
+        })
+  }
+
+  // G7 batch equivalent — the same registers via the graft_hll
+  // aggregate (register max-merge is order-insensitive, so the
+  // incrementally-maintained stream estimate equals the one-shot batch
+  // aggregate — asserted exactly in StreamingSpec). Oracle = exact
+  // distinct + in-bounds boolean, the I1 pattern.
+  private def streamSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select((col("user_id") % 16).as("shard"), col("event_id"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("event_id")).as("exact_items"),
+        graft.functions.SketchAggregates.hll(col("event_id"), 12).as("approx"))
+      .select(col("shard"), col("exact_items"),
+        (abs(col("approx") - col("exact_items")) <=
+          col("exact_items") * 0.05).as("hll_within_5pct"))
+      .orderBy(col("shard"))
+
+  private val streamSketchSql =
+    """SELECT user_id % 16 AS shard,
+      | count(DISTINCT event_id) AS exact_items,
+      | true AS hll_within_5pct
+      |FROM events GROUP BY shard ORDER BY shard""".stripMargin
+
   // G4 — ECS streaming ingestion (batch equivalent): the events table
   // folds into a World in two deterministic "micro-batches" (split by
   // event_id parity) through the same EcsStreamIngest.ingestBatch the
@@ -236,7 +289,8 @@ object StreamQueries {
     "stream_session" -> (streamSession _),
     "stream_ecs_ingest" -> (streamEcsIngest _),
     "stream_join" -> (streamJoin _),
-    "stream_join_outer" -> (streamJoinOuter _))
+    "stream_join_outer" -> (streamJoinOuter _),
+    "stream_sketch" -> (streamSketch _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -244,5 +298,6 @@ object StreamQueries {
     "stream_session" -> streamSessionSql,
     "stream_ecs_ingest" -> streamEcsIngestSql,
     "stream_join" -> streamJoinSql,
-    "stream_join_outer" -> streamJoinOuterSql)
+    "stream_join_outer" -> streamJoinOuterSql,
+    "stream_sketch" -> streamSketchSql)
 }

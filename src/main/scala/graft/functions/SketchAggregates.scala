@@ -35,47 +35,41 @@ object SketchAggregates {
         depth, width).toAggregateExpression())
 }
 
-/** HyperLogLog distinct-count sketch over any hashable column.
-  * Buffer = 2^precision byte registers; estimate = bias-corrected
-  * harmonic mean with linear counting below 2.5·m.
+/** The HLL register algebra, shared by the batch aggregate and the
+  * streaming mapGroupsWithState maintainer — identical hashing and
+  * register updates mean a sketch maintained incrementally across
+  * micro-batches is byte-equal to one aggregated in batch (register
+  * max-merge is order- and partitioning-insensitive).
   */
-case class HllAggregate(
-    child: Expression,
-    precision: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
+object HllSketch {
+  /** The aggregate's hash of a long child value (seed 42). */
+  def hashLong(v: Long): Long =
+    XxHash64Function.hash(v, LongType, 42L)
 
-  require(precision >= 4 && precision <= 16, "precision must be in [4, 16]")
-  private val m = 1 << precision
+  def emptyBuffer(precision: Int): Array[Byte] = new Array[Byte](1 << precision)
 
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = LongType
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - precision)).toInt
-      val w = h << precision
-      // rank = position of the leftmost 1-bit in the suffix (1-based);
-      // all-zero suffix gets the max rank
-      val rank = (if (w == 0L) 64 - precision else java.lang.Long.numberOfLeadingZeros(w)) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
-    }
-    buf
+  /** Fold one hashed value into the registers. */
+  def updateHashed(buf: Array[Byte], precision: Int, h: Long): Unit = {
+    val idx = (h >>> (64 - precision)).toInt
+    val w = h << precision
+    // rank = position of the leftmost 1-bit in the suffix (1-based);
+    // all-zero suffix gets the max rank
+    val rank = (if (w == 0L) 64 - precision else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rank > buf(idx)) buf(idx) = rank.toByte
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  /** Register-wise max merge into `a`. */
+  def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  /** Bias-corrected harmonic-mean estimate with linear counting below
+    * 2.5·m (Flajolet et al. 2007).
+    */
+  def estimate(buf: Array[Byte]): Long = {
+    val m = buf.length
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -96,6 +90,40 @@ case class HllAggregate(
       else raw
     math.round(est)
   }
+}
+
+/** HyperLogLog distinct-count sketch over any hashable column.
+  * Buffer = 2^precision byte registers; estimate = bias-corrected
+  * harmonic mean with linear counting below 2.5·m.
+  */
+case class HllAggregate(
+    child: Expression,
+    precision: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(precision >= 4 && precision <= 16, "precision must be in [4, 16]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] =
+    HllSketch.emptyBuffer(precision)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null)
+      HllSketch.updateHashed(buf, precision,
+        XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllSketch.mergeInto(a, b)
+
+  override def eval(buf: Array[Byte]): Any = HllSketch.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes

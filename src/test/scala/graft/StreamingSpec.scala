@@ -243,6 +243,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_sketch: HLL registers maintained across micro-batches equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SketchRow]
+    // overlapping item sets across the two batches — the cross-batch
+    // merge must dedup items already folded into the state
+    val batch1 = (0 until 400).map(i => SketchRow(i % 4, i.toLong))
+    val batch2 = (200 until 600).map(i => SketchRow(i % 4, i.toLong))
+    val q = StreamQueries.hllMaintainStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sketch_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // final estimate per shard: registers only grow, so estimates are
+      // non-decreasing across emissions and max == the last one
+      val streamed = spark.table("sketch_out")
+        .groupBy(col("shard")).agg(max(col("approx_items")).as("approx_items"))
+        .as[(Long, Long)].collect().toMap
+      // batch twin: the graft_hll aggregate over the union
+      val batch = (batch1 ++ batch2).toDS()
+        .groupBy(col("shard"))
+        .agg(graft.functions.SketchAggregates.hll(col("item"), 12).as("e"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        "incrementally-maintained sketch must equal the batch aggregate")
+      // and the estimates are actually good: 150 distinct per shard
+      streamed.values.foreach(e => assert(math.abs(e - 150L) <= 8L))
+    } finally q.stop()
+  }
+
   test("stream_dedup: streaming keeps first arrival per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
