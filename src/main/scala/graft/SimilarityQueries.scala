@@ -146,6 +146,76 @@ object SimilarityQueries {
       |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin
 
+  // D6 — IVF with a TRAINED coarse quantizer: deterministic seeded
+  // k-means (fixed Lloyd iterations, spread init by xxhash64(id),
+  // centroid sync O(k·dim) per iteration) replaces D5's seeded
+  // centroids. DuckDB can't replay float k-means, so the oracle is the
+  // I1/I2 pattern: exact DuckDB-replayable values (query count +
+  // average brute-force top-1 cosine) beside a boolean asserting the
+  // trained index's macro recall@3 vs brute force clears 0.7 — the row
+  // hash-matches only if training actually produced a working index.
+  // IvfSpec additionally proves trained ≥ seeded recall on clustered
+  // data.
+  private def knnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    // The raw embeddings are isotropic noise — NO corpus structure, so
+    // no coarse quantizer (trained or not) can concentrate true
+    // neighbors into cells; IVF recall on such data is ~nprobe/K by
+    // construction. Derive a clustered corpus instead: shift each
+    // vector by a label-keyed center from the same integer-LCG family
+    // as the LSH planes — exact in double arithmetic, so DuckDB
+    // replays the corpus (and its brute-force top-k) bit-for-bit while
+    // k-means gets real structure to find.
+    val all = emb(s, dir)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+          | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+          |   / 8191.0D)""".stripMargin).as("v"))
+    val q = all.filter(col("vec_id") <= 10)
+    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    val ivf = IvfIndex.search(all, q, cent, "vec_id", "v", nprobe = 2, k = 3)
+      .select(col("qid"), col("nid"))
+    // brute-force top-3: the exact reference the oracle replays
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+    val hits = bf.select(col("qid"), col("nid")).join(ivf, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("cos"))).as("top1_cos"))
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(avg(col("top1_cos")), 4) + lit(0.0)).as("avg_top1_cos"),
+        (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
+  }
+
+  private val knnIvfTrainedSql =
+    """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(generate_series(0, 63), d ->
+      |        v0[d + 1] +
+      |        CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+      |          / 8191.0) AS v
+      |      FROM e0),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 10),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |        list_dot_product(qv, v) /
+      |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |      FROM q JOIN e ON e.vec_id <> qid),
+      |r AS (SELECT qid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |      FROM s),
+      |t AS (SELECT qid, max(CASE WHEN rn = 1 THEN cos END) AS top1_cos
+      |      FROM r WHERE rn <= 3 GROUP BY qid)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(avg(top1_cos), 4) + 0 AS avg_top1_cos,
+      |  true AS ivf_recall_ok
+      |FROM t""".stripMargin
+
   // D3 — per-label vector norm statistics.
   private def vecNormStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -192,6 +262,7 @@ object SimilarityQueries {
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_ivf_trained" -> (knnIvfTrained _),
     "vec_norm_stats" -> (vecNormStats _),
     "vec_hof_stats" -> (vecHofStats _))
 
@@ -199,6 +270,7 @@ object SimilarityQueries {
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_ivf_trained" -> knnIvfTrainedSql,
     "vec_norm_stats" -> vecNormStatsSql,
     "vec_hof_stats" -> vecHofStatsSql)
 }
