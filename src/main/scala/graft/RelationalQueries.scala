@@ -397,6 +397,87 @@ object RelationalQueries {
       | ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // B33 — NEAREST as-of through the native operator: each event
+  // attaches the user's order closest in time in EITHER direction
+  // (ties prefer the earlier order). DuckDB has no nearest ASOF, so
+  // the oracle composes its backward and forward ASOF joins and picks
+  // the closer match with the same tie rule.
+  private def q33AsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.install(s)
+    val ord = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"),
+        col("o_orderkey"))
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    graft.plans.AsOfJoin.joinNearest(ev, ord, "user_id", "ts", "o_custkey", "o_time")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("nearest_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q33Sql =
+    """WITH ord AS (
+      | SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_time,
+      |   max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate
+      |),
+      |b AS (
+      | SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS bk, o.o_time AS bt
+      | FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_time
+      |),
+      |f AS (
+      | SELECT e.event_id, o.o_orderkey AS fk, o.o_time AS ft
+      | FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.o_custkey AND e.ts <= o.o_time
+      |)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN bk IS NULL THEN fk
+      |       WHEN fk IS NULL THEN bk
+      |       WHEN epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts)
+      |         THEN bk ELSE fk END AS nearest_orderkey
+      |FROM b JOIN f USING (event_id)
+      |ORDER BY b.event_id""".stripMargin
+
+  // B34 — MULTI-KEY as-of through the native operator: each event
+  // attaches the latest 6-hour (user, event_type) activity-bucket
+  // summary at-or-before its timestamp — a composite (long, string)
+  // key, which exercises the operator's lexicographic merge path
+  // (DuckDB ASOF accepts extra equality conditions natively).
+  private def q34AsOfMultiKey(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.install(s)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val buckets = ev
+      .repartition(col("user_id"), col("event_type"))
+      .groupBy(col("user_id").as("b_user"), col("event_type").as("b_type"),
+        window(col("ts"), "6 hours")("start").cast("timestamp_ntz").as("bstart"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+    graft.plans.AsOfJoin.joinMulti(ev, buckets,
+        Seq("user_id", "event_type"), "ts", Seq("b_user", "b_type"), "bstart")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("bstart").as("bucket_start"), col("n_in_bucket"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q34Sql =
+    """WITH b AS (
+      | SELECT user_id AS b_user, event_type AS b_type,
+      |   time_bucket(INTERVAL '6 hours', ts) AS bstart,
+      |   count(*) AS n_in_bucket
+      | FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |  b.bstart AS bucket_start, b.n_in_bucket
+      |FROM events e ASOF LEFT JOIN b
+      | ON e.user_id = b.b_user AND e.event_type = b.b_type
+      |  AND e.ts >= b.bstart
+      |ORDER BY e.event_id""".stripMargin
+
   // B19 — range join: price-band histogram. The band table is tiny →
   // broadcast nested-loop on the range predicate is the right plan.
   private def q19Range(s: SparkSession, dir: String): DataFrame = {
@@ -648,6 +729,8 @@ object RelationalQueries {
     "q30_setops" -> (q30SetOps _),
     "q32_map_ops" -> (q32MapOps _),
     "q31_asof_forward" -> (q31AsOfForward _),
+    "q33_asof_nearest" -> (q33AsOfNearest _),
+    "q34_asof_multikey" -> (q34AsOfMultiKey _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2Filter _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -682,6 +765,8 @@ object RelationalQueries {
     "q30_setops" -> q30Sql,
     "q32_map_ops" -> q32Sql,
     "q31_asof_forward" -> q31Sql,
+    "q33_asof_nearest" -> q33Sql,
+    "q34_asof_multikey" -> q34Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg" -> q3Sql,

@@ -3,49 +3,64 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types._
 
+/** Match direction of the as-of join. */
+sealed trait AsOfDirection extends Serializable
+object AsOfDirection {
+  /** Latest right row with time ≤ left time (the classic as-of). */
+  case object Backward extends AsOfDirection
+  /** Earliest right row with time ≥ left time. */
+  case object Forward extends AsOfDirection
+  /** Right row minimizing |right time − left time|; ties prefer the
+    * backward (earlier) match. Requires a long-backed time type.
+    */
+  case object Nearest extends AsOfDirection
+}
+
 /** Native as-of join — the whole-operator customization tier
   * (SURVEY §3): a logical node, a planner strategy, and a sort-merge
   * physical operator, registered through `extraStrategies` /
   * `SparkSessionExtensions`.
   *
-  * Semantics: for every left row, attach the single right row with the
-  * same key and the greatest time ≤ the left row's time (LEFT OUTER:
-  * unmatched left rows keep nulls) — the DuckDB `ASOF LEFT JOIN`
+  * Semantics: for every left row, attach the single right row with
+  * equal key(s) and the direction's best time (LEFT OUTER: unmatched
+  * left rows keep nulls) — backward is the DuckDB `ASOF LEFT JOIN`
   * contract the oracle uses. A null key or time never matches (null
   * left rows emit null right columns; null right rows are skipped),
-  * matching SQL ASOF null semantics.
+  * matching SQL ASOF null semantics. Keys may be composite
+  * (lexicographic over the key list).
   *
-  * Scale design: both sides hash-cluster on the key and sort within
-  * partitions by (key, time) — one shuffle each, then a streaming
+  * Scale design: both sides hash-cluster on the key(s) and sort within
+  * partitions by (keys, time) — one shuffle each, then a streaming
   * single-pass per-partition merge with O(1) state (the last right row
-  * seen per key). No windowed union materialization, no broadcast
-  * requirement, skew bounded by per-key density like any sort-merge
-  * join.
+  * seen per key, plus the blocked head for forward/nearest). No
+  * windowed union materialization, no broadcast requirement, skew
+  * bounded by per-key density like any sort-merge join.
   *
   * Hot-path shape: key/time extraction is a code-generated
   * `UnsafeProjection` per side (not interpreted `Expression.eval`),
   * the blocked right head's key/time are cached between left rows
   * (not re-evaluated per left row), and the only per-row allocation is
-  * one copy per CONSUMED right row. Long-backed key/time types
+  * one copy per CONSUMED right row. A single long-backed key and time
   * (long/int/short/byte/date/timestamp/timestamp_ntz) take a primitive
-  * comparison path; any other orderable type (string, decimal, double)
-  * falls back to the type's interpreted ordering.
+  * comparison path; composite keys or other orderable types (string,
+  * decimal, double) run interpreted lexicographic orderings over the
+  * projected key rows.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
-    forward: Boolean = false)
+    direction: AsOfDirection = AsOfDirection.Backward)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -91,7 +106,7 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
     case p @ Project(_, child) if throughFilters(child).isDefined =>
       val (a, filterRefs) = throughFilters(child).get
       val used = p.references ++ filterRefs ++
-        AttributeSet(Seq(a.leftKey, a.leftTime, a.rightKey, a.rightTime)
+        AttributeSet((a.leftKeys ++ a.rightKeys ++ Seq(a.leftTime, a.rightTime))
           .flatMap(_.references))
       val neededL = a.left.output.filter(used.contains)
       val neededR = a.right.output.filter(used.contains)
@@ -108,8 +123,8 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, dir) :: Nil
     case _ => Nil
   }
 }
@@ -117,22 +132,22 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
-    forward: Boolean)
+    direction: AsOfDirection)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+    ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   /** Fixed-width long-backed types read without boxing. */
   private def longGetter(dt: DataType): Option[(InternalRow, Int) => Long] = dt match {
@@ -145,26 +160,25 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyExpr = leftKey
-    val lTimeExpr = leftTime
-    val rKeyExpr = rightKey
-    val rTimeExpr = rightTime
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
-    val keyDt = lKeyExpr.dataType
-    val timeDt = lTimeExpr.dataType
-    val primitive = longGetter(keyDt).isDefined && longGetter(timeDt).isDefined
+    val nKeys = leftKeys.length
+    val keyDts = leftKeys.map(_.dataType)
+    val timeDt = leftTime.dataType
+    val dir = direction
+    val primitive = nKeys == 1 &&
+      longGetter(keyDts.head).isDefined && longGetter(timeDt).isDefined
+    val lKtExprs = leftKeys :+ leftTime
+    val rKtExprs = rightKeys :+ rightTime
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // codegen'd (key, time) extraction — one projection per side,
-      // reused buffer, no per-row interpreted eval
+      // codegen'd (keys..., time) extraction — one projection per
+      // side, reused buffer, no per-row interpreted eval
       val lKt = UnsafeProjection.create(
-        Seq(BindReferences.bindReference(lKeyExpr, lOut),
-          BindReferences.bindReference(lTimeExpr, lOut)))
+        lKtExprs.map(BindReferences.bindReference(_, lOut)))
       val rKt = UnsafeProjection.create(
-        Seq(BindReferences.bindReference(rKeyExpr, rOut),
-          BindReferences.bindReference(rTimeExpr, rOut)))
+        rKtExprs.map(BindReferences.bindReference(_, rOut)))
       // right attrs must be read as nullable: unmatched left rows feed
       // an all-null right row, and a non-nullable BoundReference would
       // skip the null check and read garbage (0.0) instead
@@ -172,13 +186,19 @@ case class AsOfJoinExec(
         lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      def anyNull(kt: InternalRow): Boolean = {
+        var i = 0
+        while (i <= nKeys) { if (kt.isNullAt(i)) return true; i += 1 }
+        false
+      }
 
       if (primitive) {
-        val getKey = longGetter(keyDt).get
+        val getKey = longGetter(keyDts.head).get
         val getTime = longGetter(timeDt).get
         // last consumed right row for the current key (already copied)
         var lastMatch: InternalRow = null
         var matchKey = 0L
+        var matchTime = 0L
         var haveMatch = false
         // blocked right head, its key/time cached until consumed
         var headRow: InternalRow = null
@@ -207,63 +227,60 @@ case class AsOfJoinExec(
             val t = getTime(kt, 1)
             var advancing = true
             while (advancing && headReady()) {
-              // backward consumes rows at-or-before t (remembering the
-              // newest); forward discards rows strictly before t and
-              // matches the blocked head itself
-              if (hk < k || (hk == k && (if (forward) ht < t else ht <= t))) {
-                if (!forward) {
+              // backward/nearest consume rows at-or-before t
+              // (remembering the newest); forward discards rows
+              // strictly before t and matches the blocked head itself
+              if (hk < k || (hk == k &&
+                  (if (dir == AsOfDirection.Forward) ht < t else ht <= t))) {
+                if (dir != AsOfDirection.Forward) {
                   lastMatch = headRow.copy() // one copy per consumed right row
                   matchKey = hk
+                  matchTime = ht
                   haveMatch = true
                 }
                 headRow = null
               } else advancing = false
             }
-            val rMatch =
-              if (forward) { if (headRow != null && hk == k) headRow else nullRight }
-              else if (haveMatch && matchKey == k) lastMatch
-              else nullRight
+            val back = if (haveMatch && matchKey == k) lastMatch else null
+            val ahead = if (headRow != null && hk == k) headRow else null
+            val rMatch = dir match {
+              case AsOfDirection.Backward => if (back != null) back else nullRight
+              case AsOfDirection.Forward => if (ahead != null) ahead else nullRight
+              case AsOfDirection.Nearest =>
+                // closest by |Δt|; ties prefer the backward match
+                if (back == null && ahead == null) nullRight
+                else if (ahead == null) back
+                else if (back == null) ahead
+                else if (t - matchTime <= ht - t) back
+                else ahead
+            }
             proj(joined(lRow, rMatch))
           }
         }
       } else {
-        // generic orderable types (string / decimal / double keys or
-        // times): boxed values + interpreted orderings
-        val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyDt))
-        val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeDt))
-        val keyRowA = new GenericInternalRow(1)
-        val keyRowB = new GenericInternalRow(1)
-        val timeRowA = new GenericInternalRow(1)
-        val timeRowB = new GenericInternalRow(1)
-        def cmpKey(a: Any, b: Any): Int = {
-          keyRowA.update(0, a); keyRowB.update(0, b)
-          keyOrd.compare(keyRowA, keyRowB)
-        }
-        def cmpTime(a: Any, b: Any): Int = {
-          timeRowA.update(0, a); timeRowB.update(0, b)
-          timeOrd.compare(timeRowA, timeRowB)
-        }
+        // composite keys / generic orderable types: interpreted
+        // lexicographic orderings over the projected (keys, time) rows.
+        // ordKeys reads fields 0..nKeys-1; ordFull additionally breaks
+        // ties on the time field — so "head is consumable" is a single
+        // ordFull comparison.
+        val ordKeys = RowOrdering.createNaturalAscendingOrdering(keyDts)
+        val ordFull = RowOrdering.createNaturalAscendingOrdering(keyDts :+ timeDt)
+        // Nearest needs a numeric time distance (validated at build)
+        val getTime: (InternalRow, Int) => Long =
+          longGetter(timeDt).getOrElse((_, _) => 0L)
 
         var lastMatch: InternalRow = null
-        var matchKey: Any = null
+        var matchKt: UnsafeRow = null
         var haveMatch = false
         var headRow: InternalRow = null
-        var hk: Any = null
-        var ht: Any = null
+        var headKt: UnsafeRow = null
 
         def headReady(): Boolean = {
           while (headRow == null && rIter.hasNext) {
             val r = rIter.next()
             val kt = rKt(r)
-            if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
-              hk = kt.get(0, keyDt) match {
-                case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-                case v => v
-              }
-              ht = kt.get(1, timeDt) match {
-                case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-                case v => v
-              }
+            if (!anyNull(kt)) {
+              headKt = kt.copy() // projection buffer is reused — retain
               headRow = r
             }
           }
@@ -272,28 +289,42 @@ case class AsOfJoinExec(
 
         lIter.map { lRow =>
           val kt = lKt(lRow)
-          if (kt.isNullAt(0) || kt.isNullAt(1)) {
+          if (anyNull(kt)) {
             proj(joined(lRow, nullRight))
           } else {
-            val k = kt.get(0, keyDt)
-            val t = kt.get(1, timeDt)
             var advancing = true
             while (advancing && headReady()) {
-              val kc = cmpKey(hk, k)
-              val tc = cmpTime(ht, t)
-              if (kc < 0 || (kc == 0 && (if (forward) tc < 0 else tc <= 0))) {
-                if (!forward) {
+              val c = ordFull.compare(headKt, kt)
+              // backward/nearest: consume head ≤ (keys, t); forward:
+              // consume strictly below — the blocked head may BE the
+              // match
+              if (c < 0 || (c == 0 && dir != AsOfDirection.Forward)) {
+                if (dir != AsOfDirection.Forward) {
                   lastMatch = headRow.copy()
-                  matchKey = hk
+                  matchKt = headKt
                   haveMatch = true
                 }
                 headRow = null
               } else advancing = false
             }
-            val rMatch =
-              if (forward) { if (headRow != null && cmpKey(hk, k) == 0) headRow else nullRight }
-              else if (haveMatch && cmpKey(matchKey, k) == 0) lastMatch
-              else nullRight
+            val back =
+              if (haveMatch && ordKeys.compare(matchKt, kt) == 0) lastMatch else null
+            val ahead =
+              if (headRow != null && ordKeys.compare(headKt, kt) == 0) headRow else null
+            val rMatch = dir match {
+              case AsOfDirection.Backward => if (back != null) back else nullRight
+              case AsOfDirection.Forward => if (ahead != null) ahead else nullRight
+              case AsOfDirection.Nearest =>
+                if (back == null && ahead == null) nullRight
+                else if (ahead == null) back
+                else if (back == null) ahead
+                else {
+                  val t = getTime(kt, nKeys)
+                  if (t - getTime(matchKt, nKeys) <= getTime(headKt, nKeys) - t)
+                    back
+                  else ahead
+                }
+            }
             proj(joined(lRow, rMatch))
           }
         }
@@ -324,27 +355,52 @@ object AsOfJoin {
     }
   }
 
-  /** As-of join `left` to `right`: for each left row, the latest right
-    * row with equal key and right time ≤ left time (left outer) —
-    * or, with `forward = true`, the EARLIEST right row with time ≥
-    * left time (the DuckDB `ASOF ... ON l.t <= r.t` direction).
-    *
-    * Key types must match across sides and be orderable; same for time
-    * types. Long-backed key/time (long/int/short/byte/date/timestamp/
-    * timestamp_ntz) run the primitive merge path; other orderable
-    * types (string, decimal, double) use interpreted orderings. Null
-    * keys/times never match.
+  /** As-of join `left` to `right` on a single key: for each left row,
+    * the latest right row with equal key and right time ≤ left time
+    * (left outer) — or, with `forward = true`, the EARLIEST right row
+    * with time ≥ left time (the DuckDB `ASOF ... ON l.t <= r.t`
+    * direction).
     */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false): DataFrame =
+    joinMulti(left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
+      if (forward) AsOfDirection.Forward else AsOfDirection.Backward)
+
+  /** Nearest-direction as-of on a single key: the right row minimizing
+    * |right time − left time|, ties to the earlier match. Time must be
+    * a long-backed type (timestamp/date/integer family) — "nearest"
+    * needs a numeric distance.
+    */
+  def joinNearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): DataFrame =
+    joinMulti(left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
+      AsOfDirection.Nearest)
+
+  /** General form: composite keys + any direction. Key types must
+    * match pairwise across sides and be orderable; same for time
+    * types. A single long-backed key/time (long/int/short/byte/date/
+    * timestamp/timestamp_ntz) runs the primitive merge path; composite
+    * or other orderable types use interpreted orderings. Null
+    * keys/times never match.
+    */
+  def joinMulti(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
+      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"as-of join needs matching non-empty key lists, got " +
+        s"${leftKeys.length} left vs ${rightKeys.length} right")
     val spark = left.sparkSession
     install(spark)
-    val lk = GraftBridge.expression(left(leftKey))
+    val lks = leftKeys.map(k => GraftBridge.expression(left(k)))
     val lt = GraftBridge.expression(left(leftTime))
-    val rk = GraftBridge.expression(right(rightKey))
+    val rks = rightKeys.map(k => GraftBridge.expression(right(k)))
     val rt = GraftBridge.expression(right(rightTime))
     def check(side: String, l: Expression, r: Expression): Unit = {
       require(DataType.equalsIgnoreNullability(l.dataType, r.dataType),
@@ -353,11 +409,20 @@ object AsOfJoin {
       require(RowOrdering.isOrderable(l.dataType),
         s"as-of join $side type ${l.dataType.sql} is not orderable")
     }
-    check("key", lk, rk)
+    lks.zip(rks).foreach { case (l, r) => check("key", l, r) }
     check("time", lt, rt)
+    if (direction == AsOfDirection.Nearest) {
+      val ok = lt.dataType match {
+        case LongType | IntegerType | ShortType | ByteType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"nearest as-of needs a long-backed time type for " +
+        s"|Δt| comparison, got ${lt.dataType.sql}")
+    }
     val plan = AsOfJoinPlan(
       GraftBridge.analyzedPlan(left), GraftBridge.analyzedPlan(right),
-      lk, lt, rk, rt, forward)
+      lks, lt, rks, rt, direction)
     GraftBridge.ofRows(spark, plan)
   }
 }

@@ -128,6 +128,81 @@ class AsOfJoinSpec extends SparkSpec {
       "before" -> "q5", "nokey" -> null))
   }
 
+  test("nearest direction picks min |Δt|, ties prefer backward, on both paths") {
+    val quotes = Seq((1L, 10L, "q10"), (1L, 30L, "q30"), (2L, 50L, "q50"))
+      .toDF("key", "t", "quote")
+    val trades = Seq(
+      (1L, 12L, "closer_back"),  // |12-10|=2 < |30-12|=18
+      (1L, 28L, "closer_fwd"),   // |28-10|=18 > |30-28|=2
+      (1L, 20L, "tie"),          // |20-10| == |30-20| → backward q10
+      (1L, 30L, "exact"),        // dist 0 both ways → same row
+      (2L, 1L, "only_fwd"),      // nothing before → forward q50
+      (2L, 99L, "only_back"),    // nothing after → backward q50
+      (3L, 5L, "nokey"))
+      .toDF("key", "t", "trade")
+    val expected = Map("closer_back" -> "q10", "closer_fwd" -> "q30",
+      "tie" -> "q10", "exact" -> "q30", "only_fwd" -> "q50",
+      "only_back" -> "q50", "nokey" -> null)
+    // primitive path (long key)
+    val prim = AsOfJoin.joinNearest(trades, quotes, "key", "t", "key", "t")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(prim == expected)
+    // generic path (string key, long-backed time)
+    val sq = quotes.withColumn("key", concat(lit("k"), col("key")))
+    val st = trades.withColumn("key", concat(lit("k"), col("key")))
+    val gen = AsOfJoin.joinNearest(st, sq, "key", "t", "key", "t")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gen == expected)
+  }
+
+  test("nearest rejects a non-numeric time type with a clear error") {
+    val l = Seq((1L, "a")).toDF("key", "t")
+    val r = Seq((1L, "b")).toDF("key", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinNearest(l, r, "key", "t", "key", "t")
+    }
+    assert(e.getMessage.contains("long-backed time"))
+  }
+
+  test("composite keys match lexicographically across mixed types") {
+    val quotes = Seq(
+      (1L, "a", 10L, "1a10"), (1L, "a", 20L, "1a20"),
+      (1L, "b", 15L, "1b15"), (2L, "a", 5L, "2a5"))
+      .toDF("k1", "k2", "t", "quote")
+    val trades = Seq(
+      (1L, "a", 25L, "t1"),  // → 1a20
+      (1L, "b", 14L, "t2"),  // nothing ≤ 14 for (1,b)... 15 > 14 → null
+      (1L, "b", 15L, "t3"),  // → 1b15
+      (2L, "a", 99L, "t4"),  // → 2a5
+      (2L, "b", 99L, "t5"))  // no such key pair → null
+      .toDF("k1", "k2", "t", "trade")
+    val out = AsOfJoin.joinMulti(trades, quotes,
+        Seq("k1", "k2"), "t", Seq("k1", "k2"), "t")
+      .select(col("trade"), col("quote")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("t1" -> "1a20", "t2" -> null, "t3" -> "1b15",
+      "t4" -> "2a5", "t5" -> null))
+    // a null in ANY key component never matches
+    val qn = Seq((Some(1L), Some("a"), 10L, "q")).toDF("k1", "k2", "t", "quote")
+    val tn = Seq((Some(1L), None: Option[String], 20L, "knull"))
+      .toDF("k1", "k2", "t", "trade")
+    val out2 = AsOfJoin.joinMulti(tn, qn, Seq("k1", "k2"), "t",
+        Seq("k1", "k2"), "t")
+      .select(col("trade"), col("quote")).head()
+    assert(out2.getString(0) == "knull" && out2.isNullAt(1))
+  }
+
+  test("mismatched key-list lengths fail fast") {
+    val l = Seq((1L, 1L)).toDF("key", "t")
+    val r = Seq((1L, 1L)).toDF("key", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinMulti(l, r, Seq("key"), "t", Seq("key", "t"), "t")
+    }
+    assert(e.getMessage.contains("matching non-empty key lists"))
+  }
+
   test("q23 shuffles orders exactly once (agg reuses the join's partitioning)") {
     val df = RelationalQueries.queries("q23_asof_native")(spark, sfDir)
     df.collect()
