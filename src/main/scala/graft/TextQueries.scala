@@ -58,6 +58,130 @@ object TextQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // E6 — character-trigram-PROFILE language ID: per-language weighted
+  // trigram profiles in a small dimension table, scored with one
+  // explode + broadcast join + two hash aggregations — the shape that
+  // scales (E1's per-literal scan passes grow linearly with profile
+  // size; this is O(text) regardless of how many grams profiles hold).
+  // Integer weights keep the scoring exact on both engines.
+  private val NgramProfiles: Seq[(String, String, Long)] = Seq(
+    ("en", "the", 10L), ("en", "he ", 8L), ("en", " th", 8L), ("en", "ing", 7L),
+    ("en", "and", 7L), ("en", " of", 5L), ("en", "ion", 4L), ("en", " an", 4L),
+    ("es", " de", 9L), ("es", "de ", 8L), ("es", "la ", 7L), ("es", " la", 6L),
+    ("es", "os ", 6L), ("es", "que", 6L), ("es", "el ", 5L), ("es", "as ", 4L),
+    ("fr", " le", 8L), ("fr", "le ", 8L), ("fr", "es ", 7L), ("fr", "ent", 6L),
+    ("fr", " et", 6L), ("fr", "de ", 5L), ("fr", "que", 4L), ("fr", "ou ", 4L),
+    ("de", "der", 9L), ("de", "ein", 8L), ("de", "ich", 8L), ("de", "und", 8L),
+    ("de", "sch", 7L), ("de", "die", 7L), ("de", "en ", 6L), ("de", " di", 5L))
+
+  private def textLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profile = NgramProfiles.toDF("lang", "gram", "weight")
+    val grams = docs(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
+        .as("gram"))
+    val scores = grams.join(broadcast(profile), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("weight")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))
+    val best = scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("score"))
+    docs(s, dir).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("en")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("top_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangidNgramSql = {
+    val vals = NgramProfiles.map { case (l, g, w) => s"('$l', '$g', $w)" }
+      .mkString(", ")
+    s"""WITH prof(lang, gram, weight) AS (VALUES $vals),
+       |g AS (
+       | SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 2),
+       |   i -> substring(lower(text), i, 3))) AS gram
+       | FROM documents WHERE length(text) >= 3
+       |),
+       |h AS (
+       | SELECT doc_id, lang, CAST(sum(weight) AS BIGINT) AS score
+       | FROM g JOIN prof USING (gram) GROUP BY doc_id, lang
+       |),
+       |b AS (
+       | SELECT doc_id, lang, score,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+       | FROM h
+       |)
+       |SELECT d.doc_id, coalesce(b.lang, 'en') AS pred_lang,
+       |  coalesce(b.score, 0) AS top_score
+       |FROM documents d LEFT JOIN (SELECT * FROM b WHERE rk = 1) b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // E7 — BPE vocabulary-merge training (graft.operators.BpeTrainer):
+  // 8 rounds of count-pairs → pick-max → greedy left-to-right merge
+  // over the word-type table. The oracle replays the ENTIRE training
+  // loop — pair selection included — as chained DuckDB CTEs, so the
+  // merge table must match rank for rank, pair for pair, count for
+  // count.
+  private val BpeMerges = 8
+
+  private def textBpe(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) >= 2)"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    graft.operators.BpeTrainer.train(words, BpeMerges)
+      .orderBy(col("merge_rank"))
+  }
+
+  private val textBpeSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        | SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |   list_transform(generate_series(1, length(word)),
+        |     i -> substring(word, i, 1)) AS toks
+        | FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         x -> x <> '' AND length(x) >= 2)) AS word
+        |       FROM documents)
+        | GROUP BY word
+        |)""".stripMargin)
+    for (k <- 0 until BpeMerges) {
+      sb.append(s""",
+        |c$k AS (
+        | SELECT p.pa AS pa, p.pb AS pb, CAST(sum(cnt) AS BIGINT) AS weight
+        | FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> {'pa': toks[i], 'pb': toks[i + 1]})) AS p
+        |       FROM w$k WHERE len(toks) >= 2) px
+        | GROUP BY 1, 2
+        |),
+        |b$k AS (SELECT pa, pb, weight FROM c$k ORDER BY weight DESC, pa, pb LIMIT 1)""".stripMargin)
+      if (k < BpeMerges - 1) {
+        sb.append(s""",
+          |w${k + 1} AS (
+          | SELECT w.word, w.cnt,
+          |   list_reduce(
+          |     list_prepend(CAST([] AS VARCHAR[]), list_transform(w.toks, x -> [x])),
+          |     (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.pa AND x[1] = b.pb
+          |                 THEN list_append(acc[1:len(acc) - 1], b.pa || b.pb)
+          |                 ELSE list_append(acc, x[1]) END) AS toks
+          | FROM w$k w, b$k b
+          |)""".stripMargin)
+      }
+    }
+    sb.append("\n" + (0 until BpeMerges).map(k =>
+        s"SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, pa, pb, " +
+          s"pa || pb AS merged, weight FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
+    sb.toString
+  }
+
   // E2 — quality scoring: length / punctuation / digit / stopword ratios.
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     val len = length(col("text")).cast("long")
@@ -191,15 +315,19 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
+    "text_langid_ngram" -> (textLangidNgram _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_tfidf" -> (textTfidf _))
+    "text_tfidf" -> (textTfidf _),
+    "text_bpe" -> (textBpe _))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
+    "text_langid_ngram" -> textLangidNgramSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_tfidf" -> textTfidfSql)
+    "text_tfidf" -> textTfidfSql,
+    "text_bpe" -> textBpeSql)
 }

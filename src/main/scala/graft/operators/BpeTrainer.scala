@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding vocabulary training as DataFrame ops.
+  *
+  * Classic BPE over word types (word → frequency, tokenized to
+  * characters): each round counts adjacent token pairs weighted by
+  * word frequency, picks the most frequent pair (ties broken
+  * lexicographically), and greedily merges it left-to-right in every
+  * word. The learned artifact is the ordered merge table.
+  *
+  * Distributed shape: pair counting is explode + hash aggregation over
+  * the word-type table (NOT the corpus — word types are the classic
+  * BPE compression of the input, orders of magnitude smaller); the
+  * winning pair is one driver-side scalar per round — the same
+  * O(rounds) synchronization k-means training has. The greedy merge is
+  * a left-to-right `aggregate` fold over each word's token array,
+  * exactly reproducible in DuckDB's list_reduce (the oracle replays
+  * the whole loop, including pair selection, as chained CTEs).
+  */
+object BpeTrainer {
+
+  /** One learned merge. */
+  final case class Merge(rank: Long, pa: String, pb: String, weight: Long)
+
+  /** Greedy left-to-right application of merge (a, b) over `toks`.
+    * "aaa" with pair (a,a) becomes [aa, a] — fold semantics, standard
+    * BPE greedy application. Tokens are [a-z0-9]+ so literal embedding
+    * in the expression is safe.
+    */
+  private def mergeFold(a: String, b: String) = expr(
+    s"""aggregate(toks, cast(array() as array<string>),
+       | (acc, x) -> CASE
+       |   WHEN size(acc) > 0 AND element_at(acc, size(acc)) = '$a' AND x = '$b'
+       |   THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+       |   ELSE concat(acc, array(x)) END)""".stripMargin)
+
+  /** Train `nMerges` BPE merges over a (word, cnt) word-type table.
+    * Returns the merge table (merge_rank, pa, pb, merged, weight).
+    */
+  def train(wordCounts: DataFrame, nMerges: Int): DataFrame = {
+    val spark = wordCounts.sparkSession
+    var words = wordCounts.withColumn("toks",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("word"), col("cnt"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val pairExpr = expr(
+      """transform(sequence(1, size(toks) - 1),
+        | i -> struct(element_at(toks, i) AS pa, element_at(toks, i + 1) AS pb))""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val best = words.filter(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(pairExpr).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val r = best.head
+        val (pa, pb, wt) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += Merge(k.toLong, pa, pb, wt)
+        val next = words
+          .withColumn("toks", mergeFold(pa, pb))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent cache
+        words.unpersist(false)
+        words = next
+      }
+    }
+    words.unpersist(false)
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("pa", StringType, nullable = false),
+      StructField("pb", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("weight", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        merges.map(m => Row(m.rank, m.pa, m.pb, m.pa + m.pb, m.weight)).toSeq: _*),
+      schema)
+  }
+}
