@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
 final class ArchetypeStore(
     val spark: SparkSession,
     val simulation: String,
-    val run: String) {
+    val run: String,
+    val reliableCheckpoints: Boolean = false) {
 
   import ArchetypeStore._
 
@@ -199,12 +200,24 @@ final class ArchetypeStore(
     * The previous compaction's checkpoint blocks are released once the
     * new one materializes, so long simulations hold at most one
     * snapshot per archetype.
+    *
+    * With `reliableCheckpoints` the snapshot goes to the session's
+    * checkpoint directory (HDFS/object store on a cluster) instead of
+    * executor-local blocks — a lost executor then costs a re-read, not
+    * the whole simulation. Local checkpoints stay the default for
+    * single-node speed; old reliable checkpoint files are reclaimed by
+    * Spark's reference-tracking cleaner.
     */
   def optimize(): Unit = {
     flush()
+    if (reliableCheckpoints)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints requires SparkContext.setCheckpointDir")
     tables.keys.toSeq.foreach { h =>
       val old = checkpointed.get(h)
-      tables(h) = tables(h).localCheckpoint(true)
+      tables(h) =
+        if (reliableCheckpoints) tables(h).checkpoint(eager = true)
+        else tables(h).localCheckpoint(true)
       checkpointed(h) = tables(h)
       old.foreach(o => org.apache.spark.sql.GraftBridge.checkpointRdd(o)
         .foreach(_.unpersist(false)))

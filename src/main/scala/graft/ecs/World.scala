@@ -126,8 +126,9 @@ object World {
       spark: SparkSession,
       simulation: String = s"sim_${java.util.UUID.randomUUID().toString.take(8)}",
       run: String = s"run_${java.util.UUID.randomUUID().toString.take(8)}",
-      optimizeInterval: Int = 4): World = {
-    val store = new ArchetypeStore(spark, simulation, run)
+      optimizeInterval: Int = 4,
+      reliableCheckpoints: Boolean = false): World = {
+    val store = new ArchetypeStore(spark, simulation, run, reliableCheckpoints)
     val querier = new QueryManager(store)
     val updater = new UpdateManager(store)
     val system = new SimpleSystem(querier)
