@@ -61,11 +61,46 @@ object SketchQueries {
     """SELECT event_type, count(*) AS n, true AS cms_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // I3 — Bloom-filter runtime pre-filter: build the filter over the
+  // BUILDING customers' keys (the dimension side a 100 TB plan would
+  // aggregate map-side and broadcast), then probe every order's
+  // custkey. The row hash-matches only if the filter admits every
+  // true member (no false negatives — Bloom's contract) AND passes
+  // fewer than 1% of non-members (2^17 bits / k=7 over ~sf·3k keys is
+  // orders of magnitude under that). Exact membership via a broadcast
+  // semi-join flag so DuckDB can replay the counts.
+  private def sketchBloomFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom, bloomContains}
+    val building = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloomDf = building.agg(bloom(col("c_custkey")).as("bf"))
+    val hit = bloomContains(col("bf"), col("o_custkey"))
+    val isMember = col("c_custkey").isNotNull
+    Tables.load(s, dir, "orders")
+      .join(broadcast(building.distinct()), col("o_custkey") === col("c_custkey"), "left")
+      .crossJoin(broadcast(bloomDf))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        count(when(isMember, 1)).as("n_member"),
+        (count(when(isMember && !hit, 1)) === 0L).as("no_false_negatives"),
+        (count(when(!isMember && hit, 1)) <= count(lit(1)) * 0.01).as("fpr_ok"))
+  }
+
+  private val sketchBloomFilterSql =
+    """SELECT count(*) AS n_probes,
+      | count(*) FILTER (WHERE o_custkey IN
+      |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_member,
+      | true AS no_false_negatives, true AS fpr_ok
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> (sketchHllDistinct _),
-    "sketch_cms_freq" -> (sketchCmsFreq _))
+    "sketch_cms_freq" -> (sketchCmsFreq _),
+    "sketch_bloom_filter" -> (sketchBloomFilter _))
 
   val oracles: Map[String, String] = Map(
     "sketch_hll_distinct" -> sketchHllDistinctSql,
-    "sketch_cms_freq" -> sketchCmsFreqSql)
+    "sketch_cms_freq" -> sketchCmsFreqSql,
+    "sketch_bloom_filter" -> sketchBloomFilterSql)
 }

@@ -67,11 +67,41 @@ object SourceQueries {
       |FROM orders WHERE o_totalprice >= 200000.0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // H3 — hive-partitioned layout + partition pruning: write orders
+  // partitioned by o_orderstatus (the coarse-selectivity column a
+  // 100 TB table would be laid out on), then read back ONE partition.
+  // The status predicate is a partition filter — resolved against the
+  // directory listing at planning, so the other partitions' files are
+  // never opened (SourcePruningSpec asserts the plan reads only the
+  // matching partition). Aggregation is per order-month on the pruned
+  // read-back.
+  private def srcPartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_month"))
+  }
+
+  private val srcPartitionedWriteSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_roundtrip" -> (srcRoundtrip _),
-    "src_orc_roundtrip" -> (srcOrcRoundtrip _))
+    "src_orc_roundtrip" -> (srcOrcRoundtrip _),
+    "src_partitioned_write" -> (srcPartitionedWrite _))
 
   val oracles: Map[String, String] = Map(
     "src_roundtrip" -> srcRoundtripSql,
-    "src_orc_roundtrip" -> srcOrcRoundtripSql)
+    "src_orc_roundtrip" -> srcOrcRoundtripSql,
+    "src_partitioned_write" -> srcPartitionedWriteSql)
 }

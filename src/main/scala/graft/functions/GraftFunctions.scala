@@ -64,7 +64,20 @@ object GraftFunctions {
           if (exprs.length == 4)
             (intLit("graft_cms", "depth", exprs(2)), intLit("graft_cms", "width", exprs(3)))
           else (5, 2048)
-        CmsAggregate(exprs(0), exprs(1), depth, width) }))
+        CmsAggregate(exprs(0), exprs(1), depth, width) }),
+    ("graft_bloom",
+      "graft_bloom(col[, numBits, numHashes]) - Bloom filter over a column, as BINARY",
+      exprs => { arity("graft_bloom", exprs, 1, 3)
+        val (bits, k) =
+          if (exprs.length == 3)
+            (intLit("graft_bloom", "numBits", exprs(1)),
+              intLit("graft_bloom", "numHashes", exprs(2)))
+          else (1 << 17, 7)
+        BloomAggregate(exprs(0), bits, k) }),
+    ("graft_bloom_contains",
+      "graft_bloom_contains(filter, value) - membership probe against a graft_bloom BINARY",
+      exprs => { arity("graft_bloom_contains", exprs, 2)
+        BloomContainsExpr(exprs(0), exprs(1)) }))
 
   /** Register every graft function on an already-built session;
     * idempotent (re-registration overwrites with the same builder).
