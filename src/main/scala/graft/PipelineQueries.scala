@@ -102,11 +102,78 @@ object PipelineQueries {
       |HAVING count(*) >= 3
       |ORDER BY doc_id, probe_id""".stripMargin
 
+  // J3 — the end-to-end selection run a training-data pipeline chains
+  // from the pieces above: exact dedup (md5 groupBy keeps the lowest
+  // doc_id per identical text — one shuffle on the hash, never on the
+  // text) → quality gate (E2's length + punctuation thresholds) →
+  // language ID (E1's stopword profiles) → per-language corpus stats.
+  // All stages are single-pass column expressions over the survivors;
+  // the only shuffles are the dedup groupBy and the final per-language
+  // aggregation, which is the minimum this composition can do.
+  private def pipelineQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keep = d.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val len = length(col("text")).cast("long")
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = TextQueries.Profiles.map { case (lang, words) =>
+      lang -> words.map(w => TextQueries.hits(padded, w)).reduce(_ + _)
+    }
+    val pred = when(scores("en") >= scores("es") && scores("en") >= scores("fr") && scores("en") >= scores("de"), "en")
+      .when(scores("es") >= scores("fr") && scores("es") >= scores("de"), "es")
+      .when(scores("fr") >= scores("de"), "fr")
+      .otherwise("de")
+    val band = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 350, "medium")
+      .otherwise("long")
+    d.join(keep, Seq("doc_id"), "leftsemi")
+      .filter(len >= 100 && punct / len <= 0.1)
+      .select(pred.as("pred_lang"), band.as("band"), col("text"))
+      .groupBy(col("pred_lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long")).as("n_words"),
+        round(avg(length(col("text"))), 4).as("avg_len"))
+      .orderBy(col("pred_lang"), col("band"))
+  }
+
+  private val pipelineQualityGateSql = {
+    val p = "concat(' ', lower(text), ' ')"
+    def score(lang: String) =
+      TextQueries.Profiles(lang).map(w => TextQueries.hitsSql(p, w)).mkString(" + ")
+    s"""WITH keep AS (
+       | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |gated AS (
+       | SELECT d.text,
+       |   ${score("en")} AS s_en, ${score("es")} AS s_es,
+       |   ${score("fr")} AS s_fr, ${score("de")} AS s_de
+       | FROM documents d JOIN keep USING (doc_id)
+       | WHERE length(text) >= 100
+       |   AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) <= 0.1),
+       |labeled AS (
+       | SELECT text,
+       |   CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |        WHEN s_fr >= s_de THEN 'fr'
+       |        ELSE 'de' END AS pred_lang,
+       |   CASE WHEN length(text) < 200 THEN 'short'
+       |        WHEN length(text) < 350 THEN 'medium'
+       |        ELSE 'long' END AS band
+       | FROM gated)
+       |SELECT pred_lang, band, count(*) AS n_docs,
+       | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_words,
+       | round(avg(length(text)), 4) AS avg_len
+       |FROM labeled GROUP BY pred_lang, band ORDER BY pred_lang, band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
-    "pipeline_contamination" -> (pipelineContamination _))
+    "pipeline_contamination" -> (pipelineContamination _),
+    "pipeline_quality_gate" -> (pipelineQualityGate _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
-    "pipeline_contamination" -> pipelineContaminationSql)
+    "pipeline_contamination" -> pipelineContaminationSql,
+    "pipeline_quality_gate" -> pipelineQualityGateSql)
 }

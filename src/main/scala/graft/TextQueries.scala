@@ -12,13 +12,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   /** Occurrences of a literal in text via length-difference. */
-  private def hits(c: Column, lit0: String): Column =
+  private[graft] def hits(c: Column, lit0: String): Column =
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(lit0), ""))) / lit0.length).cast("long")
 
-  private def hitsSql(expr0: String, lit0: String): String =
+  private[graft] def hitsSql(expr0: String, lit0: String): String =
     s"CAST((length($expr0) - length(replace($expr0, '$lit0', ''))) / ${lit0.length} AS BIGINT)"
 
-  private val Profiles: Map[String, Seq[String]] = Map(
+  private[graft] val Profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " a "),
     "es" -> Seq(" el ", " la ", " de "),
     "fr" -> Seq(" le ", " et ", " un "),
