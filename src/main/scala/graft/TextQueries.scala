@@ -140,7 +140,12 @@ object TextQueries {
       .orderBy(col("merge_rank"))
   }
 
-  private val textBpeSql: String = {
+  /** The BPE training loop as chained DuckDB CTEs: w0 (char-tokenized
+    * word types), per-round pair counts c_k, winners b_k, and merged
+    * word tables w_{k+1}. `includeFinalWords` also emits w{BpeMerges}
+    * (the fully-encoded types) for the encode oracle.
+    */
+  private def bpeSqlChain(includeFinalWords: Boolean): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (
@@ -162,7 +167,7 @@ object TextQueries {
         | GROUP BY 1, 2
         |),
         |b$k AS (SELECT pa, pb, weight FROM c$k ORDER BY weight DESC, pa, pb LIMIT 1)""".stripMargin)
-      if (k < BpeMerges - 1) {
+      if (k < BpeMerges - 1 || includeFinalWords) {
         sb.append(s""",
           |w${k + 1} AS (
           | SELECT w.word, w.cnt,
@@ -175,12 +180,57 @@ object TextQueries {
           |)""".stripMargin)
       }
     }
-    sb.append("\n" + (0 until BpeMerges).map(k =>
-        s"SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, pa, pb, " +
-          s"pa || pb AS merged, weight FROM b$k")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
     sb.toString
   }
+
+  private val textBpeSql: String =
+    bpeSqlChain(includeFinalWords = false) +
+      "\n" + (0 until BpeMerges).map(k =>
+        s"SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, pa, pb, " +
+          s"pa || pb AS merged, weight FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  // E8 — BPE ENCODING with the trained vocabulary: the learned merge
+  // table (a handful of driver-side rows, the same O(rounds) sync the
+  // training loop already pays) is applied rank-by-rank to the word-
+  // TYPE table — the classic BPE trick: encoding cost scales with
+  // distinct words, not corpus tokens — then joined back to per-doc
+  // word occurrences for token counts. The oracle replays training AND
+  // encoding: the same CTE chain extended to the final word table,
+  // joined to each document's words.
+  private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docWords = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) >= 2)"))
+        .as("word"))
+    val wordCounts = docWords.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = graft.operators.BpeTrainer.train(wordCounts, BpeMerges)
+      .orderBy(col("merge_rank")).select(col("pa"), col("pb"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val tokLen = graft.operators.BpeTrainer.encode(
+      wordCounts.select(col("word")), merges)
+    docWords.join(tokLen, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textBpeEncodeSql: String =
+    bpeSqlChain(includeFinalWords = true) + s""",
+      |docw AS (
+      | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '' AND length(x) >= 2)) AS word
+      | FROM documents)
+      |SELECT doc_id, count(*) AS n_words,
+      | CAST(sum(length(word)) AS BIGINT) AS n_chars,
+      | CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+      | round(sum(length(word)) / sum(len(toks)), 4) AS compression
+      |FROM docw JOIN w$BpeMerges USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // E2 — quality scoring: length / punctuation / digit / stopword ratios.
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
@@ -320,7 +370,8 @@ object TextQueries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf" -> (textTfidf _),
-    "text_bpe" -> (textBpe _))
+    "text_bpe" -> (textBpe _),
+    "text_bpe_encode" -> (textBpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
@@ -329,5 +380,6 @@ object TextQueries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf" -> textTfidfSql,
-    "text_bpe" -> textBpeSql)
+    "text_bpe" -> textBpeSql,
+    "text_bpe_encode" -> textBpeEncodeSql)
 }

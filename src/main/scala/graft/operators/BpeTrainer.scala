@@ -71,6 +71,23 @@ object BpeTrainer {
       }
     }
     words.unpersist(false)
+    mergesToDf(spark, merges.toSeq)
+  }
+
+  /** Tokenize each word type to characters and apply `merges` in
+    * rank order (the same greedy fold training used). Returns
+    * (word, n_toks) — the per-type BPE token count; joining it back
+    * to occurrences is the caller's (cheap, type-keyed) join.
+    */
+  def encode(wordTypes: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var t = wordTypes.withColumn("toks",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    merges.foreach { case (pa, pb) => t = t.withColumn("toks", mergeFold(pa, pb)) }
+    t.select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+  }
+
+  private def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
     val schema = StructType(Seq(
       StructField("merge_rank", LongType, nullable = false),
       StructField("pa", StringType, nullable = false),
