@@ -258,13 +258,54 @@ object SimilarityQueries {
       | CAST(sum(has_big) AS BIGINT) AS n_with_big_dim
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  // D7 — int8 scalar quantization: per-vector min/max affine codes
+  // (q = floor((x - mn)/scale), clamped to [0, 255]) — the 4×
+  // embedding-storage compression step an ANN index at 100 TB applies
+  // before IVF/LSH. floor (not round) keeps the arithmetic tie-free,
+  // so the code SUMS replay exactly in DuckDB; the reconstruction
+  // bound |x - (mn + q·scale)| ≤ scale is checked as a boolean.
+  private def vecQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val mn = array_min(col("v"))
+    val mx = array_max(col("v"))
+    emb(s, dir)
+      .withColumn("mn", mn).withColumn("mx", mx)
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN 0L
+          | ELSE least(CAST(floor((x - mn) / scale) AS BIGINT), 255L) END)""".stripMargin))
+      .withColumn("max_err", expr(
+        "array_max(zip_with(v, qv, (x, q) -> abs(x - (mn + q * scale))))"))
+      .select(col("vec_id"), size(col("v")).cast("long").as("n_dims"),
+        expr("aggregate(qv, 0L, (acc, q) -> acc + q)").as("sum_q"),
+        (col("max_err") <= col("scale") * 1.0000001 + 1e-12).as("bound_ok"),
+        (round(col("mn"), 4) + lit(0.0)).as("mn_r"),
+        (round(col("mx"), 4) + lit(0.0)).as("mx_r"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val vecQuantizeInt8Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+      |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      |q AS (SELECT vec_id, v, mn, mx, scale,
+      |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |          ELSE least(CAST(floor((x - mn) / scale) AS BIGINT), 255) END) AS qv
+      |      FROM p)
+      |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+      | CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      | list_max(list_transform(generate_series(1, len(v)),
+      |   i -> abs(v[i] - (mn + qv[i] * scale)))) <= scale * 1.0000001 + 1e-12 AS bound_ok,
+      | round(mn, 4) + 0 AS mn_r, round(mx, 4) + 0 AS mx_r
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
     "vec_norm_stats" -> (vecNormStats _),
-    "vec_hof_stats" -> (vecHofStats _))
+    "vec_hof_stats" -> (vecHofStats _),
+    "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteforceSql,
@@ -272,5 +313,6 @@ object SimilarityQueries {
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "vec_norm_stats" -> vecNormStatsSql,
-    "vec_hof_stats" -> vecHofStatsSql)
+    "vec_hof_stats" -> vecHofStatsSql,
+    "vec_quantize_int8" -> vecQuantizeInt8Sql)
 }

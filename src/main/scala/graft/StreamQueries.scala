@@ -283,6 +283,34 @@ object StreamQueries {
     """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming transform (G8): enrich a stream with a STATIC dimension
+    * — the stream-static broadcast join. Stateless (no watermark, no
+    * state store): each micro-batch hash-probes the broadcast
+    * dimension, which is exactly how a 100 TB ingest enriches events
+    * against reference data without shuffling the stream.
+    */
+  def staticJoinStream(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("value"))
+
+  // G8 batch equivalent — same enrichment aggregated per (segment,
+  // event type).
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    staticJoinStream(Tables.load(s, dir, "events"), Tables.load(s, dir, "customer"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
+  private val streamStaticJoinSql =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      | round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
@@ -290,7 +318,8 @@ object StreamQueries {
     "stream_ecs_ingest" -> (streamEcsIngest _),
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
-    "stream_sketch" -> (streamSketch _))
+    "stream_sketch" -> (streamSketch _),
+    "stream_static_join" -> (streamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -299,5 +328,6 @@ object StreamQueries {
     "stream_ecs_ingest" -> streamEcsIngestSql,
     "stream_join" -> streamJoinSql,
     "stream_join_outer" -> streamJoinOuterSql,
-    "stream_sketch" -> streamSketchSql)
+    "stream_sketch" -> streamSketchSql,
+    "stream_static_join" -> streamStaticJoinSql)
 }

@@ -276,6 +276,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_static_join: enrichment against static dimension == batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = sampleEvents(300)
+    val customer = Tables.load(spark, sfDir, "customer")
+    val q = StreamQueries.staticJoinStream(input.toDF(), customer)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("static_join_out").start()
+    try {
+      input.addData(events.take(150))
+      q.processAllAvailable()
+      input.addData(events.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.table("static_join_out")
+        .orderBy("event_id").collect().toSeq
+      val expected = StreamQueries.staticJoinStream(events.toDF(), customer)
+        .orderBy("event_id").collect().toSeq
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream_dedup: streaming keeps first arrival per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
