@@ -66,25 +66,57 @@ object IvfIndex {
         java.util.Arrays.asList(rows: _*), centSchema)
     }
 
-    // deterministic farthest-point (k-center) init: first centroid =
-    // min-xxhash vector, then repeatedly the vector farthest from all
-    // chosen so far. One broadcast scan per pick; on well-separated
-    // data every cluster gets exactly one seed, which is what keeps
-    // Lloyd out of merge/split local optima (a pure hash spread can
-    // drop 2+ seeds into one cluster and none into another).
-    var cent = materialize(
-      vectors.orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
-        .select(lit(0L).as("cid"), col(vecCol).as("cv")))
-    for (i <- 1 until k) {
-      val next = vectors.crossJoin(broadcast(cent))
-        .withColumn("d2", dist2(col(vecCol), col("cv")))
-        .groupBy(col(idCol), col(vecCol))
-        .agg(min(col("d2")).as("mind2"))
-        .orderBy(col("mind2").desc, col(idCol))
-        .limit(1)
-        .select(lit(i.toLong).as("cid"), col(vecCol).as("cv"))
-      cent = materialize(cent.unionByName(next))
+    // deterministic farthest-point (k-center) init over a SAMPLE:
+    // one distributed top-N-by-xxhash job collects a representative
+    // sample (TakeOrdered — no full sort), then the k-1 farthest-point
+    // picks run on the driver over sample×dim doubles. On well-
+    // separated data every cluster gets exactly one seed, which is
+    // what keeps Lloyd out of merge/split local optima (a pure hash
+    // spread can drop 2+ seeds into one cluster and none into
+    // another). The previous shape ran k-1 SEQUENTIAL full-corpus
+    // jobs for the picks — init latency scaled with k·corpus; this is
+    // one job regardless of k, and at 100 TB a quantizer is trained
+    // on a sample anyway (cluster structure, not the tail, is what
+    // init needs).
+    val sampleCap = math.max(64 * k, 512)
+    val sample: Array[(Long, Array[Double])] =
+      vectors.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleCap)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
+    // first centroid = the min-xxhash vector (sample head), then
+    // repeatedly the sample vector farthest from all chosen (ties by
+    // id ascending, matching the distributed tiebreak)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD2 = sample.map(s => d2(s._2, sample.head._2))
+    for (_ <- 1 until k) {
+      var bi = 0
+      var i = 1
+      while (i < sample.length) {
+        if (minD2(i) > minD2(bi) ||
+          (minD2(i) == minD2(bi) && sample(i)._1 < sample(bi)._1)) bi = i
+        i += 1
+      }
+      chosen += sample(bi)
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i)._2, sample(bi)._2)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    var cent = materialize(
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          chosen.zipWithIndex.map { case ((_, v), i) =>
+            Row(i.toLong, v.toSeq) }.toSeq: _*),
+        centSchema))
 
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, cent, idCol, vecCol, keep = 1)
