@@ -19,9 +19,14 @@ object SourceQueries {
 
   private def srcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+    // the test tables are single parquet files → one input partition;
+    // without a repartition every text serialization below runs on ONE
+    // core. Spreading to the session's parallelism is also the shape a
+    // real distributed write wants (write width = cluster width).
     val base = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
+      .repartition(s.sparkContext.defaultParallelism)
     base.write.mode("overwrite").json(s"$tmp/json")
     val fromJson = s.read.schema(RoundtripSchema).json(s"$tmp/json")
     fromJson.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
@@ -95,13 +100,65 @@ object SourceQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // H4 — Z-order (Morton) layout: orders range-partitioned + sorted
+  // by the interleaved bits of (o_custkey, bucketized o_totalprice),
+  // so BOTH columns cluster within every file/row group and min/max
+  // stats prune selective scans on either one — the multi-dimensional
+  // layout a 100 TB table needs when more than one column is
+  // filter-hot (a single-column sort only serves itself). ZorderSpec
+  // quantifies the clustering (per-file key ranges shrink on both
+  // dimensions vs a round-robin layout); here the read-back runs one
+  // selective filter per dimension and aggregates — results must be
+  // layout-invariant, which is what the oracle checks.
+  private def srcZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${java.util.UUID.randomUUID().toString.take(8)}"
+    val orders = Tables.load(s, dir, "orders")
+    // scale BOTH dimensions to the full bit width first (one tiny agg
+    // job): a dimension whose values only reach 2^14 leaves its top
+    // interleaved bits constant and the other column alone decides
+    // the coarse file split — ZorderSpec caught exactly that.
+    val hi = orders.agg(max(col("o_custkey")).cast("double"),
+      max(col("o_totalprice"))).head()
+    orders
+      .withColumn("zkey", ZOrder.morton(
+        ZOrder.bucketize(col("o_custkey"), 0.0, hi.getDouble(0) + 1, bits = 16),
+        ZOrder.bucketize(col("o_totalprice"), 0.0, hi.getDouble(1) + 1, bits = 16),
+        bits = 16))
+      .repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(tmp)
+    val back = s.read.parquet(tmp)
+    val byCust = back.filter(col("o_custkey") < 150)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(lit("custkey_range").as("sel"), col("n"), col("total"))
+    val byPrice = back.filter(col("o_totalprice") >= 400000.0)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(lit("price_range").as("sel"), col("n"), col("total"))
+    byCust.unionByName(byPrice).orderBy(col("sel"))
+  }
+
+  private val srcZorderLayoutSql =
+    """SELECT * FROM (
+      | SELECT 'custkey_range' AS sel, count(*) AS n,
+      |   round(sum(o_totalprice), 2) AS total
+      | FROM orders WHERE o_custkey < 150
+      | UNION ALL
+      | SELECT 'price_range' AS sel, count(*) AS n,
+      |   round(sum(o_totalprice), 2) AS total
+      | FROM orders WHERE o_totalprice >= 400000.0
+      |) ORDER BY sel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_roundtrip" -> (srcRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
-    "src_partitioned_write" -> (srcPartitionedWrite _))
+    "src_partitioned_write" -> (srcPartitionedWrite _),
+    "src_zorder_layout" -> (srcZorderLayout _))
 
   val oracles: Map[String, String] = Map(
     "src_roundtrip" -> srcRoundtripSql,
     "src_orc_roundtrip" -> srcOrcRoundtripSql,
-    "src_partitioned_write" -> srcPartitionedWriteSql)
+    "src_partitioned_write" -> srcPartitionedWriteSql,
+    "src_zorder_layout" -> srcZorderLayoutSql)
 }
