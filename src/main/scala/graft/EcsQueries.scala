@@ -157,6 +157,49 @@ object EcsQueries {
     """SELECT s_suppkey AS entity_id, floor(s_acctbal) + 1 AS position__x
       |FROM supplier ORDER BY entity_id""".stripMargin
 
+  /** A7: time travel on the durable store — two manifest-published
+    * commits; a store attached `atCommit = 0` resolves the ORIGINAL
+    * state while the tip sees the upsert, both latest-wins. The
+    * versioned manifests are one tiny file per commit, so historical
+    * attach stays O(1) like the tip attach.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tt_${java.util.UUID.randomUUID().toString.take(8)}"
+    val world = World.make(spark, "sim_graft", "run_tt")
+    val store = world.store
+    world.spawnBatch(Seq(PosMeta), seedSuppliers(spark, dir))
+    store.commitDelta(tmp) // commit 0: x = floor(acctbal)
+    val bumped = Tables.load(spark, dir, "supplier").select(
+      lit(store.simulation).as("simulation"),
+      lit(store.run).as("run"),
+      (col("s_suppkey") + 1000000L).cast("long").as("entity_id"),
+      lit(0L).as("step"),
+      lit(true).as("is_active"),
+      (floor(col("s_acctbal")) + 100.0).cast("double").as("position__x"),
+      lit(1.0).as("position__y"))
+    store.upsert(PosOnlyHash, bumped)
+    store.commitDelta(tmp) // commit 1: x = floor(acctbal) + 100
+    def summarize(s2: ArchetypeStore, tag: String): DataFrame =
+      s2.resolved(PosOnlyHash)
+        .agg(count(lit(1)).as("n"), round(sum(col("position__x")), 2).as("sum_x"))
+        .select(lit(tag).as("version"), col("n"), col("sum_x"))
+    val s0 = new ArchetypeStore(spark, "sim_graft", "run_tt")
+    s0.attachDurable(Seq(PosMeta), tmp, atCommit = Some(0L))
+    val sTip = new ArchetypeStore(spark, "sim_graft", "run_tt")
+    sTip.attachDurable(Seq(PosMeta), tmp)
+    summarize(s0, "v0").unionByName(summarize(sTip, "tip"))
+      .orderBy(col("version"))
+  }
+
+  val timeTravelOracle: String =
+    """SELECT * FROM (
+      | SELECT 'tip' AS version, count(*) AS n,
+      |   round(sum(floor(s_acctbal) + 100), 2) AS sum_x FROM supplier
+      | UNION ALL
+      | SELECT 'v0' AS version, count(*) AS n,
+      |   round(sum(floor(s_acctbal)), 2) AS sum_x FROM supplier
+      |) ORDER BY version""".stripMargin
+
   /** A6: archetype fan-out counts for a subset query. */
   def multiArchetype(spark: SparkSession, dir: String): DataFrame = {
     val world = World.make(spark, "sim_graft", "run_multi")
@@ -181,7 +224,8 @@ object EcsQueries {
     "ecs_history" -> (history _),
     "ecs_despawn" -> (despawn _),
     "ecs_upsert" -> (upsert _),
-    "ecs_multi_archetype" -> (multiArchetype _))
+    "ecs_multi_archetype" -> (multiArchetype _),
+    "ecs_time_travel" -> (timeTravel _))
 
   val oracles: Map[String, String] = Map(
     "ecs_spawn_query" -> spawnQueryOracle,
@@ -189,5 +233,6 @@ object EcsQueries {
     "ecs_history" -> historyOracle,
     "ecs_despawn" -> despawnOracle,
     "ecs_upsert" -> upsertOracle,
-    "ecs_multi_archetype" -> multiArchetypeOracle)
+    "ecs_multi_archetype" -> multiArchetypeOracle,
+    "ecs_time_travel" -> timeTravelOracle)
 }

@@ -270,8 +270,7 @@ final class ArchetypeStore(
   private def manifestPath(dir: String, hash: String) =
     java.nio.file.Paths.get(s"$dir/$hash/_manifest")
 
-  def readManifest(dir: String, hash: String): Option[Manifest] = {
-    val p = manifestPath(dir, hash)
+  private def parseManifest(p: java.nio.file.Path): Option[Manifest] =
     if (!java.nio.file.Files.exists(p)) None
     else {
       val kv = java.nio.file.Files.readString(p).linesIterator
@@ -279,7 +278,18 @@ final class ArchetypeStore(
         .toMap
       Some(Manifest(kv("base"), kv("maxCommit"), kv("maxV"), kv("maxEntity")))
     }
-  }
+
+  def readManifest(dir: String, hash: String): Option[Manifest] =
+    parseManifest(manifestPath(dir, hash))
+
+  /** The manifest as of historical commit `n` (time travel): every
+    * publish also writes an immutable `_manifest.v<n>` snapshot, so
+    * any still-un-vacuumed version stays readable — the Delta/Iceberg
+    * versioned-log shape, at one tiny file per commit.
+    */
+  def readManifestAt(dir: String, hash: String, n: Long): Option[Manifest] =
+    parseManifest(
+      java.nio.file.Paths.get(s"$dir/$hash/_manifest.v$n"))
 
   /** Publish a manifest atomically: temp file, then rename. A manifest
     * is one small file, so the rename (or single PUT on object stores)
@@ -291,6 +301,11 @@ final class ArchetypeStore(
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(tmp,
       s"base=${m.base}\nmaxCommit=${m.maxCommit}\nmaxV=${m.maxV}\nmaxEntity=${m.maxEntity}\n")
+    // immutable per-version snapshot first (enables time travel) …
+    java.nio.file.Files.copy(tmp,
+      p.resolveSibling(s"_manifest.v${m.maxCommit}"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // … then the current pointer; its rename stays the commit point
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -342,7 +357,12 @@ final class ArchetypeStore(
       val prev = readManifest(dir, hash)
       val lastV = durableMaxV.getOrElse(hash, -1L)
       val highV = commitCounter.get()
-      val n = nextCommit.getOrElse(hash,
+      // never target a commit at-or-below the CURRENT manifest tip: a
+      // store attached at an old version (time travel) that writes
+      // would otherwise reclaim-and-destroy a live newer commit. Its
+      // delta lands ON TOP of the current tip instead.
+      val n = math.max(
+        nextCommit.getOrElse(hash, 0L),
         prev.map(_.maxCommit + 1).getOrElse(0L))
       stageCommit(dir, hash, n, df.filter(col(VersionCol) > lastV))
       val names = sigByHash(hash).map(_.name).mkString(",")
@@ -379,10 +399,16 @@ final class ArchetypeStore(
     * in-memory table reads live commits lazily; counters resume from
     * the manifest watermarks — O(1), no data scan at attach time.
     */
-  def attachDurable(metas: Seq[ComponentMeta], dir: String): String = {
+  def attachDurable(metas: Seq[ComponentMeta], dir: String,
+      atCommit: Option[Long] = None): String = {
     val hash = ensureTable(metas)
-    val m = readManifest(dir, hash).getOrElse(
-      sys.error(s"attachDurable: no manifest at $dir/$hash — nothing committed"))
+    val m = atCommit match {
+      case Some(n) => readManifestAt(dir, hash, n).getOrElse(
+        sys.error(s"attachDurable: no manifest version $n at $dir/$hash " +
+          "(never committed, or vacuumed)"))
+      case None => readManifest(dir, hash).getOrElse(
+        sys.error(s"attachDurable: no manifest at $dir/$hash — nothing committed"))
+    }
     val schema = withVersion(Archetype.schemaOf(Archetype.signature(metas)))
     tables(hash) = liveDurable(dir, hash, metas, m)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

@@ -216,6 +216,43 @@ class EcsSpec extends SparkSpec {
     assert(m2.maxV > m.maxV)
   }
 
+  test("time travel: versioned manifests make every commit attachable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val world = World.make(spark, "sim_test", "run_tt")
+    world.addProcessor(MovementProcessor)
+    world.spawn(Position(1.0, 1.0), Velocity(1.0, 0.0))
+    world.store.commitDelta(dir) // v0: step 0 only
+    (1 to 2).foreach(_ => world.step(0.5))
+    world.store.commitDelta(dir) // v1: steps 1..2 appended
+    val hash = Archetype.hashOf(PosVel)
+
+    val s0 = new ArchetypeStore(spark, "sim_test", "run_tt")
+    s0.attachDurable(PosVel, dir, atCommit = Some(0L))
+    assert(s0.resolved(hash).agg(max(col("step"))).head().getLong(0) == 0L,
+      "v0 attach must not see later commits")
+    val sTip = new ArchetypeStore(spark, "sim_test", "run_tt")
+    sTip.attachDurable(PosVel, dir)
+    assert(sTip.resolved(hash).agg(max(col("step"))).head().getLong(0) == 2L)
+
+    // attaching a never-written version fails with a clear error
+    val e = intercept[RuntimeException] {
+      val sx = new ArchetypeStore(spark, "sim_test", "run_tt")
+      sx.attachDurable(PosVel, dir, atCommit = Some(9L))
+    }
+    assert(e.getMessage.contains("version 9"))
+
+    // a write from a time-traveled store must NOT clobber the newer
+    // commit: it lands on top of the current tip
+    val w0 = new World2Harness(s0); w0.stepOnce()
+    s0.commitDelta(dir)
+    val m = s0.readManifest(dir, hash).get
+    assert(m.maxCommit == 2L, "branch write appended past the tip")
+    val sAfter = new ArchetypeStore(spark, "sim_test", "run_tt")
+    sAfter.attachDurable(PosVel, dir)
+    // steps 0..2 from the original line still present (not destroyed)
+    assert(sAfter.resolved(hash).count() == 3L)
+  }
+
   /** Minimal step driver over an attached store (World wires its own
     * fresh store, so reuse querier/updater machinery directly).
     */
