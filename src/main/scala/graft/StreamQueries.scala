@@ -283,6 +283,48 @@ object StreamQueries {
     """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // G9 — durable streaming ingestion: every micro-batch both folds
+  // into the world (G4's O(delta) path) AND publishes one atomic
+  // durable commit, so the simulation survives a driver restart with
+  // at-most-one-batch recovery work and every batch boundary is a
+  // time-travelable version. The query proves both: the live state is
+  // read from a FRESH store re-attached off the commit log (restart
+  // semantics), and the batch-1 state is read via attachDurable at
+  // commit 0 (time travel) — each per user, DuckDB-replayed.
+  private def streamDurableIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.ecs.{ArchetypeStore, EcsStreamIngest, World}
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_di_${java.util.UUID.randomUUID().toString.take(8)}"
+    val world = World.make(s, simulation = "ingest_sim", run = "ingest_run",
+      optimizeInterval = 0)
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    EcsStreamIngest.ingestBatch(world, ev.filter(col("event_id") % 2 === 0))
+    world.store.commitDelta(tmp) // commit 0 = batch-1 boundary
+    EcsStreamIngest.ingestBatch(world, ev.filter(col("event_id") % 2 === 1))
+    world.store.commitDelta(tmp) // commit 1 = tip
+    def stateOf(atCommit: Option[Long], tag: String): DataFrame = {
+      val store = new ArchetypeStore(s, "ingest_sim", "ingest_run")
+      store.attachDurable(Seq(EcsStreamIngest.meta), tmp, atCommit)
+      EcsStreamIngest.liveState(store)
+        .getOrElse(sys.error(s"no live state at $tag"))
+        .select(lit(tag).as("version"), col("user_id"),
+          round(col("total"), 2).as("total_value"), col("n_events"))
+    }
+    stateOf(Some(0L), "b1").unionByName(stateOf(None, "tip"))
+      .orderBy(col("version"), col("user_id"))
+  }
+
+  private val streamDurableIngestSql =
+    """SELECT * FROM (
+      | SELECT 'b1' AS version, user_id, round(sum(value), 2) AS total_value,
+      |   count(*) AS n_events
+      | FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+      | UNION ALL
+      | SELECT 'tip' AS version, user_id, round(sum(value), 2) AS total_value,
+      |   count(*) AS n_events
+      | FROM events GROUP BY user_id
+      |) ORDER BY version, user_id""".stripMargin
+
   /** Streaming transform (G8): enrich a stream with a STATIC dimension
     * — the stream-static broadcast join. Stateless (no watermark, no
     * state store): each micro-batch hash-probes the broadcast
@@ -319,7 +361,8 @@ object StreamQueries {
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_sketch" -> (streamSketch _),
-    "stream_static_join" -> (streamStaticJoin _))
+    "stream_static_join" -> (streamStaticJoin _),
+    "stream_durable_ingest" -> (streamDurableIngest _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -329,5 +372,6 @@ object StreamQueries {
     "stream_join" -> streamJoinSql,
     "stream_join_outer" -> streamJoinOuterSql,
     "stream_sketch" -> streamSketchSql,
-    "stream_static_join" -> streamStaticJoinSql)
+    "stream_static_join" -> streamStaticJoinSql,
+    "stream_durable_ingest" -> streamDurableIngestSql)
 }

@@ -395,6 +395,34 @@ final class ArchetypeStore(
     }
   }
 
+  /** Remove data unreachable from the CURRENT manifest: commit dirs
+    * and `_manifest.v<n>` snapshots below `base` (superseded by
+    * compaction), plus all staging leftovers. After a vacuum, time
+    * travel reaches only versions >= base — the standard log-retention
+    * trade; run it as far behind compaction as history needs demand.
+    * Safe against crashed writers: staging dirs are always dead (a
+    * live commit was renamed OUT of staging), and nothing at-or-above
+    * base is touched.
+    */
+  def vacuumDurable(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    sigByHash.keys.foreach { hash =>
+      readManifest(dir, hash).foreach { m =>
+        val root = java.nio.file.Paths.get(s"$dir/$hash")
+        val staging = root.resolve("_staging")
+        if (java.nio.file.Files.exists(staging)) deleteRecursively(staging)
+        java.nio.file.Files.list(root).iterator().asScala.toSeq.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("commit=") && name.stripPrefix("commit=").toLong < m.base)
+            deleteRecursively(p)
+          else if (name.startsWith("_manifest.v") &&
+            name.stripPrefix("_manifest.v").toLong < m.base)
+            java.nio.file.Files.delete(p)
+        }
+      }
+    }
+  }
+
   /** Attach a durable store written by commitDelta/compactDurable: the
     * in-memory table reads live commits lazily; counters resume from
     * the manifest watermarks — O(1), no data scan at attach time.

@@ -45,8 +45,14 @@ object EcsStreamIngest {
     * entity's frame at its highest recorded step (frames are sparse —
     * a step only has rows for entities that batch touched).
     */
-  def liveState(world: World): Option[DataFrame] =
-    world.getHistory(Seq(meta)).values.reduceOption(_ unionByName _)
+  def liveState(world: World): Option[DataFrame] = liveState(world.store)
+
+  /** Same live view over a bare store — e.g. one re-attached from the
+    * durable commit log after a restart (or time-traveled to an
+    * earlier commit).
+    */
+  def liveState(store: ArchetypeStore): Option[DataFrame] =
+    store.getHistory(Seq(meta)).values.reduceOption(_ unionByName _)
       .map { hist =>
         val latest = Window.partitionBy(col("entity_id"))
           .orderBy(col("step").desc)

@@ -253,6 +253,40 @@ class EcsSpec extends SparkSpec {
     assert(sAfter.resolved(hash).count() == 3L)
   }
 
+  test("vacuum removes commits below base; tip state and guards survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val world = World.make(spark, "sim_test", "run_vac")
+    world.addProcessor(MovementProcessor)
+    world.spawn(Position(1.0, 1.0), Velocity(1.0, 0.0))
+    world.store.commitDelta(dir) // commit 0
+    (1 to 2).foreach(_ => world.step(0.5))
+    world.store.commitDelta(dir) // commit 1
+    world.store.compactDurable(dir) // commit 2, base = 2
+    // stage a dead attempt a crashed writer would leave behind
+    val hash = Archetype.hashOf(PosVel)
+    val dead = java.nio.file.Paths.get(s"$dir/$hash/_staging/dead")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.write(dead.resolve("torn.parquet"), Array[Byte](1, 2))
+
+    world.store.vacuumDurable(dir)
+    val names = new java.io.File(s"$dir/$hash").listFiles().map(_.getName).toSet
+    assert(names.filter(_.startsWith("commit=")) == Set("commit=2"),
+      s"dead commits must be gone, got $names")
+    assert(names.intersect(Set("_manifest.v0", "_manifest.v1")).isEmpty,
+      "pre-base manifest snapshots removed")
+    assert(names.contains("_manifest.v2") && names.contains("_manifest"))
+    assert(!names.contains("_staging"), "staging leftovers removed")
+
+    // tip attach unaffected; pre-base time travel now correctly errors
+    val tip = new ArchetypeStore(spark, "sim_test", "run_vac")
+    tip.attachDurable(PosVel, dir)
+    assert(tip.resolved(hash).count() == 3L, "steps 0..2 intact after vacuum")
+    intercept[RuntimeException] {
+      val sx = new ArchetypeStore(spark, "sim_test", "run_vac")
+      sx.attachDurable(PosVel, dir, atCommit = Some(0L))
+    }
+  }
+
   /** Minimal step driver over an attached store (World wires its own
     * fresh store, so reuse querier/updater machinery directly).
     */
