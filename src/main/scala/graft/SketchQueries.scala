@@ -94,13 +94,44 @@ object SketchQueries {
       | true AS no_false_negatives, true AS fpr_ok
       |FROM orders""".stripMargin
 
+  // I4 — KLL quantile sketch: the sketch's median estimate per event
+  // type is validated by its RANK in the actual data (|rank(est) −
+  // n/2| ≤ 3%·n — the bound holds under ANY partition/merge order,
+  // which is what makes a deterministic-offset KLL oracle-checkable),
+  // next to the exact interpolated median DuckDB reproduces with
+  // quantile_cont. Sketch size is O(k·log(n/k)) per group however
+  // large the group — the shuffle-bytes story that justifies a sketch
+  // over `percentile` at 100 TB.
+  private def sketchKllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllFunctions.kllQuantile
+    val ev = Tables.load(s, dir, "events")
+    val sk = ev.groupBy(col("event_type"))
+      .agg(kllQuantile(col("value"), 0.5).as("kll_p50"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("exact_p50")).as("exact_p50"),
+        first(col("n")).as("n"),
+        (abs(count(when(col("value") <= col("kll_p50"), 1)) -
+          first(col("n")) / 2) <= first(col("n")) * 0.03).as("kll_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sketchKllQuantilesSql =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_p50,
+      | count(*) AS n, true AS kll_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_cms_freq" -> (sketchCmsFreq _),
-    "sketch_bloom_filter" -> (sketchBloomFilter _))
+    "sketch_bloom_filter" -> (sketchBloomFilter _),
+    "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "sketch_hll_distinct" -> sketchHllDistinctSql,
     "sketch_cms_freq" -> sketchCmsFreqSql,
-    "sketch_bloom_filter" -> sketchBloomFilterSql)
+    "sketch_bloom_filter" -> sketchBloomFilterSql,
+    "sketch_kll_quantiles" -> sketchKllQuantilesSql)
 }

@@ -30,6 +30,15 @@ object GraftFunctions {
       s"$name: $what must be an integer literal, got ${e.sql}")
   }
 
+  private def doubleLit(name: String, what: String, e: Expression): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"$name: $what must be a numeric literal, got ${e.sql}")
+  }
+
   /** (name, usage, builder) for every SQL-exposed graft function. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
@@ -77,7 +86,12 @@ object GraftFunctions {
     ("graft_bloom_contains",
       "graft_bloom_contains(filter, value) - membership probe against a graft_bloom BINARY",
       exprs => { arity("graft_bloom_contains", exprs, 2)
-        BloomContainsExpr(exprs(0), exprs(1)) }))
+        BloomContainsExpr(exprs(0), exprs(1)) }),
+    ("graft_kll",
+      "graft_kll(col, q[, k]) - KLL sketch approximate q-quantile of a double column",
+      exprs => { arity("graft_kll", exprs, 2, 3)
+        KllAggregate(exprs(0), doubleLit("graft_kll", "q", exprs(1)),
+          if (exprs.length > 2) intLit("graft_kll", "k", exprs(2)) else 400) }))
 
   /** Register every graft function on an already-built session;
     * idempotent (re-registration overwrites with the same builder).
