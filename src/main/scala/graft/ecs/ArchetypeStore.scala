@@ -348,10 +348,51 @@ final class ArchetypeStore(
       .parquet(s"$dir/$hash")
       .filter(col("commit") >= m.base && col("commit") <= m.maxCommit)
 
+  /** How long a writer waits for the dir lock before failing, and the
+    * age past which a lock is presumed abandoned (crashed holder) and
+    * reclaimed. Spec-tunable.
+    */
+  var lockWaitMs: Long = 30000L
+  var lockStaleMs: Long = 600000L
+
+  /** Serialize writers on a durable dir with an atomic lock file
+    * (`Files.createFile` is the POSIX/HDFS put-if-absent primitive;
+    * object stores would swap in a conditional PUT). Two concurrent
+    * `commitDelta`s otherwise race stageCommit's reclaim-then-rename
+    * against the other's manifest publish — the classic log-writer
+    * conflict Delta solves the same way. Locks held across a crash
+    * are reclaimed after `lockStaleMs`.
+    */
+  private def withDirLock[A](dir: String)(f: => A): A = {
+    val lock = java.nio.file.Paths.get(s"$dir/_lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        java.nio.file.Files.createFile(lock)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+          if (age > lockStaleMs) java.nio.file.Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"commit lock at $lock held by another writer for ${age} ms — " +
+                "concurrent durable writers must take turns (or reclaim a " +
+                "stale lock by deleting the file if its holder is dead)")
+          else Thread.sleep(50)
+      }
+    }
+    try f finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   /** Durably append rows not yet committed; O(delta), no rewrite.
     * Publication is atomic: data renamed into place, manifest last.
     */
-  def commitDelta(dir: String): Unit = {
+  def commitDelta(dir: String): Unit = withDirLock(dir) {
     flush()
     tables.foreach { case (hash, df) =>
       val prev = readManifest(dir, hash)
@@ -383,7 +424,7 @@ final class ArchetypeStore(
     * commit. The analogue of log-structured compaction; run
     * periodically, not per commit.
     */
-  def compactDurable(dir: String): Unit = {
+  def compactDurable(dir: String): Unit = withDirLock(dir) {
     sigByHash.foreach { case (hash, sig) =>
       readManifest(dir, hash).foreach { m =>
         val live = liveDurable(dir, hash, sig, m)

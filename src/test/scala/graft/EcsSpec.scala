@@ -253,6 +253,29 @@ class EcsSpec extends SparkSpec {
     assert(sAfter.resolved(hash).count() == 3L)
   }
 
+  test("durable writers take turns: held lock blocks, stale lock reclaims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val world = World.make(spark, "sim_test", "run_lock")
+    world.spawn(Position(1.0, 1.0), Velocity(1.0, 0.0))
+    world.store.lockWaitMs = 300
+
+    // a fresh (recent) lock held by "another writer" blocks the commit
+    val lock = java.nio.file.Paths.get(s"$dir/_lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalStateException] { world.store.commitDelta(dir) }
+    assert(e.getMessage.contains("lock"))
+
+    // a stale lock (dead holder) is reclaimed and the commit proceeds
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L))
+    world.store.commitDelta(dir)
+    val hash = Archetype.hashOf(PosVel)
+    assert(world.store.readManifest(dir, hash).exists(_.maxCommit == 0L))
+    assert(!java.nio.file.Files.exists(lock), "lock released after commit")
+  }
+
   test("vacuum removes commits below base; tip state and guards survive") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
     val world = World.make(spark, "sim_test", "run_vac")
