@@ -380,13 +380,64 @@ object DedupQueries {
       |SELECT node AS doc_id, min(lab) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // C7 — winnowing-fingerprint near-dup (Schleimer/Wilkerson/Aiken
+  // 2003, the MOSS selection): each doc keeps only the window-min of
+  // every 4 consecutive 8-gram codes (~2/(w+1) of grams, guarantee:
+  // any shared run of win+w-1 = 11 chars shares a fingerprint), so
+  // the inverted-index self-join sees a CONSTANT FRACTION of the
+  // gram stream — the selection step is what scales this vs raw
+  // n-gram joins. Fingerprinting is a native codegen'd O(text)
+  // expression (monotonic deque); hyper-common fingerprints are
+  // stop-listed before the join, J2-style.
+  private def dedupWinnowing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val fpCol = GraftBridge.column(graft.functions.WinnowFingerprintExpr(
+      GraftBridge.expression(lower(col("text"))), 8, 4))
+    val fps = docs(s, dir).select(col("doc_id"), explode(fpCol).as("fp"))
+    val nDocs = docs(s, dir).select(count(lit(1)).as("n"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 20 <= col("n"))
+      .select(col("fp"))
+    val filtered = fps.join(rare, Seq("fp"))
+    filtered.as("a").join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 10) // bimodal at sf0.01: real dups >= 10, template noise <= 8
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupWinnowingSql = {
+    val terms = (0 until 8).map { j =>
+      val pow = (0 until (7 - j)).foldLeft(1L)((a, _) => a * 131L)
+      s"CAST(CASE WHEN i + $j <= length(t) THEN ord(substring(t, i + $j, 1)) ELSE 0 END AS BIGINT) * CAST($pow AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |g AS (SELECT doc_id, list_transform(
+       |        generate_series(1, greatest(length(t) - 7, 1)),
+       |        i -> $terms) AS codes FROM d),
+       |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(len(codes) - 3, 1)),
+       |        i -> list_min(codes[i:i+3])))) AS fp FROM g),
+       |rare AS (SELECT fp FROM f GROUP BY fp
+       |         HAVING count(*) * 20 <= (SELECT count(*) FROM documents)),
+       |ff AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+       |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 10
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
-    "dedup_cluster" -> (dedupCluster _))
+    "dedup_cluster" -> (dedupCluster _),
+    "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -394,5 +445,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_cluster" -> dedupClusterSql)
+    "dedup_cluster" -> dedupClusterSql,
+    "dedup_winnowing" -> dedupWinnowingSql)
 }

@@ -134,3 +134,83 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_sorted_intersect_count"
 }
+
+/** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+  * the MOSS algorithm): positional base-131 `win`-gram codes, then
+  * the minimum of every `window` consecutive codes, distinct+sorted.
+  * Winnowing's guarantee: any shared substring of length
+  * `win + window - 1` yields at least one shared fingerprint, while
+  * only ~2/(window+1) of grams are kept — so the inverted-index join
+  * that finds near-duplicates sees a constant fraction of the corpus.
+  * O(n) via a monotonic deque; codegen'd through a single static call
+  * like the other gram expressions. DuckDB replays the same codes
+  * with ascii() products and the window-min with list slicing.
+  */
+case class WinnowFingerprintExpr(child: Expression, win: Int, window: Int)
+    extends UnaryExpression {
+
+  require(win >= 1 && win <= 8, "gram width in [1, 8] (codes fit a long)")
+  require(window >= 1 && window <= 64, "window in [1, 64]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Distinct sorted window-min codes (shared by eval and codegen). */
+  def fingerprints(s: String): Array[Long] = {
+    val n = s.length
+    val grams = math.max(n - win + 1, 1)
+    val codes = new Array[Long](grams)
+    var i = 0
+    while (i < grams) {
+      var h = 0L
+      var k = 0
+      while (k < win) {
+        h = h * 131L + (if (i + k < n) s.charAt(i + k).toLong else 0L)
+        k += 1
+      }
+      codes(i) = h
+      i += 1
+    }
+    val w = math.min(window, grams)
+    val out = new Array[Long](grams - w + 1)
+    val deque = new Array[Int](grams)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < grams) {
+      while (tail > head && codes(deque(tail - 1)) >= codes(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = codes(deque(head))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var wr = 0
+    var r = 0
+    while (r < out.length) {
+      if (wr == 0 || out(r) != out(wr - 1)) { out(wr) = out(r); wr += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, wr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(fingerprints(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprintExpr].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $expr.fingerprints($c.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_fingerprints"
+}

@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   */
 class PipelineSpec extends SparkSpec {
 
+  test("winnowing: shared 11-char run guarantees a shared fingerprint; ~2/(w+1) density") {
+    import graft.functions.WinnowFingerprintExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = WinnowFingerprintExpr(Literal("x"), 8, 4) // win=8, window=4
+    val shared = "the quick brown fox"
+    val a = e.fingerprints("aaaa bbbb " + shared + " cccc")
+    val b = e.fingerprints("zzzzzzzzzzzz " + shared + " qq qq qq")
+    // guarantee: any common substring of win+window-1 = 11 chars
+    // yields at least one common fingerprint (shared is 19 chars)
+    assert(a.intersect(b).nonEmpty, "MOSS guarantee violated")
+    // selection density: ~2/(window+1) of grams survive as fingerprints
+    val text = (1 to 200).map(i => ((i * 7919 % 97) + 48).toChar).mkString
+    val fps = e.fingerprints(text)
+    val grams = text.length - 7
+    assert(fps.length <= grams * 3 / (4 + 1),
+      s"kept ${fps.length} of $grams grams — selection not sparse")
+    // disjoint texts share nothing
+    assert(e.fingerprints("abcdefghijklmnop").intersect(
+      e.fingerprints("qrstuvwxyz123456")).isEmpty)
+  }
+
   test("minhash-lsh finds planted near-duplicates") {
     import spark.implicits._
     // near-dup: same token stream, different raw bytes (punctuation +
