@@ -368,6 +368,41 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  // B36 — as-of with TOLERANCE through the native operator (pandas
+  // merge_asof(tolerance=...) semantics): the latest order at-or-
+  // before each event only counts within 30 days — staler matches
+  // null out instead of attaching arbitrarily old state. The bound is
+  // enforced INSIDE the merge (one comparison per emit, no post-join
+  // filter pass); DuckDB replays it as ASOF + a CASE on the gap.
+  private def q36AsOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.install(s)
+    val ord = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"),
+        col("o_orderkey"))
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val tol30d = 30L * 86400L * 1000000L // timestamp_ntz is microseconds
+    graft.plans.AsOfJoin.join(ev, ord, "user_id", "ts", "o_custkey", "o_time",
+        tolerance = Some(tol30d))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q36Sql =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT e.event_id, e.user_id,
+      | CASE WHEN e.ts - o.o_orderdate <= INTERVAL 30 DAY THEN o.o_orderkey END
+      |   AS asof_orderkey
+      |FROM events e ASOF LEFT JOIN ord o
+      | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   // B31 — FORWARD as-of through the native operator: each event
   // attaches the user's NEXT order at-or-after the event time
   // (DuckDB replays it as ASOF with the inequality flipped).
@@ -725,8 +760,39 @@ object RelationalQueries {
       | array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // B35 — UNPIVOT (melt), the inverse of q17's pivot: three lineitem
+  // measures fold into (metric, val) rows via the native Unpivot
+  // logical node (one pass, no union of three scans), then aggregate
+  // per (returnflag, metric). The oracle is the explicit UNION ALL
+  // the unpivot replaces.
+  private def q35Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  private val q35Sql =
+    """SELECT * FROM (
+      | SELECT l_returnflag, 'l_quantity' AS metric, count(*) AS n,
+      |   round(sum(l_quantity), 2) AS total FROM lineitem GROUP BY 1
+      | UNION ALL
+      | SELECT l_returnflag, 'l_extendedprice' AS metric, count(*) AS n,
+      |   round(sum(l_extendedprice), 2) AS total FROM lineitem GROUP BY 1
+      | UNION ALL
+      | SELECT l_returnflag, 'l_discount' AS metric, count(*) AS n,
+      |   round(sum(l_discount), 2) AS total FROM lineitem GROUP BY 1
+      |) ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_setops" -> (q30SetOps _),
+    "q35_unpivot" -> (q35Unpivot _),
+    "q36_asof_tolerance" -> (q36AsOfTolerance _),
     "q32_map_ops" -> (q32MapOps _),
     "q31_asof_forward" -> (q31AsOfForward _),
     "q33_asof_nearest" -> (q33AsOfNearest _),
@@ -764,6 +830,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q30_setops" -> q30Sql,
     "q32_map_ops" -> q32Sql,
+    "q35_unpivot" -> q35Sql,
+    "q36_asof_tolerance" -> q36Sql,
     "q31_asof_forward" -> q31Sql,
     "q33_asof_nearest" -> q33Sql,
     "q34_asof_multikey" -> q34Sql,

@@ -60,7 +60,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightKeys: Seq[Expression],
     rightTime: Expression,
-    direction: AsOfDirection = AsOfDirection.Backward)
+    direction: AsOfDirection = AsOfDirection.Backward,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -123,8 +124,8 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, dir) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -136,7 +137,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKeys: Seq[Expression],
     rightTime: Expression,
-    direction: AsOfDirection)
+    direction: AsOfDirection,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -167,6 +169,9 @@ case class AsOfJoinExec(
     val keyDts = leftKeys.map(_.dataType)
     val timeDt = leftTime.dataType
     val dir = direction
+    // None -> unbounded; the merge then treats every candidate as in
+    // range without a per-row Option hop
+    val tol = tolerance.getOrElse(Long.MaxValue)
     val primitive = nKeys == 1 &&
       longGetter(keyDts.head).isDefined && longGetter(timeDt).isDefined
     val lKtExprs = leftKeys :+ leftTime
@@ -241,8 +246,11 @@ case class AsOfJoinExec(
                 headRow = null
               } else advancing = false
             }
-            val back = if (haveMatch && matchKey == k) lastMatch else null
-            val ahead = if (headRow != null && hk == k) headRow else null
+            // a candidate beyond the tolerance is no match at all
+            val back = if (haveMatch && matchKey == k && t - matchTime <= tol)
+              lastMatch else null
+            val ahead = if (headRow != null && hk == k && ht - t <= tol)
+              headRow else null
             val rMatch = dir match {
               case AsOfDirection.Backward => if (back != null) back else nullRight
               case AsOfDirection.Forward => if (ahead != null) ahead else nullRight
@@ -307,10 +315,13 @@ case class AsOfJoinExec(
                 headRow = null
               } else advancing = false
             }
+            val tL = getTime(kt, nKeys)
             val back =
-              if (haveMatch && ordKeys.compare(matchKt, kt) == 0) lastMatch else null
+              if (haveMatch && ordKeys.compare(matchKt, kt) == 0 &&
+                tL - getTime(matchKt, nKeys) <= tol) lastMatch else null
             val ahead =
-              if (headRow != null && ordKeys.compare(headKt, kt) == 0) headRow else null
+              if (headRow != null && ordKeys.compare(headKt, kt) == 0 &&
+                getTime(headKt, nKeys) - tL <= tol) headRow else null
             val rMatch = dir match {
               case AsOfDirection.Backward => if (back != null) back else nullRight
               case AsOfDirection.Forward => if (ahead != null) ahead else nullRight
@@ -319,8 +330,7 @@ case class AsOfJoinExec(
                 else if (ahead == null) back
                 else if (back == null) ahead
                 else {
-                  val t = getTime(kt, nKeys)
-                  if (t - getTime(matchKt, nKeys) <= getTime(headKt, nKeys) - t)
+                  if (tL - getTime(matchKt, nKeys) <= getTime(headKt, nKeys) - tL)
                     back
                   else ahead
                 }
@@ -365,9 +375,10 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      forward: Boolean = false): DataFrame =
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
     joinMulti(left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
-      if (forward) AsOfDirection.Forward else AsOfDirection.Backward)
+      if (forward) AsOfDirection.Forward else AsOfDirection.Backward, tolerance)
 
   /** Nearest-direction as-of on a single key: the right row minimizing
     * |right time − left time|, ties to the earlier match. Time must be
@@ -392,7 +403,8 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], leftTime: String,
       rightKeys: Seq[String], rightTime: String,
-      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
+      direction: AsOfDirection = AsOfDirection.Backward,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       s"as-of join needs matching non-empty key lists, got " +
         s"${leftKeys.length} left vs ${rightKeys.length} right")
@@ -411,18 +423,19 @@ object AsOfJoin {
     }
     lks.zip(rks).foreach { case (l, r) => check("key", l, r) }
     check("time", lt, rt)
-    if (direction == AsOfDirection.Nearest) {
+    if (direction == AsOfDirection.Nearest || tolerance.isDefined) {
       val ok = lt.dataType match {
         case LongType | IntegerType | ShortType | ByteType |
              DateType | TimestampType | TimestampNTZType => true
         case _ => false
       }
-      require(ok, s"nearest as-of needs a long-backed time type for " +
-        s"|Δt| comparison, got ${lt.dataType.sql}")
+      require(ok, s"nearest/tolerance as-of needs a long-backed time type " +
+        s"for Δt arithmetic, got ${lt.dataType.sql}")
     }
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val plan = AsOfJoinPlan(
       GraftBridge.analyzedPlan(left), GraftBridge.analyzedPlan(right),
-      lks, lt, rks, rt, direction)
+      lks, lt, rks, rt, direction, tolerance)
     GraftBridge.ofRows(spark, plan)
   }
 }

@@ -28,6 +28,48 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 99L, "late", "q30"), (2L, 14L, "before", null), (3L, 50L, "nokey", null)))
   }
 
+  test("tolerance nulls matches beyond the bound on both merge paths") {
+    val quotes = Seq((1L, 10L, "q10"), (1L, 100L, "q100"), (2L, 50L, "p50"))
+      .toDF("key", "t", "quote")
+    val trades = Seq(
+      (1L, 12L, "near"),   // Δ2  within tol 5 -> q10
+      (1L, 40L, "far"),    // Δ30 beyond tol  -> null
+      (1L, 100L, "exact"), // Δ0             -> q100
+      (2L, 56L, "edge"))   // Δ6 beyond tol 5 -> null
+      .toDF("key", "t", "trade")
+    // primitive (long) path
+    val out = AsOfJoin.join(trades, quotes, "key", "t", "key", "t",
+        tolerance = Some(5L))
+      .select(col("trade"), col("quote")).orderBy(trades("key"), trades("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("near", "q10"), ("far", null), ("exact", "q100"),
+      ("edge", null)), s"got $out")
+    // generic path (string key forces interpreted orderings)
+    val tradesG = trades.withColumn("key", concat(lit("k"), col("key")))
+    val quotesG = quotes.withColumn("key", concat(lit("k"), col("key")))
+    val outG = AsOfJoin.join(tradesG, quotesG, "key", "t", "key", "t",
+        tolerance = Some(5L))
+      .select(tradesG("key"), tradesG("t"), col("trade"), col("quote"))
+      .orderBy(tradesG("key"), tradesG("t"))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(outG == out, "generic path must apply the same tolerance")
+    // forward: the blocked head beyond tolerance is no match
+    val outF = AsOfJoin.join(trades, quotes, "key", "t", "key", "t",
+        forward = true, tolerance = Some(5L))
+      .select(col("trade"), col("quote")).orderBy(trades("key"), trades("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(outF == Seq(("near", null), ("far", null), ("exact", "q100"),
+      ("edge", null)), s"forward got $outF")
+  }
+
+  test("tolerance with a non-numeric time type fails fast") {
+    val df = Seq((1L, "a")).toDF("key", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(df, df, "key", "t", "key", "t", tolerance = Some(5L))
+    }
+    assert(e.getMessage.contains("tolerance"))
+  }
+
   test("native as-of equals window-composition on real tables") {
     val native = RelationalQueries.queries("q23_asof_native")(spark, sfDir).collect().toSeq
     val composed = RelationalQueries.queries("q18_asof_join")(spark, sfDir)
