@@ -216,6 +216,66 @@ object SimilarityQueries {
       |  true AS ivf_recall_ok
       |FROM t""".stripMargin
 
+  // D8 — QUANTIZED IVF search (the FAISS IVF-SQ shape): inverted
+  // lists store int8 affine codes (D7's scheme — 4× smaller than the
+  // raw doubles, which at 100 TB is the difference between lists that
+  // fit in memory and lists that don't); probing scores candidates on
+  // DEQUANTIZED codes, keeps an approx top-6 pool, and re-ranks it
+  // EXACTLY by joining the pool back to the full-precision vectors by
+  // id — so quantization error can reorder the pool but not corrupt
+  // the final scores. Same clustered corpus + recall contract as D6.
+  private def knnIvfQuantized(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = emb(s, dir)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+          | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+          |   / 8191.0D)""".stripMargin).as("v"))
+    val q = all.filter(col("vec_id") <= 10)
+    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    // inverted lists carry ONLY codes (nid, cid, mn, scale, qv)
+    val coded = IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("scale", (array_max(col("v")) - col("mn")) / 255.0)
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN 0L
+          | ELSE least(CAST(floor((x - mn) / scale) AS BIGINT), 255L) END)""".stripMargin))
+      .select(col("vec_id").as("nid"), col("cid"), col("mn"), col("scale"), col("qv"))
+    val probes = IvfIndex.assign(q, cent, "vec_id", "v", keep = 2)
+      .select(col("vec_id").as("qid"), col("v").as("pqv"), col("cid"))
+    val dequant = expr("transform(qv, c -> mn + c * scale)")
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx_cos").desc, col("nid"))
+    val pool = coded.join(probes, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("approx_cos", VectorOps.cosine(col("pqv"), dequant))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= 6)
+      .select(col("qid"), col("pqv"), col("nid"))
+    // exact re-rank: pool ids join back to full-precision vectors
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val ivf = pool.join(all.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .withColumn("cos", VectorOps.cosine(col("pqv"), col("nv")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+    val hits = bf.select(col("qid"), col("nid")).join(ivf, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("cos"))).as("top1_cos"))
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(avg(col("top1_cos")), 4) + lit(0.0)).as("avg_top1_cos"),
+        (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
+  }
+
   // D3 — per-label vector norm statistics.
   private def vecNormStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -303,6 +363,7 @@ object SimilarityQueries {
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
+    "knn_ivf_quantized" -> (knnIvfQuantized _),
     "vec_norm_stats" -> (vecNormStats _),
     "vec_hof_stats" -> (vecHofStats _),
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
@@ -312,6 +373,7 @@ object SimilarityQueries {
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
+    "knn_ivf_quantized" -> knnIvfTrainedSql, // same exact-reference contract; only the index path differs
     "vec_norm_stats" -> vecNormStatsSql,
     "vec_hof_stats" -> vecHofStatsSql,
     "vec_quantize_int8" -> vecQuantizeInt8Sql)
