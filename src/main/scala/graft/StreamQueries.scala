@@ -16,6 +16,10 @@ case class SessAssign(user_id: Long, event_id: Long, session_id: Long)
 case class SketchRow(shard: Long, item: Long)
 case class SketchEstimate(shard: Long, approx_items: Long)
 
+/** Rows/outputs for the streaming KLL maintainer (G10). */
+case class QuantRow(shard: Long, value: Double)
+case class QuantEstimate(shard: Long, n_seen: Long, approx_p50: Double)
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -283,6 +287,56 @@ object StreamQueries {
     """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming transform (G10): per-shard KLL quantile sketch
+    * maintained across micro-batches via mapGroupsWithState — G7's
+    * pattern for the quantile axis. State per key is the serialized
+    * compactor hierarchy, O(k·log(n/k)) bytes however many values
+    * arrive; each batch folds its values in and emits the refreshed
+    * median estimate. Unlike HLL registers the KLL merge is
+    * order-sensitive, so the stream sketch is not byte-equal to the
+    * batch one — but the rank-error bound holds under ANY fold order,
+    * which is what the spec and the I4-style oracle assert.
+    */
+  def kllMaintainStream(rows: Dataset[QuantRow],
+      k: Int = 400): Dataset[QuantEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.KllOps
+    rows.groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[QuantRow], state: GroupState[Array[Byte]]) => {
+          val buf = state.getOption.map(KllOps.deserialize)
+            .getOrElse(KllOps.empty())
+          it.foreach(r => KllOps.update(buf, k, r.value))
+          state.update(KllOps.serialize(buf))
+          QuantEstimate(shard, buf.n, KllOps.quantile(buf, 0.5))
+        })
+  }
+
+  // G10 batch equivalent — the graft_kll aggregate per shard, with the
+  // I4 rank-check oracle pattern (exact median via percentile beside a
+  // rank-bound boolean for the sketch).
+  private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllFunctions.kllQuantile
+    val ev = Tables.load(s, dir, "events")
+      .select((col("user_id") % 8).as("shard"), col("value"))
+    val sk = ev.groupBy(col("shard"))
+      .agg(kllQuantile(col("value"), 0.5).as("kll_p50"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(sk), Seq("shard"))
+      .groupBy(col("shard"))
+      .agg(first(col("exact_p50")).as("exact_p50"),
+        first(col("n")).as("n"),
+        (abs(count(when(col("value") <= col("kll_p50"), 1)) -
+          first(col("n")) / 2) <= first(col("n")) * 0.03).as("kll_ok"))
+      .orderBy(col("shard"))
+  }
+
+  private val streamQuantileSql =
+    """SELECT user_id % 8 AS shard, round(quantile_cont(value, 0.5), 4) AS exact_p50,
+      | count(*) AS n, true AS kll_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // G9 — durable streaming ingestion: every micro-batch both folds
   // into the world (G4's O(delta) path) AND publishes one atomic
   // durable commit, so the simulation survives a driver restart with
@@ -362,7 +416,8 @@ object StreamQueries {
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_sketch" -> (streamSketch _),
     "stream_static_join" -> (streamStaticJoin _),
-    "stream_durable_ingest" -> (streamDurableIngest _))
+    "stream_durable_ingest" -> (streamDurableIngest _),
+    "stream_quantile" -> (streamQuantile _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -373,5 +428,6 @@ object StreamQueries {
     "stream_join_outer" -> streamJoinOuterSql,
     "stream_sketch" -> streamSketchSql,
     "stream_static_join" -> streamStaticJoinSql,
-    "stream_durable_ingest" -> streamDurableIngestSql)
+    "stream_durable_ingest" -> streamDurableIngestSql,
+    "stream_quantile" -> streamQuantileSql)
 }

@@ -298,6 +298,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_quantile: KLL maintained across micro-batches holds the rank bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[QuantRow]
+    val batch1 = (1 to 5000).map(i => QuantRow(i % 2, i.toDouble))
+    val batch2 = (5001 to 10000).map(i => QuantRow(i % 2, i.toDouble))
+    val q = StreamQueries.kllMaintainStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("quant_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // emission with the highest n_seen = estimate over ALL values
+      val est = spark.table("quant_out")
+        .orderBy(col("n_seen").desc).dropDuplicates("shard")
+        .select(col("shard"), col("approx_p50"))
+        .as[(Long, Double)].collect().toMap
+      val all = batch1 ++ batch2
+      est.foreach { case (shard, p50) =>
+        val xs = all.filter(_.shard == shard).map(_.value)
+        val rank = xs.count(_ <= p50).toDouble / xs.size
+        assert(math.abs(rank - 0.5) <= 0.03,
+          s"shard $shard stream median rank $rank")
+      }
+      assert(est.size == 2)
+    } finally q.stop()
+  }
+
   test("stream_dedup: streaming keeps first arrival per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
