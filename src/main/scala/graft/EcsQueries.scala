@@ -157,6 +157,48 @@ object EcsQueries {
     """SELECT s_suppkey AS entity_id, floor(s_acctbal) + 1 AS position__x
       |FROM supplier ORDER BY entity_id""".stripMargin
 
+  /** Cohesion: every entity moves toward the GLOBAL mean position —
+    * a processor whose per-entity update depends on an aggregate of
+    * ALL entities (flocking/center-of-mass style), expressed as one
+    * agg + broadcast inside the step. The reference's per-row engine
+    * has no such coupling; in Spark it is one extra stage. The mean
+    * is invariant under the update (Σ of deltas is 0), so t steps
+    * have the closed form mu + (x0 − mu)·(1−dt)^t.
+    */
+  object CohesionProcessor extends Processor {
+    override val priority = 1
+    val components: Seq[ComponentMeta] = Seq(PosMeta)
+    def process(df: DataFrame, dt: Double): DataFrame = {
+      val mu = df.agg(avg(col("position__x")).as("mu"))
+      df.crossJoin(broadcast(mu))
+        .withColumn("position__x",
+          col("position__x") + (col("mu") - col("position__x")) * dt)
+        .drop("mu")
+    }
+  }
+
+  /** A8: global-interaction step loop — 3 steps of dt=0.25 cohesion;
+    * oracle = the closed form with (1−dt)^3 = 0.421875 (exact binary).
+    * Per-step float drift of the mean is ~1e-12, absorbed by the 4dp
+    * round on both sides.
+    */
+  def globalInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_cohesion")
+    world.addProcessor(CohesionProcessor)
+    world.spawnBatch(Seq(PosMeta), seedSuppliers(spark, dir))
+    (1 to 3).foreach(_ => world.step(0.25))
+    world.query(Seq(PosMeta))(PosOnlyHash)
+      .select(col("entity_id"),
+        round(col("position__x"), 4).as("position__x"))
+      .orderBy(col("entity_id"))
+  }
+
+  val globalInteractionOracle: String =
+    """WITH m AS (SELECT avg(floor(s_acctbal)) AS mu FROM supplier)
+      |SELECT s_suppkey + 1000000 AS entity_id,
+      | round(mu + (floor(s_acctbal) - mu) * 0.421875, 4) AS position__x
+      |FROM supplier, m ORDER BY entity_id""".stripMargin
+
   /** A7: time travel on the durable store — two manifest-published
     * commits; a store attached `atCommit = 0` resolves the ORIGINAL
     * state while the tip sees the upsert, both latest-wins. The
@@ -225,7 +267,8 @@ object EcsQueries {
     "ecs_despawn" -> (despawn _),
     "ecs_upsert" -> (upsert _),
     "ecs_multi_archetype" -> (multiArchetype _),
-    "ecs_time_travel" -> (timeTravel _))
+    "ecs_time_travel" -> (timeTravel _),
+    "ecs_global_interaction" -> (globalInteraction _))
 
   val oracles: Map[String, String] = Map(
     "ecs_spawn_query" -> spawnQueryOracle,
@@ -234,5 +277,6 @@ object EcsQueries {
     "ecs_despawn" -> despawnOracle,
     "ecs_upsert" -> upsertOracle,
     "ecs_multi_archetype" -> multiArchetypeOracle,
-    "ecs_time_travel" -> timeTravelOracle)
+    "ecs_time_travel" -> timeTravelOracle,
+    "ecs_global_interaction" -> globalInteractionOracle)
 }
