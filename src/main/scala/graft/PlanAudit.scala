@@ -13,7 +13,9 @@ object PlanAudit {
       "q1_agg", "q2_filter_project", "q3_join_agg", "q5_multi_join",
       "q18_asof_join", "q23_asof_native", "q26_ntile",
       "dedup_minhash_lsh", "dedup_embedding", "knn_lsh", "knn_bruteforce",
-      "sketch_hll_distinct", "text_fingerprint", "pipeline_contamination")
+      "sketch_hll_distinct", "text_fingerprint", "pipeline_contamination",
+      "sketch_bloom_filter", "dedup_winnowing", "knn_ivf_quantized",
+      "pipeline_quality_gate", "src_zorder_layout", "q36_asof_tolerance")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
