@@ -171,6 +171,39 @@ object RelationalQueries {
       | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  // B37 — the remaining rank-family windows: percent_rank / cume_dist
+  // / ntile-free relative position + nth_value with an explicit frame
+  // (nth_value needs the full partition visible, hence the
+  // unbounded-following frame — the default running frame would
+  // return null before row n arrives).
+  private def q37WindowExtras(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_best_order"))
+      .filter(col("rn") <= 4)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private val q37Sql =
+    """SELECT * FROM (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |   CAST(row_number() OVER w AS BIGINT) AS rn,
+      |   round(percent_rank() OVER w, 6) AS pct_rank,
+      |   round(cume_dist() OVER w, 6) AS cdist,
+      |   nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+      |     ORDER BY o_totalprice DESC, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |     AS second_best_order
+      | FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+      |   ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 4 ORDER BY o_orderpriority, rn""".stripMargin
+
   // B9 — distinct cardinalities (single row).
   private def q9Distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
@@ -793,6 +826,7 @@ object RelationalQueries {
     "q30_setops" -> (q30SetOps _),
     "q35_unpivot" -> (q35Unpivot _),
     "q36_asof_tolerance" -> (q36AsOfTolerance _),
+    "q37_window_extras" -> (q37WindowExtras _),
     "q32_map_ops" -> (q32MapOps _),
     "q31_asof_forward" -> (q31AsOfForward _),
     "q33_asof_nearest" -> (q33AsOfNearest _),
@@ -832,6 +866,7 @@ object RelationalQueries {
     "q32_map_ops" -> q32Sql,
     "q35_unpivot" -> q35Sql,
     "q36_asof_tolerance" -> q36Sql,
+    "q37_window_extras" -> q37Sql,
     "q31_asof_forward" -> q31Sql,
     "q33_asof_nearest" -> q33Sql,
     "q34_asof_multikey" -> q34Sql,
