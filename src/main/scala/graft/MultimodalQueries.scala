@@ -200,21 +200,88 @@ object MultimodalQueries {
       |JOIN thumb t ON t.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+
+  // F5 — framed audio FEATURES on the decoded PCM: the real
+  // feature-extraction step after decode (VAD/energy analysis shape) —
+  // 32-sample frames, per-frame RMS, peak/quietest frame per doc. The
+  // frame loop runs on the decoder output inside the same task (no
+  // second pass over the bytes); all stats are integer sums under one
+  // sqrt, so doubles agree with the oracle bit-for-bit and the peak
+  // argmax (ties to the earliest frame) is deterministic on both
+  // engines.
+  private def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (100 + id % 50).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 201) - 100).toInt)
+          val d = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(rate, samples))
+          val frames = d.samples.grouped(32).toArray
+          val rms = frames.map { f =>
+            math.sqrt(f.foldLeft(0L)((a, v) => a + v.toLong * v).toDouble / f.length)
+          }
+          var peak = 0
+          var lo = 0
+          var j = 1
+          while (j < rms.length) {
+            if (rms(j) > rms(peak)) peak = j
+            if (rms(j) < rms(lo)) lo = j
+            j += 1
+          }
+          MmAudioFeatRow(id, rms.length.toLong, peak.toLong, rms(peak), rms(lo))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("peak_frame"),
+        round(col("peak_rms"), 4).as("peak_rms"),
+        round(col("min_rms"), 4).as("min_rms"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioFeaturesSql =
+    """WITH s AS (
+      | SELECT doc_id, i, ((doc_id * 31 + i * 7) % 201) - 100 AS v
+      | FROM documents, LATERAL (
+      |   SELECT unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i) t
+      |),
+      |f AS (
+      | SELECT doc_id, i // 32 AS frame_id,
+      |   sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS rms
+      | FROM s GROUP BY doc_id, i // 32
+      |),
+      |r AS (
+      | SELECT doc_id, frame_id, rms,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY rms DESC, frame_id) AS rk
+      | FROM f
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      | CAST(max(CASE WHEN rk = 1 THEN frame_id END) AS BIGINT) AS peak_frame,
+      | round(max(CASE WHEN rk = 1 THEN rms END), 4) AS peak_rms,
+      | round(min(rms), 4) AS min_rms
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_audio_features" -> (mmAudioFeatures _),
     "mm_image_decode" -> (mmImageDecode _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
+    "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_image_decode" -> mmImageDecodeSql)
 }
 
 /** Output rows for the decode queries (top-level for Encoders). */
 case class MmAudioRow(doc_id: Long, sample_rate: Long, n_samples: Long,
     mean_amp: Double, rms: Double)
+case class MmAudioFeatRow(doc_id: Long, n_frames: Long, peak_frame: Long,
+    peak_rms: Double, min_rms: Double)
 case class MmImageRow(doc_id: Long, width: Long, height: Long,
     mean_r: Double, thumb_gray: Double)
