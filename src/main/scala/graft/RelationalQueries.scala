@@ -204,6 +204,68 @@ object RelationalQueries {
       |   ORDER BY o_totalprice DESC, o_orderkey)
       |) WHERE rn <= 4 ORDER BY o_orderpriority, rn""".stripMargin
 
+  // B38 — datetime function suite: trunc/extract/offset arithmetic.
+  // Cross-engine traps handled explicitly: Spark dayofweek is 1=Sunday
+  // while DuckDB dow is 0=Sunday (normalized to ISO 1=Monday..7 on
+  // both); add_months pairs with DuckDB's INTERVAL month addition;
+  // datediff pairs with date_diff('day', ...).
+  private def q38DatetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_trunc("quarter", col("o_orderdate")).cast("timestamp_ntz").as("q_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).cast("long").as("iso_dow"),
+        add_months(col("o_orderdate"), 3).cast("timestamp_ntz").as("plus3mo"),
+        datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_eoy"))
+      .filter(col("o_orderkey") <= 2000)
+      .orderBy(col("o_orderkey"))
+
+  private val q38Sql =
+    """SELECT o_orderkey,
+      | date_trunc('quarter', o_orderdate) AS q_start,
+      | CAST(year(o_orderdate) AS BIGINT) AS yr,
+      | CAST(month(o_orderdate) AS BIGINT) AS mo,
+      | CAST(day(o_orderdate) AS BIGINT) AS dom,
+      | CAST(CASE WHEN dayofweek(o_orderdate) = 0 THEN 7
+      |      ELSE dayofweek(o_orderdate) END AS BIGINT) AS iso_dow,
+      | o_orderdate + INTERVAL 3 MONTH AS plus3mo,
+      | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+      |   AS days_to_eoy
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  // B39 — null semantics: null-safe equality (<=>, DuckDB IS NOT
+  // DISTINCT FROM), NULLIF/COALESCE chains, nulls in aggregates
+  // (ignored by sum/avg, counted by count(*) only), and EXPLICIT null
+  // ordering — Spark sorts nulls FIRST ascending, DuckDB LAST, so any
+  // cross-engine sort over nullable keys must pin it.
+  private def q39NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal7"))
+    d.groupBy(col("seg_nb"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("bal7")).as("n_bal"),
+        round(sum(col("bal7")), 2).as("sum_bal"),
+        round(avg(col("bal7")), 4).as("avg_bal"),
+        count(when(col("bal7") <=> lit(null).cast("double"), 1)).as("n_null_safe"))
+      .orderBy(col("seg_nb").asc_nulls_last)
+  }
+
+  private val q39Sql =
+    """WITH d AS (
+      | SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+      |   CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal7
+      | FROM customer)
+      |SELECT seg_nb, count(*) AS n_rows, count(bal7) AS n_bal,
+      | round(sum(bal7), 2) AS sum_bal, round(avg(bal7), 4) AS avg_bal,
+      | count(CASE WHEN bal7 IS NOT DISTINCT FROM NULL THEN 1 END) AS n_null_safe
+      |FROM d GROUP BY seg_nb ORDER BY seg_nb ASC NULLS LAST""".stripMargin
+
   // B9 — distinct cardinalities (single row).
   private def q9Distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
@@ -827,6 +889,8 @@ object RelationalQueries {
     "q35_unpivot" -> (q35Unpivot _),
     "q36_asof_tolerance" -> (q36AsOfTolerance _),
     "q37_window_extras" -> (q37WindowExtras _),
+    "q38_datetime_funcs" -> (q38DatetimeFuncs _),
+    "q39_null_semantics" -> (q39NullSemantics _),
     "q32_map_ops" -> (q32MapOps _),
     "q31_asof_forward" -> (q31AsOfForward _),
     "q33_asof_nearest" -> (q33AsOfNearest _),
@@ -867,6 +931,8 @@ object RelationalQueries {
     "q35_unpivot" -> q35Sql,
     "q36_asof_tolerance" -> q36Sql,
     "q37_window_extras" -> q37Sql,
+    "q38_datetime_funcs" -> q38Sql,
+    "q39_null_semantics" -> q39Sql,
     "q31_asof_forward" -> q31Sql,
     "q33_asof_nearest" -> q33Sql,
     "q34_asof_multikey" -> q34Sql,
