@@ -263,19 +263,87 @@ object MultimodalQueries {
       | round(min(rms), 4) AS min_rms
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+
+  // F6 — grid feature pooling on the decoded image: 2×2 quadrant mean
+  // luminance (sum of channels) — the patch-embedding shape (pool a
+  // grid of regions into a fixed-size feature vector) over the REAL
+  // BMP decode path. Quadrant split is integer w/2, h/2 on both
+  // engines; integer sums divided once keep bit parity.
+  private def mmImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            (((id + x * 7 + y * 13) % 256).toInt,
+              ((id * 3 + x * 5 + y * 11) % 256).toInt,
+              ((id * 5 + x * 3 + y * 17) % 256).toInt)
+          }
+          val d = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px))
+          val sums = new Array[Long](4)
+          val counts = new Array[Long](4)
+          var i = 0
+          while (i < d.pixels.length) {
+            val (x, y) = (i % d.width, i / d.width)
+            val q = (if (y < d.height / 2) 0 else 2) + (if (x < d.width / 2) 0 else 1)
+            val p = d.pixels(i)
+            sums(q) += p._1.toLong + p._2 + p._3
+            counts(q) += 1
+            i += 1
+          }
+          MmImageFeatRow(id,
+            sums(0).toDouble / counts(0), sums(1).toDouble / counts(1),
+            sums(2).toDouble / counts(2), sums(3).toDouble / counts(3))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"),
+        round(col("q_tl"), 4).as("q_tl"), round(col("q_tr"), 4).as("q_tr"),
+        round(col("q_bl"), 4).as("q_bl"), round(col("q_br"), 4).as("q_br"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageFeaturesSql =
+    """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      |             FROM documents),
+      |px AS (
+      | SELECT doc_id,
+      |   (CASE WHEN y < h // 2 THEN 0 ELSE 2 END) +
+      |   (CASE WHEN x < w // 2 THEN 0 ELSE 1 END) AS q,
+      |   (doc_id + x * 7 + y * 13) % 256 +
+      |   (doc_id * 3 + x * 5 + y * 11) % 256 +
+      |   (doc_id * 5 + x * 3 + y * 17) % 256 AS lum
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+      |g AS (SELECT doc_id, q, CAST(sum(lum) AS DOUBLE) / count(*) AS m
+      |      FROM px GROUP BY doc_id, q)
+      |SELECT doc_id,
+      | round(max(CASE WHEN q = 0 THEN m END), 4) AS q_tl,
+      | round(max(CASE WHEN q = 1 THEN m END), 4) AS q_tr,
+      | round(max(CASE WHEN q = 2 THEN m END), 4) AS q_bl,
+      | round(max(CASE WHEN q = 3 THEN m END), 4) AS q_br
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_features" -> (mmAudioFeatures _),
-    "mm_image_decode" -> (mmImageDecode _))
+    "mm_image_decode" -> (mmImageDecode _),
+    "mm_image_features" -> (mmImageFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
-    "mm_image_decode" -> mmImageDecodeSql)
+    "mm_image_decode" -> mmImageDecodeSql,
+    "mm_image_features" -> mmImageFeaturesSql)
 }
 
 /** Output rows for the decode queries (top-level for Encoders). */
@@ -285,3 +353,5 @@ case class MmAudioFeatRow(doc_id: Long, n_frames: Long, peak_frame: Long,
     peak_rms: Double, min_rms: Double)
 case class MmImageRow(doc_id: Long, width: Long, height: Long,
     mean_r: Double, thumb_gray: Double)
+case class MmImageFeatRow(doc_id: Long, q_tl: Double, q_tr: Double,
+    q_bl: Double, q_br: Double)

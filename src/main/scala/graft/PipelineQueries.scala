@@ -167,13 +167,60 @@ object PipelineQueries {
        |FROM labeled GROUP BY pred_lang, band ORDER BY pred_lang, band""".stripMargin
   }
 
+  // J4 — token-budget packing: the data-mixing step that fills a token
+  // budget greedily by quality. Docs rank on an integer quality key
+  // (E1's stopword hits — ties broken by doc_id for a TOTAL order);
+  // the running token total comes from DistributedPrefixSum (range
+  // partition + parallel per-partition windows + broadcast offsets —
+  // no single-partition global window), and the selected prefix is
+  // every doc whose cumulative count BEFORE it is under budget.
+  private def pipelineTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val stopHits = Seq(" the ", " and ", " a ")
+      .map(w => TextQueries.hits(padded, w)).reduce(_ + _)
+    val scored = docs(s, dir).select(col("doc_id"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long").as("n_words"),
+      stopHits.as("quality"))
+    val budget = scored.agg((sum(col("n_words")) / 2).cast("long").as("budget"))
+    val ranked = graft.operators.DistributedPrefixSum.withRunningTotal(
+      scored, col("n_words"), "cum_words",
+      col("quality").desc, col("doc_id"))
+    ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_words") - col("n_words") < col("budget"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_words")).as("selected_tokens"),
+        min(col("quality")).as("worst_quality"),
+        max(col("budget")).as("budget"))
+  }
+
+  private val pipelineTokenBudgetSql = {
+    val p = "concat(' ', lower(text), ' ')"
+    val q = Seq(" the ", " and ", " a ")
+      .map(w => TextQueries.hitsSql(p, w)).mkString(" + ")
+    s"""WITH sc AS (
+       | SELECT doc_id,
+       |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+       |   $q AS quality
+       | FROM documents),
+       |tot AS (SELECT CAST(sum(n_words) // 2 AS BIGINT) AS budget FROM sc),
+       |r AS (SELECT *, sum(n_words) OVER (ORDER BY quality DESC, doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS cum_words FROM sc)
+       |SELECT count(*) AS n_selected,
+       | CAST(sum(n_words) AS BIGINT) AS selected_tokens,
+       | min(quality) AS worst_quality, max(budget) AS budget
+       |FROM r, tot WHERE cum_words - n_words < budget""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_contamination" -> (pipelineContamination _),
-    "pipeline_quality_gate" -> (pipelineQualityGate _))
+    "pipeline_quality_gate" -> (pipelineQualityGate _),
+    "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_contamination" -> pipelineContaminationSql,
-    "pipeline_quality_gate" -> pipelineQualityGateSql)
+    "pipeline_quality_gate" -> pipelineQualityGateSql,
+    "pipeline_token_budget" -> pipelineTokenBudgetSql)
 }
