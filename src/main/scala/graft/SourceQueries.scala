@@ -150,15 +150,50 @@ object SourceQueries {
       | FROM orders WHERE o_totalprice >= 400000.0
       |) ORDER BY sel""".stripMargin
 
+  // H5 — parquet schema EVOLUTION: a v1 batch written with three
+  // columns, a v2 batch with a fourth added; `mergeSchema` unions the
+  // footers at read time and v1 rows surface the new column as null —
+  // the additive-evolution contract any long-lived 100 TB table
+  // depends on (schema-per-file, no rewrite of old data). The
+  // aggregation groups on the evolved column with a null bucket, so
+  // the row only matches if old-file rows really read as null.
+  private def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${java.util.UUID.randomUUID().toString.take(8)}"
+    val o = Tables.load(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(coalesce(col("o_orderstatus"), lit("pre_evolution")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderstatus")).as("n_evolved"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("status"))
+  }
+
+  private val srcSchemaEvolutionSql =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+      |        ELSE 'pre_evolution' END AS status,
+      | count(*) AS n,
+      | count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS n_evolved,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_roundtrip" -> (srcRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_partitioned_write" -> (srcPartitionedWrite _),
-    "src_zorder_layout" -> (srcZorderLayout _))
+    "src_zorder_layout" -> (srcZorderLayout _),
+    "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "src_roundtrip" -> srcRoundtripSql,
     "src_orc_roundtrip" -> srcOrcRoundtripSql,
     "src_partitioned_write" -> srcPartitionedWriteSql,
-    "src_zorder_layout" -> srcZorderLayoutSql)
+    "src_zorder_layout" -> srcZorderLayoutSql,
+    "src_schema_evolution" -> srcSchemaEvolutionSql)
 }

@@ -315,6 +315,52 @@ object TextQueries {
       |     (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_gram_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // E9 — PII detection + redaction: the scrubbing pass every
+  // training-data pipeline runs before anything else. The synthetic
+  // corpus has no PII, so deterministic emails/phone fragments are
+  // INJECTED first (CASE on doc_id — oracle-replayable), then
+  // detected with regexp counts and redacted with global
+  // regexp_replace (Spark replaces all matches natively; DuckDB needs
+  // the 'g' flag — the cross-engine trap this query pins). The
+  // post-scrub rescan must find zero hits.
+  private def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    val withPii = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" call 555-"), lpad(col("doc_id") % 10000, 4, "0")))
+        .otherwise(col("text")).as("t"))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("t"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+    withPii.select(col("doc_id"),
+      regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("scrubbed_len"),
+      (regexp_count(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"), lit(emailRe)) === 0).as("clean_after_scrub"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textPiiScrubSql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |   CASE WHEN doc_id % 5 = 0
+      |          THEN text || ' contact user' || doc_id || '@example.com now'
+      |        WHEN doc_id % 7 = 0
+      |          THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |        ELSE text END AS t
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      | CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+      |   '555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT) AS scrubbed_len,
+      | len(regexp_extract_all(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+      |   '555-[0-9]{4}', '[PHONE]', 'g'), '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) = 0 AS clean_after_scrub
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // E5 — TF-IDF: top-5 terms per document. One explode + three
   // aggregations (term-frequency, doc length, document frequency);
   // the corpus size joins in as a broadcast scalar. Identical
@@ -371,7 +417,8 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf" -> (textTfidf _),
     "text_bpe" -> (textBpe _),
-    "text_bpe_encode" -> (textBpeEncode _))
+    "text_bpe_encode" -> (textBpeEncode _),
+    "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
@@ -381,5 +428,6 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf" -> textTfidfSql,
     "text_bpe" -> textBpeSql,
-    "text_bpe_encode" -> textBpeEncodeSql)
+    "text_bpe_encode" -> textBpeEncodeSql,
+    "text_pii_scrub" -> textPiiScrubSql)
 }
