@@ -212,13 +212,51 @@ object PipelineQueries {
        |FROM r, tot WHERE cum_words - n_words < budget""".stripMargin
   }
 
+  // J5 — domain mixing: resample the corpus to a TARGET mixture over
+  // the `source` column (the "20% web, 30% code, …" step every
+  // training run does). Target shares here derive deterministically
+  // from the source id (share = (id mod 4 + 1)/4) standing in for the
+  // externally-supplied mixture table; each stratum is thinned on the
+  // same doc_id hash ring as J1. The keep test is pure integer
+  // arithmetic (h·4 < ring·share·4 ⇒ h·4 < ring·(id%4+1)) so Spark
+  // and the oracle agree bit-for-bit — no float rates, no RNG. One
+  // scan + one final agg; the rate "table" rides along as a column so
+  // no join is needed (a real mixture table would broadcast).
+  private def pipelineDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val ring = 9973L
+    docs(s, dir)
+      .withColumn("src_num", substring(col("source"), 4, 10).cast("long"))
+      .withColumn("h", (col("doc_id") * 7919L + 13L) % ring)
+      .withColumn("share4", col("src_num") % 4 + 1) // target share × 4
+      .filter(col("h") * 4 < lit(ring) * col("share4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(max(col("share4")) / 4.0, 2).as("target_share"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineDomainMixSql =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |   CAST(substring(source, 4, 10) AS BIGINT) % 4 + 1 AS share4,
+      |   (doc_id * 7919 + 13) % 9973 AS h
+      | FROM documents)
+      |SELECT source, count(*) AS n_kept,
+      | round(max(share4) / 4.0, 2) AS target_share,
+      | min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM d WHERE h * 4 < 9973 * share4
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_domain_mix" -> (pipelineDomainMix _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_contamination" -> (pipelineContamination _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_domain_mix" -> pipelineDomainMixSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_contamination" -> pipelineContaminationSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,

@@ -884,7 +884,124 @@ object RelationalQueries {
       |   round(sum(l_discount), 2) AS total FROM lineitem GROUP BY 1
       |) ORDER BY l_returnflag, metric""".stripMargin
 
+  // B37b/q40 — correlated subqueries through the SQL surface: a
+  // correlated EXISTS filter plus a correlated SCALAR subquery in the
+  // select list. Catalyst's decorrelation rewrites both into joins
+  // (the EXISTS to a left-semi, the scalar to a left-outer over a
+  // per-key aggregate) — no per-row re-execution, which is what makes
+  // the construct survive 100 TB. The DataFrame tier's equivalent
+  // shapes are q10/q11/q14; this entry proves the SQL entry point.
+  private def q40ExistsCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q40_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q40_orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment,
+        | (SELECT round(max(o.o_totalprice), 2) FROM graft_q40_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+        | (SELECT count(*) FROM graft_q40_orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_closed
+        |FROM graft_q40_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_q40_orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val q40Sql =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      | (SELECT round(max(o.o_totalprice), 2) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+      | (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_closed
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // q41 — lateral explode with ordinality: posexplode splits every
+  // document into (position, token) rows — the row-generator shape
+  // (flatten-with-index) that text pipelines run before any per-token
+  // work. Generate runs inside the scan stage (no shuffle until the
+  // aggregation); the oracle reconstructs ordinality with a bounded
+  // integer series since DuckDB's unnest carries no position.
+  private def q41LateralExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("word")).as("n_words"),
+        min(col("word")).as("first_word"),
+        max(col("word")).as("last_word"))
+      .orderBy(col("pos"))
+
+  private val q41Sql =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |mx AS (SELECT max(len(w)) AS m FROM s),
+      |e AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+      |      FROM s, mx, (SELECT unnest(generate_series(1, 200)) AS i)
+      |      WHERE i <= len(w))
+      |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n_docs,
+      | count(DISTINCT word) AS n_words,
+      | min(word) AS first_word, max(word) AS last_word
+      |FROM e GROUP BY pos ORDER BY pos""".stripMargin
+
+  // q42 — array function suite: arrays built per group, then probed
+  // with slice / contains / fold (higher-order aggregate) / max /
+  // distinct — all codegen'd array expressions, no UDFs. The fold
+  // keeps long arithmetic (exact) and the slice/join surface a
+  // deterministic string so the oracle hash-matches.
+  private def q42ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(sort_array(collect_list(col("p_size").cast("long"))).as("arr"))
+      .select(col("p_brand"),
+        concat_ws(",", expr("transform(slice(arr, 1, 3), x -> CAST(x AS STRING))")).as("first3"),
+        array_contains(col("arr"), 25L).as("has25"),
+        expr("aggregate(arr, 0L, (a, x) -> a + x)").as("total"),
+        array_max(col("arr")).as("mx"),
+        size(array_distinct(col("arr"))).cast("long").as("n_distinct"))
+      .orderBy(col("p_brand"))
+
+  private val q42Sql =
+    """WITH g AS (SELECT p_brand,
+      |  list_sort(list(CAST(p_size AS BIGINT))) AS arr FROM part GROUP BY p_brand)
+      |SELECT p_brand,
+      | array_to_string(list_slice(arr, 1, 3), ',') AS first3,
+      | list_contains(arr, 25) AS has25,
+      | CAST(list_sum(arr) AS BIGINT) AS total,
+      | list_max(arr) AS mx,
+      | CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct
+      |FROM g ORDER BY p_brand""".stripMargin
+
+  // q43 — regexp suite: extract / count / filter / strip over part
+  // descriptors. Patterns stay in the regex subset Java and RE2 agree
+  // on (no backrefs, no lookaround). All four run inside one codegen'd
+  // projection — string ops are the bulk of corpus preprocessing, so
+  // they must not fall out of whole-stage codegen.
+  private def q43Regexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").rlike("^(red|blue|green)\\b"))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("color"),
+        regexp_extract(col("p_brand"), "([0-9]+)$", 1).cast("long").as("brand_num"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).cast("long").as("n_consonant"),
+        regexp_count(col("p_name"), lit("[a-z]+")).cast("long").as("n_tokens"))
+      .orderBy(col("p_partkey"))
+
+  private val q43Sql =
+    """SELECT p_partkey,
+      | regexp_extract(p_name, '^([a-z]+)', 1) AS color,
+      | CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS BIGINT) AS brand_num,
+      | CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS n_consonant,
+      | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_tokens
+      |FROM part
+      |WHERE regexp_matches(p_name, '^(red|blue|green)\b')
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_exists_correlated" -> (q40ExistsCorrelated _),
+    "q41_lateral_explode" -> (q41LateralExplode _),
+    "q42_array_funcs" -> (q42ArrayFuncs _),
+    "q43_regexp" -> (q43Regexp _),
     "q30_setops" -> (q30SetOps _),
     "q35_unpivot" -> (q35Unpivot _),
     "q36_asof_tolerance" -> (q36AsOfTolerance _),
@@ -926,6 +1043,10 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q40_exists_correlated" -> q40Sql,
+    "q41_lateral_explode" -> q41Sql,
+    "q42_array_funcs" -> q42Sql,
+    "q43_regexp" -> q43Sql,
     "q30_setops" -> q30Sql,
     "q32_map_ops" -> q32Sql,
     "q35_unpivot" -> q35Sql,
