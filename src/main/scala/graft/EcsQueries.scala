@@ -242,6 +242,45 @@ object EcsQueries {
       |   round(sum(floor(s_acctbal)), 2) AS sum_x FROM supplier
       |) ORDER BY version""".stripMargin
 
+  /** A9: spatial neighbor query — the collision/flocking broad phase.
+    * Customers spawn as points (x = floor(acctbal), y = custkey mod
+    * 997); all pairs within radius 25 come from the grid-bucketed
+    * half-neighborhood join (operators/SpatialGrid), NOT an all-pairs
+    * product — candidate volume is O(points + near pairs), the only
+    * shuffle is the cell equi-join. Coordinates are integer-valued
+    * doubles so dist² is exact and the DuckDB all-pairs oracle
+    * hash-matches. Output: per distance band, pair count + Σdist².
+    */
+  def spatialNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_spatial")
+    val seed = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("entity_id"),
+      floor(col("c_acctbal")).cast("double").as("position__x"),
+      (col("c_custkey") % 997).cast("double").as("position__y"))
+    world.spawnBatch(Seq(PosMeta), seed)
+    val pts = world.query(Seq(PosMeta))(PosOnlyHash)
+    val pairs = graft.operators.SpatialGrid.neighborPairs(
+      pts, col("entity_id"), col("position__x"), col("position__y"), 25.0)
+    pairs
+      .groupBy(when(col("dist2") <= 156.25, "inner").otherwise("outer").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dist2")).cast("long").as("sum_d2"))
+      .orderBy(col("band"))
+  }
+
+  val spatialNeighborsOracle: String =
+    """WITH p AS (
+      | SELECT c_custkey AS id, floor(c_acctbal) AS x,
+      |        CAST(c_custkey % 997 AS DOUBLE) AS y
+      | FROM customer),
+      |pr AS (
+      | SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      | FROM p a JOIN p b ON a.id < b.id
+      | WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625.0)
+      |SELECT CASE WHEN d2 <= 156.25 THEN 'inner' ELSE 'outer' END AS band,
+      | count(*) AS n_pairs, CAST(sum(d2) AS BIGINT) AS sum_d2
+      |FROM pr GROUP BY 1 ORDER BY band""".stripMargin
+
   /** A6: archetype fan-out counts for a subset query. */
   def multiArchetype(spark: SparkSession, dir: String): DataFrame = {
     val world = World.make(spark, "sim_graft", "run_multi")
@@ -268,7 +307,8 @@ object EcsQueries {
     "ecs_upsert" -> (upsert _),
     "ecs_multi_archetype" -> (multiArchetype _),
     "ecs_time_travel" -> (timeTravel _),
-    "ecs_global_interaction" -> (globalInteraction _))
+    "ecs_global_interaction" -> (globalInteraction _),
+    "ecs_spatial_neighbors" -> (spatialNeighbors _))
 
   val oracles: Map[String, String] = Map(
     "ecs_spawn_query" -> spawnQueryOracle,
@@ -278,5 +318,6 @@ object EcsQueries {
     "ecs_upsert" -> upsertOracle,
     "ecs_multi_archetype" -> multiArchetypeOracle,
     "ecs_time_travel" -> timeTravelOracle,
-    "ecs_global_interaction" -> globalInteractionOracle)
+    "ecs_global_interaction" -> globalInteractionOracle,
+    "ecs_spatial_neighbors" -> spatialNeighborsOracle)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpatialGrid
+
+/** SpatialGrid.neighborPairs: exact parity with the all-pairs brute
+  * force (the grid is a broad phase, not an approximation), no
+  * duplicate pairs from the half-neighborhood replicate, and boundary
+  * cases (points exactly at radius, on cell edges, negative
+  * coordinates).
+  */
+class SpatialGridSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Double, Double)], r: Double) =
+    (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).toSet
+
+  private def grid(pts: Seq[(Long, Double, Double)], r: Double) =
+    SpatialGrid
+      .neighborPairs(pts.toDF("id", "x", "y"), col("id"), col("x"), col("y"), r)
+      .as[(Long, Long, Double)].collect()
+
+  test("matches brute force on a seeded random cloud, several radii") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextInt(200).toDouble, rnd.nextInt(200).toDouble))
+    for (r <- Seq(5.0, 17.0, 60.0)) {
+      val got = grid(pts, r)
+      assert(got.length == got.toSet.size, s"duplicate pairs at r=$r")
+      assert(got.toSet == brute(pts, r), s"pair set mismatch at r=$r")
+    }
+  }
+
+  test("boundary: pair exactly at radius kept, just beyond dropped") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0), (3L, 0.0, 10.5))
+    val got = grid(pts, 10.0)
+    assert(got.toSet == Set((1L, 2L, 100.0)))
+  }
+
+  test("negative coordinates and cell-edge points") {
+    // straddles cell boundaries at multiples of r=4 incl. negatives
+    val pts = Seq((1L, -4.0, 0.0), (2L, -0.5, 0.0), (3L, 0.0, 0.0),
+      (4L, 4.0, 0.0), (5L, -8.0, -8.0))
+    val got = grid(pts, 4.0)
+    assert(got.toSet == brute(pts, 4.0))
+  }
+
+  test("a point is never paired with itself") {
+    val pts = Seq((1L, 1.0, 1.0), (2L, 1.0, 1.0)) // co-located distinct ids
+    val got = grid(pts, 3.0)
+    assert(got.toSet == Set((1L, 2L, 0.0)))
+  }
+}
