@@ -123,13 +123,50 @@ object SketchQueries {
       | count(*) AS n, true AS kll_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // I5 — Misra-Gries heavy hitters over document tokens: one summary
+  // of ≤16 counters vs ~31 distinct tokens (genuinely lossy here —
+  // decrements and merge-subtractions happen). The MG theorem bounds
+  // EVERY key's estimate for any arrival/merge order: exact − n/(k+1)
+  // ≤ est ≤ exact, est = 0 when evicted — that bound (not the
+  // order-dependent surviving set) is what the oracle row asserts,
+  // for the exact top-5 tokens DuckDB reproduces. At 100 TB the
+  // shuffle carries 16 counters per partition instead of the token
+  // stream; presence of truly-heavy keys (freq > n/17) is guaranteed
+  // by the same theorem (spec-tested on planted skew — this corpus
+  // is near-uniform so no token clears the threshold).
+  private def sketchTopkTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val summary = toks.agg(
+      SketchAggregates.topK(col("tok"), 16).as("mg"),
+      count(lit(1)).as("n_total"))
+    val top5 = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(5)
+    val est = coalesce(element_at(col("mg"), col("tok")), lit(0L))
+    top5.crossJoin(broadcast(summary))
+      .select(col("tok"), col("n_exact"),
+        (est <= col("n_exact") &&
+          est * 17 >= col("n_exact") * 17 - col("n_total")).as("mg_in_bounds"))
+      .orderBy(col("tok"))
+  }
+
+  private val sketchTopkTokensSql =
+    """WITH t AS (
+      | SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS n_exact FROM t WHERE tok <> ''
+      |      GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 5)
+      |SELECT tok, n_exact, true AS mg_in_bounds FROM f ORDER BY tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_topk_tokens" -> (sketchTopkTokens _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_cms_freq" -> (sketchCmsFreq _),
     "sketch_bloom_filter" -> (sketchBloomFilter _),
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_topk_tokens" -> sketchTopkTokensSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
     "sketch_cms_freq" -> sketchCmsFreqSql,
     "sketch_bloom_filter" -> sketchBloomFilterSql,

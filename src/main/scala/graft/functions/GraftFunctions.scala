@@ -87,6 +87,10 @@ object GraftFunctions {
       "graft_bloom_contains(filter, value) - membership probe against a graft_bloom BINARY",
       exprs => { arity("graft_bloom_contains", exprs, 2)
         BloomContainsExpr(exprs(0), exprs(1)) }),
+    ("graft_topk",
+      "graft_topk(col, capacity) - Misra-Gries heavy-hitters summary as MAP<STRING,BIGINT>",
+      exprs => { arity("graft_topk", exprs, 2)
+        TopKAggregate(exprs(0), intLit("graft_topk", "capacity", exprs(1))) }),
     ("graft_kll",
       "graft_kll(col, q[, k]) - KLL sketch approximate q-quantile of a double column",
       exprs => { arity("graft_kll", exprs, 2, 3)

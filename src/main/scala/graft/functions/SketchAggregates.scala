@@ -33,6 +33,13 @@ object SketchAggregates {
     GraftBridge.column(
       CmsAggregate(GraftBridge.expression(col), GraftBridge.expression(value),
         depth, width).toAggregateExpression())
+
+  /** Misra-Gries heavy-hitters summary: map of ≤ capacity surviving
+    * keys → estimated counts.
+    */
+  def topK(col: Column, capacity: Int): Column =
+    GraftBridge.column(
+      TopKAggregate(GraftBridge.expression(col), capacity).toAggregateExpression())
 }
 
 /** The HLL register algebra, shared by the batch aggregate and the
@@ -236,4 +243,136 @@ case class CmsAggregate(
       newChildren: IndexedSeq[Expression]): CmsAggregate =
     copy(child = newChildren.head, queryValue = newChildren(1))
   override def prettyName: String = "graft_cms"
+}
+
+/** Misra-Gries heavy-hitters sketch (Misra & Gries 1982; merge rule
+  * from Agarwal et al., "Mergeable Summaries", 2012): at most
+  * `capacity` counters survive; the map-side partials and the shuffle
+  * carry ≤ capacity (key, count) pairs per group regardless of input
+  * cardinality. Returns the summary as MAP<STRING, BIGINT>.
+  *
+  * Guarantees (any arrival/merge order, n = total non-null rows,
+  * k = capacity): for EVERY key, exact − n/(k+1) ≤ est ≤ exact with
+  * est = 0 for absent keys — so any key with exact > n/(k+1) is
+  * present. The SURVIVING SET for keys below that threshold is
+  * order-dependent (like any MG sketch); queries must assert the
+  * bound, not the set.
+  */
+case class TopKAggregate(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
+
+  require(capacity >= 1 && capacity <= 65536, "capacity in [1, 65536]")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_topk sketches STRING columns, got ${child.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long](capacity * 2)
+
+  override def update(buf: java.util.HashMap[String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.toString
+      val cur = buf.get(k)
+      if (cur != null || buf.size < capacity) {
+        buf.put(k, (if (cur == null) 0L else cur.longValue()) + 1L)
+      } else {
+        // classic MG: decrement every counter, evict zeros
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  /** Counter-wise sum, then uniform subtraction of the (capacity+1)-th
+    * largest count — ties at the threshold all drop to ≤ 0, so the
+    * surviving set is independent of map iteration order.
+    */
+  override def merge(a: java.util.HashMap[String, java.lang.Long],
+      b: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    val bit = b.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+    }
+    if (a.size > capacity) {
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val threshold = counts(a.size - capacity - 1) // (capacity+1)-th largest
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= threshold) it.remove()
+        else e.setValue(e.getValue - threshold)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+    val n = buf.size
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+      vals(i) = e.getValue.longValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+    var i = 0
+    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAggregate =
+    copy(child = newChildren.head)
+  override def prettyName: String = "graft_topk"
 }
