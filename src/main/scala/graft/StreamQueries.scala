@@ -20,6 +20,9 @@ case class SketchEstimate(shard: Long, approx_items: Long)
 case class QuantRow(shard: Long, value: Double)
 case class QuantEstimate(shard: Long, n_seen: Long, approx_p50: Double)
 
+/** Output for the streaming CMS maintainer (G11). */
+case class FreqEstimate(shard: Long, probe_est: Long)
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -337,6 +340,55 @@ object StreamQueries {
       | count(*) AS n, true AS kll_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming transform (G11): per-shard Count-Min counters
+    * maintained across micro-batches via mapGroupsWithState — the
+    * frequency axis next to G7 (distinct) and G10 (quantiles). State
+    * per key is the fixed depth×width counter array regardless of
+    * stream length; each batch folds its items in and emits the
+    * refreshed point estimate for `probe`. Counter addition is order-
+    * and batching-insensitive, so the maintained sketch is VALUE-EQUAL
+    * to the batch `graft_cms` aggregate over the union of the batches
+    * (asserted exactly in StreamingSpec) — the algebra is
+    * [[graft.functions.CmsSketch]], the same hashing the aggregate
+    * uses.
+    */
+  def cmsMaintainStream(rows: Dataset[SketchRow], probe: Long,
+      depth: Int = 5, width: Int = 2048): Dataset[FreqEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.CmsSketch
+    rows.groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[SketchRow], state: GroupState[Array[Long]]) => {
+          val buf = state.getOption.getOrElse(CmsSketch.empty(depth, width))
+          it.foreach(r => CmsSketch.updateLong(buf, depth, width, r.item))
+          state.update(buf)
+          FreqEstimate(shard, CmsSketch.estimateLong(buf, depth, width, probe))
+        })
+  }
+
+  // G11 batch equivalent — per-shard CMS over a 64-value item domain,
+  // probing item 7 (the aggregate needs a constant probe). Oracle =
+  // exact per-shard count of the probe item beside the I2 bound
+  // (never undercounts; overshoot ≤ ε·n_shard, ε = e/width).
+  private def streamCms(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select((col("user_id") % 8).as("shard"),
+        (col("event_id") % 64).cast("long").as("item"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("item") === 7L, 1L).otherwise(0L)).as("exact_7"),
+        graft.functions.SketchAggregates.cmsEstimate(col("item"), lit(7L)).as("est"))
+      .select(col("shard"), col("n"), col("exact_7"),
+        (col("est") >= col("exact_7") &&
+          col("est") <= col("exact_7") + col("n") * 0.0014).as("cms_ok"))
+      .orderBy(col("shard"))
+
+  private val streamCmsSql =
+    """SELECT user_id % 8 AS shard, count(*) AS n,
+      | CAST(count(*) FILTER (WHERE event_id % 64 = 7) AS BIGINT) AS exact_7,
+      | true AS cms_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // G9 — durable streaming ingestion: every micro-batch both folds
   // into the world (G4's O(delta) path) AND publishes one atomic
   // durable commit, so the simulation survives a driver restart with
@@ -417,7 +469,8 @@ object StreamQueries {
     "stream_sketch" -> (streamSketch _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_durable_ingest" -> (streamDurableIngest _),
-    "stream_quantile" -> (streamQuantile _))
+    "stream_quantile" -> (streamQuantile _),
+    "stream_cms" -> (streamCms _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -429,5 +482,6 @@ object StreamQueries {
     "stream_sketch" -> streamSketchSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_durable_ingest" -> streamDurableIngestSql,
-    "stream_quantile" -> streamQuantileSql)
+    "stream_quantile" -> streamQuantileSql,
+    "stream_cms" -> streamCmsSql)
 }

@@ -145,6 +145,47 @@ case class HllAggregate(
   override def prettyName: String = "graft_hll"
 }
 
+/** The CMS counter algebra, shared by the batch aggregate and the
+  * streaming mapGroupsWithState maintainer — identical hashing and
+  * counter addition mean a sketch maintained incrementally across
+  * micro-batches is value-equal to one aggregated in batch (counter
+  * sum is order- and partitioning-insensitive).
+  */
+object CmsSketch {
+  def empty(depth: Int, width: Int): Array[Long] = new Array[Long](depth * width)
+
+  /** Bucket of a LONG item in counter row `row` (the aggregate's
+    * hashing for a LongType child, seed 1000003·(row+1)).
+    */
+  def bucketLong(v: Long, row: Int, width: Int): Int = {
+    val h = XxHash64Function.hash(v, LongType, 1000003L * (row + 1))
+    ((h % width + width) % width).toInt
+  }
+
+  def updateLong(buf: Array[Long], depth: Int, width: Int, v: Long): Unit = {
+    var r = 0
+    while (r < depth) { buf(r * width + bucketLong(v, r, width)) += 1L; r += 1 }
+  }
+
+  def mergeInto(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  /** Point estimate = min over depth rows. */
+  def estimateLong(buf: Array[Long], depth: Int, width: Int, v: Long): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = buf(r * width + bucketLong(v, r, width))
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+}
+
 /** Count-Min frequency sketch: `depth × width` counters; the aggregate
   * evaluates the point estimate for `queryValue` (min over rows).
   * The sketch itself (the buffer) is what merges across partitions —
@@ -186,7 +227,7 @@ case class CmsAggregate(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+  override def createAggregationBuffer(): Array[Long] = CmsSketch.empty(depth, width)
 
   private def bucket(v: Any, row: Int): Int = {
     val h = XxHash64Function.hash(v, child.dataType, 1000003L * (row + 1))
@@ -202,11 +243,8 @@ case class CmsAggregate(
     buf
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    CmsSketch.mergeInto(a, b)
 
   override def eval(buf: Array[Long]): Any = {
     val q = queryValue.eval(InternalRow.empty)

@@ -276,6 +276,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_cms: counters maintained across micro-batches equal batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SketchRow]
+    // items over a 64-value domain, probe = 7; batches overlap so the
+    // cross-batch counter ADDITION (not max) is what's exercised
+    val batch1 = (0 until 500).map(i => SketchRow(i % 4, (i % 64).toLong))
+    val batch2 = (300 until 900).map(i => SketchRow(i % 4, (i % 64).toLong))
+    val q = StreamQueries.cmsMaintainStream(input.toDS(), probe = 7L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cms_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // counters only grow → final estimate = max emission per shard
+      val streamed = spark.table("cms_out")
+        .groupBy(col("shard")).agg(max(col("probe_est")).as("e"))
+        .as[(Long, Long)].collect().toMap
+      val batch = (batch1 ++ batch2).toDS()
+        .groupBy(col("shard"))
+        .agg(graft.functions.SketchAggregates.cmsEstimate(
+          col("item"), lit(7L)).as("e"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        "incrementally-maintained CMS must equal the batch aggregate")
+      // CMS never undercounts the true probe frequency
+      val exact = (batch1 ++ batch2).groupBy(_.shard)
+        .map { case (s, rows) => s -> rows.count(_.item == 7L).toLong }
+      exact.foreach { case (s, n) => assert(streamed(s) >= n) }
+    } finally q.stop()
+  }
+
   test("stream_static_join: enrichment against static dimension == batch join") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
