@@ -276,6 +276,62 @@ object SimilarityQueries {
         (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
   }
 
+  // D9 — PRODUCT-QUANTIZED ANN (the FAISS PQ/ADC shape): 64 dims →
+  // 8 subspaces × 16-code codebooks, so each corpus vector is 8 codes
+  // (~64× smaller than the doubles — at 100 TB the difference between
+  // an index that fits in cluster memory and one that doesn't). All 8
+  // codebooks train together (one Lloyd job per iteration over
+  // (id, sub) rows); search scores candidates via the per-query ADC
+  // lookup table (sum of 8 broadcast-joined partials, never a full
+  // multiply), pools an approx top-6, and re-ranks the pool EXACTLY
+  // against the full-precision vectors. Same clustered corpus + recall
+  // contract as D6/D8; PqSpec proves codebook shape, code compression
+  // and recall ≥ the flat-scan bound.
+  private def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val all = emb(s, dir)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+          | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+          |   / 8191.0D)""".stripMargin).as("v"))
+    val q = all.filter(col("vec_id") <= 10)
+    val book = ProductQuantizer.train(all, "vec_id", "v", m = 8, dim = 64,
+      k = 16, iters = 3)
+    val codes = ProductQuantizer.assignCodes(
+      ProductQuantizer.subVectors(all, "vec_id", "v", m = 8, dim = 64), book)
+    // pool ≥ the largest label cluster (~59 at sf0.01): PQ codes tie
+    // cluster-mates (see PqSpec), so the pool must cover the collision
+    // set for the exact re-rank to recover the true top-3. 64/500 of
+    // the corpus still never touches full vectors during scoring.
+    val pool = ProductQuantizer.adcTopPool(codes, book, q, "vec_id", "v",
+      m = 8, dim = 64, pool = 64)
+    // exact re-rank of the ADC pool against full-precision vectors
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val pq = pool
+      .join(all.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+    val hits = bf.select(col("qid"), col("nid")).join(pq, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("cos"))).as("top1_cos"))
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(avg(col("top1_cos")), 4) + lit(0.0)).as("avg_top1_cos"),
+        (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
+  }
+
   // D3 — per-label vector norm statistics.
   private def vecNormStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -364,6 +420,7 @@ object SimilarityQueries {
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
     "knn_ivf_quantized" -> (knnIvfQuantized _),
+    "knn_pq" -> (knnPq _),
     "vec_norm_stats" -> (vecNormStats _),
     "vec_hof_stats" -> (vecHofStats _),
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
@@ -374,6 +431,7 @@ object SimilarityQueries {
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "knn_ivf_quantized" -> knnIvfTrainedSql, // same exact-reference contract; only the index path differs
+    "knn_pq" -> knnIvfTrainedSql, // same contract again: PQ changes the index, not the reference
     "vec_norm_stats" -> vecNormStatsSql,
     "vec_hof_stats" -> vecHofStatsSql,
     "vec_quantize_int8" -> vecQuantizeInt8Sql)
