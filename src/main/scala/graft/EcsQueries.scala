@@ -281,6 +281,47 @@ object EcsQueries {
       | count(*) AS n_pairs, CAST(sum(d2) AS BIGINT) AS sum_d2
       |FROM pr GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** A10: archetype migration — add a component to a subset of live
+    * entities, moving them between archetype tables. Suppliers spawn
+    * Position-only; even entities gain Velocity (vx = id mod 5 from
+    * the source row, vy = 1) and migrate to the (Position, Velocity)
+    * archetype; odd entities stay. A Position query then sees BOTH
+    * tables (subset match) with the evens exactly once — tombstone in
+    * the source, insert in the target, both appends. Output: per
+    * group, count + Σx + Σvx.
+    */
+  def migration(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_migrate")
+    world.spawnBatch(Seq(PosMeta), seedSuppliers(spark, dir))
+    world.migrateWhere(Seq(PosMeta), PosVel, col("entity_id") % 2 === 0,
+      defaults = Map(
+        "velocity__vx" -> (col("entity_id") % 5).cast("double"),
+        "velocity__vy" -> lit(1.0)))
+    val migrated = world.query(PosVel)(PosVelHash)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("position__x")), 2).as("sum_x"),
+        round(sum(col("velocity__vx")), 2).as("sum_vx"))
+      .select(lit("migrated").as("kind"), col("n"), col("sum_x"), col("sum_vx"))
+    val stayed = world.query(Seq(PosMeta))(PosOnlyHash)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("position__x")), 2).as("sum_x"))
+      .select(lit("stayed").as("kind"), col("n"), col("sum_x"),
+        lit(0.0).as("sum_vx"))
+    migrated.unionByName(stayed).orderBy(col("kind"))
+  }
+
+  val migrationOracle: String =
+    """SELECT * FROM (
+      | SELECT 'migrated' AS kind, count(*) AS n,
+      |   round(sum(floor(s_acctbal)), 2) AS sum_x,
+      |   round(sum(CAST((s_suppkey + 1000000) % 5 AS DOUBLE)), 2) AS sum_vx
+      | FROM supplier WHERE (s_suppkey + 1000000) % 2 = 0
+      | UNION ALL
+      | SELECT 'stayed' AS kind, count(*) AS n,
+      |   round(sum(floor(s_acctbal)), 2) AS sum_x, 0.0 AS sum_vx
+      | FROM supplier WHERE (s_suppkey + 1000000) % 2 = 1
+      |) ORDER BY kind""".stripMargin
+
   /** A6: archetype fan-out counts for a subset query. */
   def multiArchetype(spark: SparkSession, dir: String): DataFrame = {
     val world = World.make(spark, "sim_graft", "run_multi")
@@ -308,7 +349,8 @@ object EcsQueries {
     "ecs_multi_archetype" -> (multiArchetype _),
     "ecs_time_travel" -> (timeTravel _),
     "ecs_global_interaction" -> (globalInteraction _),
-    "ecs_spatial_neighbors" -> (spatialNeighbors _))
+    "ecs_spatial_neighbors" -> (spatialNeighbors _),
+    "ecs_migration" -> (migration _))
 
   val oracles: Map[String, String] = Map(
     "ecs_spawn_query" -> spawnQueryOracle,
@@ -319,5 +361,6 @@ object EcsQueries {
     "ecs_multi_archetype" -> multiArchetypeOracle,
     "ecs_time_travel" -> timeTravelOracle,
     "ecs_global_interaction" -> globalInteractionOracle,
-    "ecs_spatial_neighbors" -> spatialNeighborsOracle)
+    "ecs_spatial_neighbors" -> spatialNeighborsOracle,
+    "ecs_migration" -> migrationOracle)
 }

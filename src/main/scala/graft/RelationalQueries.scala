@@ -997,7 +997,34 @@ object RelationalQueries {
       |WHERE regexp_matches(p_name, '^(red|blue|green)\b')
       |ORDER BY p_partkey""".stripMargin
 
+  // q44 — time-RANGE window frame: per event, the same user's activity
+  // over the PRECEDING HOUR by timestamp value (not row count — q25 is
+  // the ROWS variant). The frame is value-bounded on epoch micros, so
+  // same-timestamp peers aggregate identically in any engine; the
+  // window shuffles once on user_id and each partition streams sorted
+  // — the canonical sliding-aggregate shape for event telemetry.
+  private def q44RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("n_hour", count(lit(1)).over(w))
+      .withColumn("sum_hour", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("n_hour"), col("sum_hour"))
+      .transform(QueryShape.stagedSort(_, col("event_id")))
+  }
+
+  private val q44Sql =
+    """SELECT event_id, user_id,
+      | count(*) OVER w AS n_hour,
+      | round(sum(value) OVER w, 2) AS sum_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_range_frame" -> (q44RangeFrame _),
     "q40_exists_correlated" -> (q40ExistsCorrelated _),
     "q41_lateral_explode" -> (q41LateralExplode _),
     "q42_array_funcs" -> (q42ArrayFuncs _),
@@ -1043,6 +1070,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q44_range_frame" -> q44Sql,
     "q40_exists_correlated" -> q40Sql,
     "q41_lateral_explode" -> q41Sql,
     "q42_array_funcs" -> q42Sql,

@@ -135,6 +135,43 @@ final class ArchetypeStore(
     tables(hash) = tables(hash).unionByName(tombstones)
   }
 
+  /** Archetype MIGRATION — add/remove components on live entities
+    * (reference scope: archetype/core/store.py keys tables by the
+    * component signature; changing an entity's component set moves it
+    * between tables). Entities of the `fromMetas` archetype matching
+    * `cond` are tombstoned there and re-appended to the `toMetas`
+    * archetype: shared component columns carry over, added components
+    * take their `defaults` expressions (evaluated against the source
+    * row — defaults may reference existing columns), removed
+    * components simply drop. Both sides stay append-only (a tombstone
+    * + an insert, no rewrite), so migration is two shuffle-free
+    * appends however large the store; history stays in the source
+    * archetype's table.
+    */
+  def migrate(fromMetas: Seq[ComponentMeta], toMetas: Seq[ComponentMeta],
+      cond: org.apache.spark.sql.Column,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+    val fromHash = Archetype.hashOf(fromMetas)
+    require(sigByHash.contains(fromHash),
+      s"migrate: unknown source archetype $fromHash")
+    // bind movers to the CURRENT table plan before tombstoning (lazy
+    // frames: the tombstone append below does not affect this plan);
+    // each entity moves with its LATEST live frame, keeping its step
+    val wLatest = Window.partitionBy(col("entity_id")).orderBy(col("step").desc)
+    val movers = resolved(fromHash).filter(col("is_active") && cond)
+      .withColumn("_rn", row_number().over(wLatest))
+      .filter(col("_rn") === 1).drop("_rn")
+    val toHash = ensureTable(toMetas)
+    var out = movers
+    defaults.foreach { case (n, c) => out = out.withColumn(n, c) }
+    val missing = Archetype.schemaOf(sigByHash(toHash)).fieldNames
+      .filterNot(out.columns.contains)
+    require(missing.isEmpty,
+      s"migrate: target components $missing have no source column and no default")
+    despawnWhere(fromHash, cond)
+    upsert(toHash, out)
+  }
+
   // -------------------------------------------------------------------
   // Query side (reference: store.py get_archetypes / get_history)
   // -------------------------------------------------------------------

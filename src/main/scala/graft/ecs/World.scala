@@ -109,6 +109,15 @@ final class World private (
   def despawnWhere(metas: Seq[ComponentMeta], cond: org.apache.spark.sql.Column): Unit =
     store.matchingHashes(metas).foreach(h => store.despawnWhere(h, cond))
 
+  /** Add/remove components on matching entities — archetype migration
+    * (shared columns carry over, added components take `defaults`,
+    * dropped ones vanish; see ArchetypeStore.migrate).
+    */
+  def migrateWhere(from: Seq[ComponentMeta], to: Seq[ComponentMeta],
+      cond: org.apache.spark.sql.Column,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit =
+    store.migrate(from, to, cond, defaults)
+
   def addProcessor(p: Processor): Unit = system.addProcessor(p)
   def removeProcessor(p: Processor): Unit = system.removeProcessor(p)
 

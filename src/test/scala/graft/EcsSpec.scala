@@ -326,6 +326,47 @@ class EcsSpec extends SparkSpec {
     }
   }
 
+  test("migration: add component moves matching entities, values carry over") {
+    val world = World.make(spark, "sim_test", "run_mig1")
+    val e1 = world.spawn(Position(1.0, 2.0))
+    val e2 = world.spawn(Position(3.0, 4.0))
+    world.migrateWhere(Seq(PosMeta), PosVel, col("entity_id") === e1,
+      defaults = Map(
+        "velocity__vx" -> (col("position__x") * 10), // defaults can read source cols
+        "velocity__vy" -> lit(-1.0)))
+    val posVel = world.query(PosVel).values.head.collect()
+    assert(posVel.length == 1)
+    assert(posVel.head.getAs[Long]("entity_id") == e1)
+    assert(posVel.head.getAs[Double]("position__x") == 1.0)
+    assert(posVel.head.getAs[Double]("velocity__vx") == 10.0)
+    // source archetype keeps only the unmigrated entity
+    val posOnlyHash = Archetype.hashOf(Seq(PosMeta))
+    val left = world.query(Seq(PosMeta))(posOnlyHash).collect()
+    assert(left.map(_.getAs[Long]("entity_id")).toSeq == Seq(e2))
+    // subset query over Position sees both archetypes, each entity once
+    val all = world.query(Seq(PosMeta)).values.map(_.count()).sum
+    assert(all == 2L)
+  }
+
+  test("migration: remove component drops columns, migrated entity steps on") {
+    val world = World.make(spark, "sim_test", "run_mig2")
+    world.addProcessor(MovementProcessor)
+    val e1 = world.spawn(Position(0.0, 0.0), Velocity(2.0, 2.0))
+    val e2 = world.spawn(Position(5.0, 5.0), Velocity(1.0, 1.0))
+    world.step(0.5) // both move
+    world.migrateWhere(PosVel, Seq(PosMeta), col("entity_id") === e2)
+    world.step(0.5) // only e1 still has Velocity and moves
+    val moving = world.query(PosVel).values.head.collect()
+    assert(moving.map(_.getAs[Long]("entity_id")).toSeq == Seq(e1))
+    assert(moving.head.getAs[Double]("position__x") == 2.0)
+    // e2 froze at its migrated frame (latest step carried over)
+    val posOnlyHash = Archetype.hashOf(Seq(PosMeta))
+    val frozen = world.query(Seq(PosMeta), step = Some(1L))(posOnlyHash).collect()
+    assert(frozen.map(_.getAs[Long]("entity_id")).toSeq == Seq(e2))
+    assert(frozen.head.getAs[Double]("position__x") == 5.5)
+    assert(!frozen.head.schema.fieldNames.contains("velocity__vx"))
+  }
+
   test("processor chaining: later processors see earlier output in-step") {
     val world = World.make(spark, "sim_test", "run_chain")
     object PlusOne extends Processor {
