@@ -329,7 +329,82 @@ object MultimodalQueries {
       | round(max(CASE WHEN q = 3 THEN m END), 4) AS q_br
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // F7 — perceptual difference-hash (dHash) on decoded images: the
+  // near-duplicate fingerprint for the IMAGE modality (C-suite does
+  // text; a multimodal corpus dedups frames/thumbnails this way).
+  // Decode → nearest-neighbor resize to 9×8 → 64 gradient bits
+  // (right neighbor brighter?), packed as two 32-bit halves (a single
+  // 64-bit sum would need bit 63 and DuckDB sums BIGINT into HUGEINT —
+  // split halves stay exact in both engines). Every step is integer
+  // arithmetic on the same synthetic pixels as F4/F6, so the oracle
+  // replays the hash bit-for-bit; at scale the hash is 8 bytes per
+  // image and near-dup grouping is an equi-join on it.
+  private def mmImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            (((id + x * 7 + y * 13) % 256).toInt,
+              ((id * 3 + x * 5 + y * 11) % 256).toInt,
+              ((id * 5 + x * 3 + y * 17) % 256).toInt)
+          }
+          val d = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px))
+          val thumb = MediaCodec.resizeNearest(d, 9, 8)
+          def gray(tx: Int, ty: Int): Long = {
+            val p = thumb(ty * 9 + tx)
+            p._1.toLong + p._2 + p._3
+          }
+          var lo = 0L; var hi = 0L; var nBits = 0L
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 8) {
+              if (gray(tx + 1, ty) > gray(tx, ty)) {
+                val pos = ty * 8 + tx
+                if (pos < 32) lo += 1L << pos else hi += 1L << (pos - 32)
+                nBits += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          MmImagePhashRow(id, hi, lo, nBits)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImagePhashSql =
+    """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      |             FROM documents),
+      |thumb AS (
+      | SELECT doc_id, tx, ty,
+      |   (doc_id + (tx * w // 9) * 7 + (ty * h // 8) * 13) % 256 +
+      |   (doc_id * 3 + (tx * w // 9) * 5 + (ty * h // 8) * 11) % 256 +
+      |   (doc_id * 5 + (tx * w // 9) * 3 + (ty * h // 8) * 17) % 256 AS gray
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, 8)) AS tx) txs,
+      |  LATERAL (SELECT unnest(generate_series(0, 7)) AS ty) tys),
+      |bits AS (
+      | SELECT a.doc_id, a.ty * 8 + a.tx AS pos
+      | FROM thumb a JOIN thumb b
+      |   ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+      | WHERE a.tx < 8 AND b.gray > a.gray)
+      |SELECT d.doc_id,
+      | CAST(coalesce(sum(CASE WHEN pos >= 32 THEN 1::BIGINT << (pos - 32) END), 0) AS BIGINT) AS dhash_hi,
+      | CAST(coalesce(sum(CASE WHEN pos < 32 THEN 1::BIGINT << pos END), 0) AS BIGINT) AS dhash_lo,
+      | CAST(count(pos) AS BIGINT) AS n_bits
+      |FROM dims d LEFT JOIN bits USING (doc_id)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_phash" -> (mmImagePhash _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_decode" -> (mmAudioDecode _),
@@ -338,6 +413,7 @@ object MultimodalQueries {
     "mm_image_features" -> (mmImageFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "mm_image_phash" -> mmImagePhashSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
@@ -355,3 +431,5 @@ case class MmImageRow(doc_id: Long, width: Long, height: Long,
     mean_r: Double, thumb_gray: Double)
 case class MmImageFeatRow(doc_id: Long, q_tl: Double, q_tr: Double,
     q_bl: Double, q_br: Double)
+case class MmImagePhashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
+    n_bits: Long)

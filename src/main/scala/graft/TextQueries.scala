@@ -409,7 +409,50 @@ object TextQueries {
       |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf
       |FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
 
+  // E10 — text normalization (case folding, whitespace collapse,
+  // trim): the canonicalization pass that runs before exact dedup so
+  // trivially-different bytes hash identically. The corpus text is
+  // already canonical, so the query derives a deterministically MESSY
+  // twin (upper-cased by doc_id mod 3, space-padded by mod 2), runs
+  // the normalizer, and proves the round trip: every normalized doc
+  // equals its original — plus the md5-distinct count collapsing back
+  // from messy to original. One scan, all codegen'd string exprs.
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = when(col("doc_id") % 2 === 0,
+      concat(lit("  "), when(col("doc_id") % 3 === 0, upper(col("text")))
+        .otherwise(col("text")), lit(" ")))
+      .otherwise(when(col("doc_id") % 3 === 0, upper(col("text")))
+        .otherwise(col("text")))
+    val norm = trim(regexp_replace(lower(col("messy")), " +", " "))
+    docs(s, dir)
+      .withColumn("messy", messy)
+      .withColumn("norm", norm)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("messy") =!= col("text"), 1L).otherwise(0L)).as("n_messy"),
+        sum(when(col("norm") === col("text"), 1L).otherwise(0L)).as("n_restored"),
+        countDistinct(md5(col("messy"))).as("distinct_messy"),
+        countDistinct(md5(col("norm"))).as("distinct_norm"))
+  }
+
+  private val textNormalizeSql =
+    """WITH m AS (
+      | SELECT text,
+      |  CASE WHEN doc_id % 2 = 0 THEN concat('  ',
+      |         CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END, ' ')
+      |       ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+      |  END AS messy
+      | FROM documents),
+      |n AS (SELECT text, messy,
+      |        trim(regexp_replace(lower(messy), ' +', ' ', 'g')) AS norm FROM m)
+      |SELECT count(*) AS n_docs,
+      | CAST(sum(CASE WHEN messy <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_messy,
+      | CAST(sum(CASE WHEN norm = text THEN 1 ELSE 0 END) AS BIGINT) AS n_restored,
+      | count(DISTINCT md5(messy)) AS distinct_messy,
+      | count(DISTINCT md5(norm)) AS distinct_norm
+      |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
     "text_langid" -> (textLangid _),
     "text_langid_ngram" -> (textLangidNgram _),
     "text_quality" -> (textQuality _),
@@ -421,6 +464,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
     "text_langid" -> textLangidSql,
     "text_langid_ngram" -> textLangidNgramSql,
     "text_quality" -> textQualitySql,
