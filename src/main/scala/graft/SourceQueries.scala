@@ -183,7 +183,59 @@ object SourceQueries {
       | round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // H6 — bucketed tables: both join sides written bucketBy/sortBy on
+  // the join key (saveAsTable: the layout a 100 TB fact-fact join is
+  // pre-paid with), then joined WITHOUT a shuffle — auto-broadcast is
+  // disabled for the join so only bucket co-location can avoid the
+  // Exchange, and the absence of `Exchange hashpartitioning` is
+  // asserted ON THE PLAN inside the query (a silent layout regression
+  // fails the correctness gate, not just a spec). Oracle = the plain
+  // join result, which bucketing must not change.
+  private def srcBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val liTbl = s"graft_li_bkt_$tag"
+    val ordTbl = s"graft_ord_bkt_$tag"
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTbl)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAutoScan = s.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      // join AND aggregate both on the bucket key: the whole pipeline
+      // rides the storage partitioning — zero exchanges end to end
+      val joined = s.table(liTbl)
+        .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join unexpectedly shuffled — storage co-location broken")
+      // materialize before restoring conf / dropping tables
+      joined.orderBy(col("l_orderkey")).localCheckpoint(true)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAutoScan)
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+    }
+  }
+
+  private val srcBucketedJoinSql =
+    """SELECT l_orderkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+      | round(max(o_totalprice), 2) AS max_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_bucketed_join" -> (srcBucketedJoin _),
     "src_roundtrip" -> (srcRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_partitioned_write" -> (srcPartitionedWrite _),
@@ -191,6 +243,7 @@ object SourceQueries {
     "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "src_bucketed_join" -> srcBucketedJoinSql,
     "src_roundtrip" -> srcRoundtripSql,
     "src_orc_roundtrip" -> srcOrcRoundtripSql,
     "src_partitioned_write" -> srcPartitionedWriteSql,

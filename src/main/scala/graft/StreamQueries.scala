@@ -340,6 +340,48 @@ object StreamQueries {
       | count(*) AS n, true AS kll_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming transform (G13): NATIVE session windows — Spark's
+    * session_window groupBy (dynamic-gap state merging inside the
+    * streaming aggregation operator) instead of G3's hand-rolled
+    * flatMapGroupsWithState sessionizer. A session extends while each
+    * next event lands strictly inside [last, last + gap); the state
+    * store merges overlapping windows across micro-batches.
+    */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("sess_start"),
+        col("n_events"), col("total_value"))
+
+  // G13 batch equivalent — the same native operator in batch (it plans
+  // as sort + in-partition merge after ONE shuffle on user_id). The
+  // oracle replays session semantics as gaps-and-islands: a NEW
+  // session starts when the gap is >= 30 min (Spark merges only
+  // strictly-inside events).
+  private def streamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    sessionWindowStream(Tables.load(s, dir, "events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  private val streamSessionWindowSql =
+    """WITH e AS (
+      | SELECT user_id, ts, value,
+      |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |),
+      |sess AS (
+      | SELECT user_id, ts, value,
+      |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |     ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM e)
+      |SELECT user_id, min(ts) AS sess_start,
+      | count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin
+
   /** Streaming transform (G11): per-shard Count-Min counters
     * maintained across micro-batches via mapGroupsWithState — the
     * frequency axis next to G7 (distinct) and G10 (quantiles). State
@@ -470,7 +512,8 @@ object StreamQueries {
     "stream_static_join" -> (streamStaticJoin _),
     "stream_durable_ingest" -> (streamDurableIngest _),
     "stream_quantile" -> (streamQuantile _),
-    "stream_cms" -> (streamCms _))
+    "stream_cms" -> (streamCms _),
+    "stream_session_window" -> (streamSessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -483,5 +526,6 @@ object StreamQueries {
     "stream_static_join" -> streamStaticJoinSql,
     "stream_durable_ingest" -> streamDurableIngestSql,
     "stream_quantile" -> streamQuantileSql,
-    "stream_cms" -> streamCmsSql)
+    "stream_cms" -> streamCmsSql,
+    "stream_session_window" -> streamSessionWindowSql)
 }

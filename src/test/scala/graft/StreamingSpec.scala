@@ -49,6 +49,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_session_window: native session windows merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = sampleEvents(300)
+    val (first, second) = events.splitAt(150)
+    val q = StreamQueries.sessionWindowStream(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win_out").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win_out")
+        .orderBy("user_id", "sess_start").collect().toSeq
+      // batch twin over the union: same native operator
+      val expected = StreamQueries.sessionWindowStream(events.toDF()
+        .withColumn("ts", col("ts").cast("timestamp")))
+        .orderBy("user_id", "sess_start").collect().toSeq
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+      // sessions really aggregate: more events than sessions
+      assert(streamed.map(_.getAs[Long]("n_events")).sum == events.size)
+    } finally q.stop()
+  }
+
   test("stream_session: stateful sessionizer matches batch across two micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessEvent]
