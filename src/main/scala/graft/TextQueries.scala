@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite (SURVEY §2.E) over `documents`. All scoring is
@@ -451,7 +452,54 @@ object TextQueries {
       | count(DISTINCT md5(norm)) AS distinct_norm
       |FROM n""".stripMargin
 
+  // E11 — bigram language-model scoring (the KenLM-shaped fluency
+  // filter): train MLE bigram probabilities C(w1,w2)/C(w1) on the
+  // corpus itself (two hash aggs), broadcast the model, score every
+  // document by its mean/min bigram probability. Probabilities are
+  // exact-integer ratios (one IEEE division — bit-identical in any
+  // engine), so unlike a log-prob the score replays without
+  // transcendental-libm drift; min is order-free, the 4dp round
+  // absorbs sum reordering in the mean. At 100 TB the model table is
+  // the only broadcast and scoring stays one scan.
+  private def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val pairC = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uniC = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val model = pairC.join(uniC, Seq("w1"))
+      .select(col("w1"), col("w2"), (col("c12").cast("double") / col("c1")).as("p"))
+    bigrams.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("p")), 4).as("avg_p"),
+        min(col("p")).as("min_p"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val textLmScoreSql =
+    """WITH t AS (
+      | SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
+      | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |      (SELECT unnest(generate_series(1, 200)) AS i)
+      | WHERE i < len(w) AND w[i] <> '' AND w[i + 1] <> ''),
+      |pc AS (SELECT w1, w2, count(*) AS c12 FROM t GROUP BY w1, w2),
+      |uc AS (SELECT w1, count(*) AS c1 FROM t GROUP BY w1),
+      |m AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p
+      |      FROM pc JOIN uc USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | round(avg(p), 4) AS avg_p, min(p) AS min_p
+      |FROM t JOIN m USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_normalize" -> (textNormalize _),
     "text_langid" -> (textLangid _),
     "text_langid_ngram" -> (textLangidNgram _),
@@ -464,6 +512,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> textLmScoreSql,
     "text_normalize" -> textNormalizeSql,
     "text_langid" -> textLangidSql,
     "text_langid_ngram" -> textLangidNgramSql,
