@@ -1023,7 +1023,34 @@ object RelationalQueries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // q45 — LATERAL correlated top-k: each customer's 2 highest-value
+  // orders via a lateral subquery with correlated ORDER BY + LIMIT.
+  // Catalyst rewrites the per-row subquery into a join + windowed
+  // rank (DomainJoin decorrelation) — no nested-loop re-execution,
+  // which is what lets "top-N per key" run at 100 TB. DuckDB executes
+  // the same SQL shape natively.
+  private def q45LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q45_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q45_orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_q45_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q45_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  private val q45Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_lateral_topk" -> (q45LateralTopk _),
     "q44_range_frame" -> (q44RangeFrame _),
     "q40_exists_correlated" -> (q40ExistsCorrelated _),
     "q41_lateral_explode" -> (q41LateralExplode _),
@@ -1070,6 +1097,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q45_lateral_topk" -> q45Sql,
     "q44_range_frame" -> q44Sql,
     "q40_exists_correlated" -> q40Sql,
     "q41_lateral_explode" -> q41Sql,

@@ -234,7 +234,39 @@ object SourceQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // H7 — DYNAMIC partition overwrite: rewrite ONE hive partition of a
+  // partitioned table in place (the incremental-reprocess shape — at
+  // 100 TB you re-run yesterday's partition, never the table). Full
+  // write first; then an overwrite of only status='F' rows with
+  // doubled prices under partitionOverwriteMode=dynamic — STATIC mode
+  // would truncate every other partition, so the read-back aggregate
+  // (F doubled, others byte-identical) proves the dynamic semantics.
+  private def srcDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dyn_${java.util.UUID.randomUUID().toString.take(8)}"
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val srcDynamicOverwriteSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+      |               ELSE o_totalprice END), 2) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_dynamic_overwrite" -> (srcDynamicOverwrite _),
     "src_bucketed_join" -> (srcBucketedJoin _),
     "src_roundtrip" -> (srcRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -243,6 +275,7 @@ object SourceQueries {
     "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "src_dynamic_overwrite" -> srcDynamicOverwriteSql,
     "src_bucketed_join" -> srcBucketedJoinSql,
     "src_roundtrip" -> srcRoundtripSql,
     "src_orc_roundtrip" -> srcOrcRoundtripSql,
