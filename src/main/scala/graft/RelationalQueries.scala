@@ -1049,7 +1049,43 @@ object RelationalQueries {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
+  // q46 — FULL OUTER join with key coalescing: customers who only
+  // click vs only purchase vs both, from two aggregated sides joined
+  // full-outer (the reconciliation shape: neither side may drop).
+  // Spark plans a sort-merge full outer; the null-side counts prove
+  // both dangling directions survive.
+  private def q46FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu")).agg(count(lit(1)).as("n_buys"))
+    clicks.join(purchases, col("cu") === col("pu"), "full_outer")
+      .select(coalesce(col("cu"), col("pu")).as("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+        when(col("cu").isNull, "buy_only")
+          .when(col("pu").isNull, "click_only")
+          .otherwise("both").as("kind"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q46Sql =
+    """WITH c AS (SELECT user_id AS cu, count(*) AS n_clicks FROM events
+      |           WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (SELECT user_id AS pu, count(*) AS n_buys FROM events
+      |      WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT coalesce(cu, pu) AS user_id,
+      | coalesce(n_clicks, 0) AS n_clicks,
+      | coalesce(n_buys, 0) AS n_buys,
+      | CASE WHEN cu IS NULL THEN 'buy_only'
+      |      WHEN pu IS NULL THEN 'click_only'
+      |      ELSE 'both' END AS kind
+      |FROM c FULL OUTER JOIN p ON cu = pu
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_full_outer" -> (q46FullOuter _),
     "q45_lateral_topk" -> (q45LateralTopk _),
     "q44_range_frame" -> (q44RangeFrame _),
     "q40_exists_correlated" -> (q40ExistsCorrelated _),
@@ -1097,6 +1133,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q46_full_outer" -> q46Sql,
     "q45_lateral_topk" -> q45Sql,
     "q44_range_frame" -> q44Sql,
     "q40_exists_correlated" -> q40Sql,

@@ -158,7 +158,52 @@ object SketchQueries {
       |      GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 5)
       |SELECT tok, n_exact, true AS mg_in_bounds FROM f ORDER BY tok""".stripMargin
 
+  // I6 — sketch SET OPERATIONS: distinct-user overlap between two
+  // event segments from three HLL sketches via inclusion-exclusion
+  // (|A∩B| ≈ |A| + |B| − |A∪B|) — the audience-overlap query sketches
+  // exist for (merge three fixed-size register arrays, never the user
+  // sets). Union = one aggregate over the filtered union of segments
+  // (register max-merge IS set union). Oracle = exact counts beside
+  // bound booleans; intersection error compounds three ±1.6% sketches
+  // so the gate is 5% of the UNION size.
+  private def sketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val inA = col("event_type") === "click"
+    val inB = col("event_type") === "purchase"
+    val agg = ev.filter(inA || inB).agg(
+      SketchAggregates.hll(when(inA, col("user_id"))).as("est_a"),
+      SketchAggregates.hll(when(inB, col("user_id"))).as("est_b"),
+      SketchAggregates.hll(col("user_id")).as("est_union"),
+      countDistinct(when(inA, col("user_id"))).as("exact_a"),
+      countDistinct(when(inB, col("user_id"))).as("exact_b"),
+      countDistinct(col("user_id")).as("exact_union"),
+      (countDistinct(when(inA, col("user_id"))) +
+        countDistinct(when(inB, col("user_id"))) -
+        countDistinct(col("user_id"))).as("exact_inter"))
+    agg.select(
+      col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+      (abs(col("est_a") - col("exact_a")) <= col("exact_a") * 0.05).as("a_ok"),
+      (abs(col("est_b") - col("exact_b")) <= col("exact_b") * 0.05).as("b_ok"),
+      (abs(col("est_union") - col("exact_union")) <= col("exact_union") * 0.05).as("union_ok"),
+      (abs((col("est_a") + col("est_b") - col("est_union")) - col("exact_inter"))
+        <= col("exact_union") * 0.05).as("inter_ok"))
+  }
+
+  private val sketchSetOpsSql =
+    """WITH s AS (SELECT user_id, event_type FROM events
+      |           WHERE event_type IN ('click', 'purchase'))
+      |SELECT
+      | count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_a,
+      | count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b,
+      | count(DISTINCT user_id) AS exact_union,
+      | count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |  + count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |  - count(DISTINCT user_id) AS exact_inter,
+      | true AS a_ok, true AS b_ok, true AS union_ok, true AS inter_ok
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_set_ops" -> (sketchSetOps _),
     "sketch_topk_tokens" -> (sketchTopkTokens _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_cms_freq" -> (sketchCmsFreq _),
@@ -166,6 +211,7 @@ object SketchQueries {
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_set_ops" -> sketchSetOpsSql,
     "sketch_topk_tokens" -> sketchTopkTokensSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
     "sketch_cms_freq" -> sketchCmsFreqSql,
