@@ -15,7 +15,9 @@ object PlanAudit {
       "dedup_minhash_lsh", "dedup_embedding", "knn_lsh", "knn_bruteforce",
       "sketch_hll_distinct", "text_fingerprint", "pipeline_contamination",
       "sketch_bloom_filter", "dedup_winnowing", "knn_ivf_quantized",
-      "pipeline_quality_gate", "src_zorder_layout", "q36_asof_tolerance")
+      "pipeline_quality_gate", "src_zorder_layout", "q36_asof_tolerance",
+      "ecs_spatial_neighbors", "knn_pq", "q45_lateral_topk",
+      "q44_range_frame", "text_lm_score", "pipeline_domain_mix")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
