@@ -23,6 +23,10 @@ case class QuantEstimate(shard: Long, n_seen: Long, approx_p50: Double)
 /** Output for the streaming CMS maintainer (G11). */
 case class FreqEstimate(shard: Long, probe_est: Long)
 
+/** Rows/outputs for the streaming Misra-Gries maintainer (G12). */
+case class TokRow(shard: Long, tok: String)
+case class TopkState(shard: Long, summary: Map[String, Long])
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -431,6 +435,74 @@ object StreamQueries {
       | true AS cms_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming transform (G12): per-shard Misra-Gries heavy hitters
+    * maintained across micro-batches — the frequency-RANKING axis
+    * next to G7/G11's counts. State per key is ≤ capacity counters
+    * however long the stream; restored counters ARE an MG summary, so
+    * continuing update() on them is exactly the single-stream
+    * algorithm and the exact−n/(k+1) ≤ est ≤ exact bound holds over
+    * the concatenated batches (spec-asserted with a planted heavy
+    * key). Emits the refreshed summary each batch.
+    */
+  def topkMaintainStream(rows: Dataset[TokRow], capacity: Int): Dataset[TopkState] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.MisraGries
+    rows.groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (shard: Long, it: Iterator[TokRow], state: GroupState[Map[String, Long]]) => {
+          val buf = MisraGries.empty(capacity)
+          state.getOption.foreach(_.foreach { case (k, v) =>
+            buf.put(k, java.lang.Long.valueOf(v)) })
+          it.foreach(r => MisraGries.update(buf, capacity, r.tok))
+          val b = Map.newBuilder[String, Long]
+          buf.forEach((k, v) => b += (k -> v.longValue()))
+          val m = b.result()
+          state.update(m)
+          TopkState(shard, m)
+        })
+  }
+
+  // G12 batch equivalent — per-shard graft_topk over document tokens
+  // (a lossy capacity-8 summary vs ~31 distinct), I5's always-true MG
+  // bound asserted for each shard's exact top-3.
+  private def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchAggregates
+    val toks = Tables.load(s, dir, "documents")
+      .select((col("doc_id") % 4).as("shard"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val summaries = toks.groupBy(col("shard"))
+      .agg(SketchAggregates.topK(col("tok"), 8).as("mg"),
+        count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_exact").desc, col("tok"))
+    val top3 = toks.groupBy(col("shard"), col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val est = coalesce(element_at(col("mg"), col("tok")), lit(0L))
+    top3.join(broadcast(summaries), Seq("shard"))
+      .select(col("shard"), col("rn").cast("long").as("rn"), col("tok"),
+        col("n_exact"),
+        (est <= col("n_exact") &&
+          est * 9 >= col("n_exact") * 9 - col("n_total")).as("mg_in_bounds"))
+      .orderBy(col("shard"), col("rn"))
+  }
+
+  private val streamTopkSql =
+    """WITH t AS (
+      | SELECT doc_id % 4 AS shard,
+      |   unnest(string_split(lower(text), ' ')) AS tok
+      | FROM documents),
+      |f AS (SELECT shard, tok, count(*) AS n_exact FROM t WHERE tok <> ''
+      |      GROUP BY shard, tok),
+      |r AS (SELECT shard, tok, n_exact,
+      |        CAST(row_number() OVER (PARTITION BY shard
+      |          ORDER BY n_exact DESC, tok) AS BIGINT) AS rn
+      |      FROM f)
+      |SELECT shard, rn, tok, n_exact, true AS mg_in_bounds
+      |FROM r WHERE rn <= 3 ORDER BY shard, rn""".stripMargin
+
   // G9 — durable streaming ingestion: every micro-batch both folds
   // into the world (G4's O(delta) path) AND publishes one atomic
   // durable commit, so the simulation survives a driver restart with
@@ -513,7 +585,8 @@ object StreamQueries {
     "stream_durable_ingest" -> (streamDurableIngest _),
     "stream_quantile" -> (streamQuantile _),
     "stream_cms" -> (streamCms _),
-    "stream_session_window" -> (streamSessionWindow _))
+    "stream_session_window" -> (streamSessionWindow _),
+    "stream_topk" -> (streamTopk _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -527,5 +600,6 @@ object StreamQueries {
     "stream_durable_ingest" -> streamDurableIngestSql,
     "stream_quantile" -> streamQuantileSql,
     "stream_cms" -> streamCmsSql,
-    "stream_session_window" -> streamSessionWindowSql)
+    "stream_session_window" -> streamSessionWindowSql,
+    "stream_topk" -> streamTopkSql)
 }

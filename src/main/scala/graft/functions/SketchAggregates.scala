@@ -283,6 +283,60 @@ case class CmsAggregate(
   override def prettyName: String = "graft_cms"
 }
 
+/** The Misra-Gries counter algebra, shared by the batch aggregate and
+  * the streaming mapGroupsWithState maintainer. Counts are
+  * java.lang.Long so absent-key lookups stay null-safe.
+  */
+object MisraGries {
+  type Buf = java.util.HashMap[String, java.lang.Long]
+
+  def empty(capacity: Int): Buf = new java.util.HashMap(capacity * 2)
+
+  /** Fold one key in: increment if resident or under capacity, else
+    * the classic decrement-all-and-evict-zeros step.
+    */
+  def update(buf: Buf, capacity: Int, k: String): Unit = {
+    val cur = buf.get(k)
+    if (cur != null || buf.size < capacity) {
+      buf.put(k, (if (cur == null) 0L else cur.longValue()) + 1L)
+    } else {
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Counter-wise sum of `b` into `a`, then uniform subtraction of the
+    * (capacity+1)-th largest count — ties at the threshold all drop to
+    * ≤ 0, so the surviving set is independent of map iteration order.
+    */
+  def mergeInto(a: Buf, b: Buf, capacity: Int): Buf = {
+    val bit = b.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+    }
+    if (a.size > capacity) {
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val threshold = counts(a.size - capacity - 1)
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= threshold) it.remove()
+        else e.setValue(e.getValue - threshold)
+      }
+    }
+    a
+  }
+}
+
 /** Misra-Gries heavy-hitters sketch (Misra & Gries 1982; merge rule
   * from Agarwal et al., "Mergeable Summaries", 2012): at most
   * `capacity` counters survive; the map-side partials and the shuffle
@@ -316,56 +370,18 @@ case class TopKAggregate(
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
 
   override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
-    new java.util.HashMap[String, java.lang.Long](capacity * 2)
+    MisraGries.empty(capacity)
 
   override def update(buf: java.util.HashMap[String, java.lang.Long],
       input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val k = v.toString
-      val cur = buf.get(k)
-      if (cur != null || buf.size < capacity) {
-        buf.put(k, (if (cur == null) 0L else cur.longValue()) + 1L)
-      } else {
-        // classic MG: decrement every counter, evict zeros
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
-        }
-      }
-    }
+    if (v != null) MisraGries.update(buf, capacity, v.toString)
     buf
   }
 
-  /** Counter-wise sum, then uniform subtraction of the (capacity+1)-th
-    * largest count — ties at the threshold all drop to ≤ 0, so the
-    * surviving set is independent of map iteration order.
-    */
   override def merge(a: java.util.HashMap[String, java.lang.Long],
-      b: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
-    val bit = b.entrySet().iterator()
-    while (bit.hasNext) {
-      val e = bit.next()
-      val cur = a.get(e.getKey)
-      a.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
-    }
-    if (a.size > capacity) {
-      val counts = new Array[Long](a.size)
-      var i = 0
-      val vit = a.values().iterator()
-      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val threshold = counts(a.size - capacity - 1) // (capacity+1)-th largest
-      val it = a.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue <= threshold) it.remove()
-        else e.setValue(e.getValue - threshold)
-      }
-    }
-    a
-  }
+      b: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] =
+    MisraGries.mergeInto(a, b, capacity)
 
   override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
     val n = buf.size

@@ -337,6 +337,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_topk: MG counters maintained across micro-batches hold the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TokRow]
+    val cap = 4
+    // planted heavy key spread over both batches + singleton noise
+    val batch1 = Seq.fill(120)(TokRow(0, "heavy")) ++
+      (0 until 60).map(i => TokRow(0, s"rare$i"))
+    val batch2 = Seq.fill(80)(TokRow(0, "heavy")) ++
+      (60 until 120).map(i => TokRow(0, s"rare$i"))
+    val q = StreamQueries.topkMaintainStream(input.toDS(), cap)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("topk_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val all = batch1 ++ batch2
+      val n = all.size.toLong
+      val exact = all.groupBy(_.tok).map { case (k, v) => k -> v.size.toLong }
+      // last emission = summary over the concatenated stream
+      val m = spark.table("topk_out").as[TopkState].collect()
+        .filter(_.shard == 0L).last.summary
+      assert(m.size <= cap)
+      assert(m.contains("heavy"), "heavy key (freq > n/(k+1)) must survive")
+      (exact.keySet ++ m.keySet).foreach { k =>
+        val e = exact.getOrElse(k, 0L)
+        val est = m.getOrElse(k, 0L)
+        assert(est <= e && est >= e - n / (cap + 1) - 1,
+          s"bound violated for $k: est=$est exact=$e")
+      }
+    } finally q.stop()
+  }
+
   test("stream_static_join: enrichment against static dimension == batch join") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
