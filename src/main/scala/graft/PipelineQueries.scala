@@ -248,7 +248,63 @@ object PipelineQueries {
       |FROM d WHERE h * 4 < 9973 * share4
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // J6 — NEAR-dup-aware selection: J3's dedup step removes only
+  // byte-identical texts; real pipelines drop near-duplicates. Reuse
+  // C6's connected components over the 3-gram-Jaccard graph, keep the
+  // lowest doc_id per duplicate CLUSTER, and report the corpus
+  // shrinkage + surviving token mass. One extra shuffle beyond the CC
+  // itself (the representative groupBy); survivors resolve with a
+  // semi-join.
+  private def pipelineNeardupSelect(s: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupQueries.queries("dedup_cluster")(s, dir)
+    val keep = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d = docs(s, dir)
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    d.join(keep, Seq("doc_id"), "leftsemi")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum((length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long")).as("kept_words"))
+      .crossJoin(broadcast(total))
+      .select(col("n_docs"), col("n_survivors"),
+        (col("n_docs") - col("n_survivors")).as("n_removed"),
+        col("kept_words"))
+  }
+
+  private val pipelineNeardupSelectSql =
+    """WITH RECURSIVE g AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 2, 1)),
+      |   i -> ascii(substring(text, i, 1)) * 17161
+      |      + ascii(substring(text, i + 1, 1)) * 131
+      |      + ascii(substring(text, i + 2, 1)))) AS gr
+      | FROM documents
+      |), p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      | WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.gr, b.gr))) >= 0.7
+      |), e AS (
+      | SELECT id_a AS src, id_b AS dst FROM p
+      | UNION ALL SELECT id_b, id_a FROM p
+      |), reach(node, lab) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT e.dst, reach.lab FROM reach JOIN e ON reach.node = e.src
+      |), lab AS (
+      | SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+      |), keep AS (
+      | SELECT min(doc_id) AS doc_id FROM lab GROUP BY cluster_id)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      | count(*) AS n_survivors,
+      | (SELECT count(*) FROM documents) - count(*) AS n_removed,
+      | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+      |   AS kept_words
+      |FROM documents JOIN keep USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_neardup_select" -> (pipelineNeardupSelect _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_contamination" -> (pipelineContamination _),
@@ -256,6 +312,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_neardup_select" -> pipelineNeardupSelectSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_contamination" -> pipelineContaminationSql,

@@ -52,6 +52,22 @@ class SpatialGridSpec extends SparkSpec {
     assert(got.toSet == brute(pts, 4.0))
   }
 
+  test("scale probe: 200k lattice points, closed-form pair count, no quadratic blowup") {
+    // points at (10·i, 0): every consecutive pair is at distance
+    // exactly r (kept, ≤), every other pair ≥ 2r (dropped) — so the
+    // answer is exactly n−1 pairs. An all-pairs formulation would be
+    // 2·10^10 candidates; the grid must finish this in seconds by
+    // generating O(n) candidates.
+    val n = 200000
+    val pts = spark.range(n.toLong)
+      .select(col("id"), (col("id") * 10).cast("double").as("x"),
+        lit(0.0).as("y"))
+    val pairs = SpatialGrid.neighborPairs(pts, col("id"), col("x"), col("y"), 10.0)
+    val agg = pairs.agg(count(lit(1)), sum(col("dist2"))).head()
+    assert(agg.getLong(0) == (n - 1).toLong)
+    assert(agg.getDouble(1) == (n - 1).toDouble * 100.0)
+  }
+
   test("a point is never paired with itself") {
     val pts = Seq((1L, 1.0, 1.0), (2L, 1.0, 1.0)) // co-located distinct ids
     val got = grid(pts, 3.0)
