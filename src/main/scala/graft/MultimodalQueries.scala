@@ -403,7 +403,68 @@ object MultimodalQueries {
       |FROM dims d LEFT JOIN bits USING (doc_id)
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // F8 — audio energy-delta fingerprint (chromaprint-lite): 8-sample
+  // frames on the decoded PCM, one bit per adjacent frame pair
+  // ("energy rising?"), packed to a BIGINT — the audio-modality
+  // near-dup key completing the text (C-suite) / image (F7) /
+  // audio fingerprint family. The compare is an exact integer
+  // cross-multiply (sumSq_b·len_a > sumSq_a·len_b ⇔ rms_b > rms_a —
+  // no sqrt, no doubles), so the oracle replays every bit; grouping
+  // on the fingerprint is the scale path (equi-join, 8 bytes/clip).
+  private def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (100 + id % 50).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 201) - 100).toInt)
+          val d = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(rate, samples))
+          val frames = d.samples.grouped(8).toArray
+          val sumSq = frames.map(f => f.foldLeft(0L)((a, v) => a + v.toLong * v))
+          val len = frames.map(_.length.toLong)
+          var fp = 0L
+          var nb = 0L
+          var j = 1
+          while (j < frames.length) {
+            if (sumSq(j) * len(j - 1) > sumSq(j - 1) * len(j)) {
+              fp += 1L << (j - 1)
+              nb += 1L
+            }
+            j += 1
+          }
+          MmAudioFpRow(id, frames.length.toLong, fp, nb)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioFingerprintSql =
+    """WITH s AS (
+      | SELECT doc_id, i, ((doc_id * 31 + i * 7) % 201) - 100 AS v
+      | FROM documents, LATERAL (
+      |   SELECT unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i) t
+      |),
+      |f AS (
+      | SELECT doc_id, i // 8 AS frame_id, sum(v * v) AS ss,
+      |   count(*) AS len
+      | FROM s GROUP BY doc_id, i // 8
+      |),
+      |bits AS (
+      | SELECT a.doc_id, a.frame_id AS pos
+      | FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.frame_id = a.frame_id + 1
+      | WHERE b.ss * a.len > a.ss * b.len)
+      |SELECT d.doc_id,
+      | CAST((SELECT max(frame_id) + 1 FROM f WHERE f.doc_id = d.doc_id) AS BIGINT) AS n_frames,
+      | CAST(coalesce(sum(1::BIGINT << pos), 0) AS BIGINT) AS fp,
+      | CAST(count(pos) AS BIGINT) AS n_bits
+      |FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_image_phash" -> (mmImagePhash _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -413,6 +474,7 @@ object MultimodalQueries {
     "mm_image_features" -> (mmImageFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_image_phash" -> mmImagePhashSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
@@ -433,3 +495,4 @@ case class MmImageFeatRow(doc_id: Long, q_tl: Double, q_tr: Double,
     q_bl: Double, q_br: Double)
 case class MmImagePhashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
     n_bits: Long)
+case class MmAudioFpRow(doc_id: Long, n_frames: Long, fp: Long, n_bits: Long)
