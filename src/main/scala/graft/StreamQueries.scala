@@ -503,6 +503,52 @@ object StreamQueries {
       |SELECT shard, rn, tok, n_exact, true AS mg_in_bounds
       |FROM r WHERE rn <= 3 ORDER BY shard, rn""".stripMargin
 
+  /** Streaming transform (G14): EXACTLY-ONCE file sink via
+    * foreachBatch + batchId-keyed overwrite. Spark's foreachBatch is
+    * at-least-once (a crash between the write and the checkpoint
+    * commit replays the batch); writing each batch to its own
+    * `batch=<id>` partition with overwrite makes the replay IDEMPOTENT
+    * — the retried batch replaces itself, never duplicates. This is
+    * the standard exactly-once recipe for non-transactional sinks
+    * (the output dir is the "transaction log": batchId is the
+    * idempotence key).
+    */
+  def exactlyOnceSink(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+
+  // G14 batch equivalent — two batch-keyed writes with batch 1
+  // REWRITTEN (simulating the at-least-once replay); the read-back
+  // aggregate equals the plain-events aggregate only if the replay
+  // replaced rather than appended. Oracle = the plain aggregate.
+  private def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_eos_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    b0.write.mode("overwrite").parquet(s"$tmp/batch=0")
+    b1.write.mode("overwrite").parquet(s"$tmp/batch=1")
+    b1.write.mode("overwrite").parquet(s"$tmp/batch=1") // the replay
+    s.read.parquet(tmp).drop("batch")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamExactlyOnceSql =
+    """SELECT event_type, count(*) AS n,
+      | count(DISTINCT event_id) AS n_distinct,
+      | round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // G9 — durable streaming ingestion: every micro-batch both folds
   // into the world (G4's O(delta) path) AND publishes one atomic
   // durable commit, so the simulation survives a driver restart with
@@ -586,7 +632,8 @@ object StreamQueries {
     "stream_quantile" -> (streamQuantile _),
     "stream_cms" -> (streamCms _),
     "stream_session_window" -> (streamSessionWindow _),
-    "stream_topk" -> (streamTopk _))
+    "stream_topk" -> (streamTopk _),
+    "stream_exactly_once" -> (streamExactlyOnce _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -601,5 +648,6 @@ object StreamQueries {
     "stream_quantile" -> streamQuantileSql,
     "stream_cms" -> streamCmsSql,
     "stream_session_window" -> streamSessionWindowSql,
-    "stream_topk" -> streamTopkSql)
+    "stream_topk" -> streamTopkSql,
+    "stream_exactly_once" -> streamExactlyOnceSql)
 }
