@@ -172,6 +172,33 @@ final class ArchetypeStore(
     upsert(toHash, out)
   }
 
+  /** Remove ONE component from ONE entity (reference:
+    * interfaces.py:22 `remove_component_from_entity`, world.py
+    * `remove`): locates the entity's archetype among signatures
+    * containing the component and migrates it to the signature minus
+    * that component. Locating scans the (few) candidate archetypes
+    * with a tiny filter job each — the per-entity interactive path;
+    * bulk component changes should call [[migrate]] with a predicate.
+    */
+  def removeComponentFromEntity(entityId: Long, meta: ComponentMeta): Unit = {
+    flush()
+    val host = sigByHash.collectFirst {
+      case (hash, sig) if sig.exists(_.name == meta.name) &&
+        sig.size > 1 &&
+        !ArchetypeStore.latestWinsKeepVersion(
+          tables(hash).filter(col("simulation") === simulation &&
+            col("run") === run && col("entity_id") === entityId))
+          .filter(col("is_active")).isEmpty => (hash, sig)
+    }
+    val (hash, sig) = host.getOrElse(sys.error(
+      s"removeComponentFromEntity: entity $entityId not found live in any " +
+        s"archetype containing ${meta.name} with another component to keep"))
+    migrate(sig, sig.filterNot(_.name == meta.name),
+      col("entity_id") === entityId)
+    entitySig.remove(entityId)
+    ()
+  }
+
   // -------------------------------------------------------------------
   // Query side (reference: store.py get_archetypes / get_history)
   // -------------------------------------------------------------------

@@ -16,13 +16,16 @@ trait Processor {
   def process(df: DataFrame, dt: Double): DataFrame
 }
 
-/** Fetch matching archetypes filtered to requested steps and liveness
-  * (reference: archetype/core/querier.py:24-45).
+/** Fetch matching archetypes filtered to requested steps, liveness,
+  * and optionally specific entities
+  * (reference: archetype/core/querier.py:24-45, `entities=` filter).
   */
 final class QueryManager(store: ArchetypeStore) {
-  def query(metas: Seq[ComponentMeta], steps: Seq[Long]): Map[String, DataFrame] =
+  def query(metas: Seq[ComponentMeta], steps: Seq[Long],
+      entities: Option[Seq[Long]] = None): Map[String, DataFrame] =
     store.getArchetypes(metas).map { case (h, df) =>
-      h -> df.filter(col("step").isin(steps: _*) && col("is_active"))
+      val base = df.filter(col("step").isin(steps: _*) && col("is_active"))
+      h -> entities.fold(base)(ids => base.filter(col("entity_id").isin(ids: _*)))
     }
 
   def getHistory(metas: Seq[ComponentMeta], includeAllRuns: Boolean = false): Map[String, DataFrame] =
@@ -121,8 +124,15 @@ final class World private (
   def addProcessor(p: Processor): Unit = system.addProcessor(p)
   def removeProcessor(p: Processor): Unit = system.removeProcessor(p)
 
-  def query(metas: Seq[ComponentMeta], step: Option[Long] = None): Map[String, DataFrame] =
-    querier.query(metas, Seq(step.getOrElse(currentStep)))
+  def query(metas: Seq[ComponentMeta], step: Option[Long] = None,
+      entities: Option[Seq[Long]] = None): Map[String, DataFrame] =
+    querier.query(metas, Seq(step.getOrElse(currentStep)), entities)
+
+  /** Remove one component from one entity (reference: world `remove`);
+    * the entity migrates to the smaller archetype.
+    */
+  def removeComponent(entityId: Long, meta: ComponentMeta): Unit =
+    store.removeComponentFromEntity(entityId, meta)
 
   def getHistory(metas: Seq[ComponentMeta], includeAllRuns: Boolean = false): Map[String, DataFrame] =
     querier.getHistory(metas, includeAllRuns)

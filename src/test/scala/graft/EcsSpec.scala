@@ -367,6 +367,32 @@ class EcsSpec extends SparkSpec {
     assert(!frozen.head.schema.fieldNames.contains("velocity__vx"))
   }
 
+  test("removeComponent + entities-filtered query (reference parity)") {
+    val world = World.make(spark, "sim_test", "run_rm")
+    val e1 = world.spawn(Position(1.0, 1.0), Velocity(3.0, 3.0))
+    val e2 = world.spawn(Position(2.0, 2.0), Velocity(4.0, 4.0))
+    val e3 = world.spawn(Position(9.0, 9.0))
+    // entities= filter restricts the fan-out to the requested ids
+    val only2 = world.query(Seq(PosMeta), entities = Some(Seq(e2)))
+      .values.map(_.count()).sum
+    assert(only2 == 1L)
+    world.removeComponent(e1, ComponentMeta.of[Velocity])
+    // e1 left the (Pos, Vel) archetype…
+    val posVel = world.query(PosVel).values.head.collect()
+    assert(posVel.map(_.getAs[Long]("entity_id")).toSeq == Seq(e2))
+    // …and now lives Pos-only next to e3, position preserved
+    val posOnlyHash = Archetype.hashOf(Seq(PosMeta))
+    val posOnly = world.query(Seq(PosMeta))(posOnlyHash)
+      .orderBy("entity_id").collect()
+    assert(posOnly.map(_.getAs[Long]("entity_id")).toSeq == Seq(e1, e3))
+    assert(posOnly.head.getAs[Double]("position__x") == 1.0)
+    // removing the last remaining component is refused
+    val ex = intercept[RuntimeException] {
+      world.removeComponent(e3, PosMeta)
+    }
+    assert(ex.getMessage.contains("another component to keep"))
+  }
+
   test("processor chaining: later processors see earlier output in-step") {
     val world = World.make(spark, "sim_test", "run_chain")
     object PlusOne extends Processor {
