@@ -1084,7 +1084,40 @@ object RelationalQueries {
       |FROM c FULL OUTER JOIN p ON cu = pu
       |ORDER BY user_id""".stripMargin
 
+  // q47 — union BY NAME with missing columns: two event projections
+  // with different column sets union by NAME (not position), absent
+  // columns null-filling — the schema-drift-tolerant append every
+  // long-lived ingest needs. DuckDB's UNION ALL BY NAME is the same
+  // contract.
+  private def q47UnionMissing(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("err_code"))
+    clicks.unionByName(errors, allowMissingColumns = true)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("click_value"), // null for error rows
+        count(col("err_code")).as("n_errors"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q47Sql =
+    """WITH u AS (
+      | SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+      | UNION ALL BY NAME
+      | SELECT event_id, user_id,
+      |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS err_code
+      | FROM events WHERE event_type = 'error')
+      |SELECT user_id, count(*) AS n,
+      | round(sum(value), 2) AS click_value,
+      | count(err_code) AS n_errors
+      |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_union_missing" -> (q47UnionMissing _),
     "q46_full_outer" -> (q46FullOuter _),
     "q45_lateral_topk" -> (q45LateralTopk _),
     "q44_range_frame" -> (q44RangeFrame _),
@@ -1133,6 +1166,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q47_union_missing" -> q47Sql,
     "q46_full_outer" -> q46Sql,
     "q45_lateral_topk" -> q45Sql,
     "q44_range_frame" -> q44Sql,

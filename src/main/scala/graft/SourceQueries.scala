@@ -265,7 +265,44 @@ object SourceQueries {
       |               ELSE o_totalprice END), 2) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // H8 — compression codec control: the same data written snappy
+  // (read-optimized default) and zstd (the 100 TB cold-storage
+  // choice), read back and aggregated identically; the query also
+  // surfaces the on-disk byte ratio (zstd strictly smaller here) so
+  // a codec regression is visible, with the sizes themselves kept
+  // out of the hash (they are layout, not semantics).
+  private def srcCodecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_codec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    li.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$tmp/snappy")
+    li.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$tmp/zstd")
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val zstdSmaller = dirBytes(s"$tmp/zstd") < dirBytes(s"$tmp/snappy")
+    def agg(path: String, codec: String) =
+      s.read.parquet(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(lit(codec).as("codec"), col("l_returnflag"), col("n"),
+          col("sum_qty"), lit(zstdSmaller).as("zstd_smaller"))
+    agg(s"$tmp/snappy", "snappy").unionByName(agg(s"$tmp/zstd", "zstd"))
+      .orderBy(col("codec"), col("l_returnflag"))
+  }
+
+  private val srcCodecRoundtripSql =
+    """SELECT codec, l_returnflag, count(*) AS n,
+      | round(sum(l_quantity), 2) AS sum_qty, true AS zstd_smaller
+      |FROM lineitem CROSS JOIN (
+      | SELECT unnest(['snappy', 'zstd']) AS codec)
+      |GROUP BY codec, l_returnflag ORDER BY codec, l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_codec_roundtrip" -> (srcCodecRoundtrip _),
     "src_dynamic_overwrite" -> (srcDynamicOverwrite _),
     "src_bucketed_join" -> (srcBucketedJoin _),
     "src_roundtrip" -> (srcRoundtrip _),
@@ -275,6 +312,7 @@ object SourceQueries {
     "src_schema_evolution" -> (srcSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "src_codec_roundtrip" -> srcCodecRoundtripSql,
     "src_dynamic_overwrite" -> srcDynamicOverwriteSql,
     "src_bucketed_join" -> srcBucketedJoinSql,
     "src_roundtrip" -> srcRoundtripSql,
