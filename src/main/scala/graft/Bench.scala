@@ -38,6 +38,10 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    // optional comma-separated subset for focused local iteration; the
+    // driver sets no filter and measures everything
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,6 +52,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
