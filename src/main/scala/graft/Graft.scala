@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entrypoint: one call gives a session with the whole graft
+  * surface wired — the native as-of strategy and optimizer rule, every
+  * `graft_*` SQL function, and the session defaults the suite is tuned
+  * for. Users switching from the reference start here:
+  *
+  * {{{
+  * val spark = Graft.session()                  // local dev
+  * val spark = Graft.session("yarn", "my-app")  // cluster
+  * spark.sql("SELECT graft_hll(user_id) FROM events")
+  * }}}
+  *
+  * For a session built elsewhere (e.g. by a platform), [[install]]
+  * retrofits the same surface.
+  */
+object Graft {
+
+  /** Build a session with graft extensions + tuned defaults.
+    * `shufflePartitions` defaults to the machine's core count locally;
+    * set it to 2-3× total executor cores on a real cluster.
+    */
+  def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      appName: String = "graft",
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val parts = shufflePartitions.getOrElse(Runtime.getRuntime.availableProcessors())
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(Tables.NanosAsLongKey, "true")
+      .getOrCreate()
+    // extensions only apply to newly-built sessions; a pre-existing
+    // session returned by getOrCreate still needs the registry path
+    install(s)
+    s
+  }
+
+  /** Retrofit the graft surface onto an existing session: native as-of
+    * join planning + the `graft_*` SQL function registry. Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    graft.plans.AsOfJoin.install(spark)
+    graft.functions.GraftFunctions.register(spark)
+  }
+}

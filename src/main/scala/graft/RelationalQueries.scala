@@ -1116,7 +1116,34 @@ object RelationalQueries {
       | count(err_code) AS n_errors
       |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q48 — bitwise-operation suite: AND/OR/XOR/shifts/bit_count over
+  // derived key bits — the primitive tier under every hash/fingerprint
+  // operator in the suite, exercised directly (all codegen'd).
+  private def q48BitOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 256).as("k"))
+      .select(col("o_orderkey"),
+        col("k").bitwiseAND(lit(0xF0L)).as("masked"),
+        col("k").bitwiseOR(lit(1L)).as("odd"),
+        col("k").bitwiseXOR(col("o_orderkey") % 16).as("mixed"),
+        shiftleft(col("k"), 3).cast("long").as("shl"),
+        shiftright(col("k"), 2).cast("long").as("shr"),
+        bit_count(col("k")).cast("long").as("popcnt"))
+      .transform(QueryShape.stagedSort(_, col("o_orderkey")))
+
+  private val q48Sql =
+    """SELECT o_orderkey,
+      | (o_orderkey % 256) & 240 AS masked,
+      | (o_orderkey % 256) | 1 AS odd,
+      | xor(o_orderkey % 256, o_orderkey % 16) AS mixed,
+      | (o_orderkey % 256) << 3 AS shl,
+      | (o_orderkey % 256) >> 2 AS shr,
+      | CAST(bit_count(o_orderkey % 256) AS BIGINT) AS popcnt
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_bit_ops" -> (q48BitOps _),
     "q47_union_missing" -> (q47UnionMissing _),
     "q46_full_outer" -> (q46FullOuter _),
     "q45_lateral_topk" -> (q45LateralTopk _),
@@ -1166,6 +1193,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q48_bit_ops" -> q48Sql,
     "q47_union_missing" -> q47Sql,
     "q46_full_outer" -> q46Sql,
     "q45_lateral_topk" -> q45Sql,
