@@ -322,6 +322,54 @@ object EcsQueries {
       | FROM supplier WHERE (s_suppkey + 1000000) % 2 = 1
       |) ORDER BY kind""".stripMargin
 
+  /** A11: trajectory analytics over a BUCKETED history table. A long
+    * simulation's history is the 100 TB ECS artifact; step-over-step
+    * analysis self-joins it on entity_id, so the persisted layout is
+    * bucketed on entity_id (bucketBy/sortBy saveAsTable) and the
+    * step-4 vs step-8 displacement join runs with ZERO shuffle
+    * exchanges — asserted on the plan inside the query (broadcast off,
+    * the global aggregate is a SinglePartition exchange, never a
+    * hashpartitioning one). Oracle = the closed-form displacement
+    * (4 steps × dt 0.25 × integer velocity = exactly vx, vy).
+    */
+  def trajectory(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_traj")
+    world.addProcessor(MovementProcessor)
+    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    (1 to 8).foreach(_ => world.step(0.25))
+    val hist = world.getHistory(PosVel)(PosVelHash)
+      .select(col("entity_id"), col("step"), col("position__x"), col("position__y"))
+    val tbl = s"graft_traj_${java.util.UUID.randomUUID().toString.take(8)}"
+    hist.write.bucketBy(8, "entity_id").sortBy("entity_id").saveAsTable(tbl)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t4 = spark.table(tbl).filter(col("step") === 4)
+        .select(col("entity_id"), col("position__x").as("x4"), col("position__y").as("y4"))
+      val t8 = spark.table(tbl).filter(col("step") === 8)
+        .select(col("entity_id"), col("position__x").as("x8"), col("position__y").as("y8"))
+      val joined = t4.join(t8, Seq("entity_id"))
+        .select(col("entity_id"), (col("x8") - col("x4")).as("dx"),
+          (col("y8") - col("y4")).as("dy"))
+        .agg(count(lit(1)).as("n_entities"),
+          round(sum(col("dx")), 2).as("sum_dx"),
+          round(sum(col("dy")), 2).as("sum_dy"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "bucketed history self-join unexpectedly shuffled")
+      joined.localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  val trajectoryOracle: String =
+    """SELECT count(*) AS n_entities,
+      | round(sum(CAST(c_custkey % 7 AS DOUBLE)), 2) AS sum_dx,
+      | round(sum(CAST((c_custkey % 5) - 2 AS DOUBLE)), 2) AS sum_dy
+      |FROM customer""".stripMargin
+
   /** A6: archetype fan-out counts for a subset query. */
   def multiArchetype(spark: SparkSession, dir: String): DataFrame = {
     val world = World.make(spark, "sim_graft", "run_multi")
@@ -350,7 +398,8 @@ object EcsQueries {
     "ecs_time_travel" -> (timeTravel _),
     "ecs_global_interaction" -> (globalInteraction _),
     "ecs_spatial_neighbors" -> (spatialNeighbors _),
-    "ecs_migration" -> (migration _))
+    "ecs_migration" -> (migration _),
+    "ecs_trajectory" -> (trajectory _))
 
   val oracles: Map[String, String] = Map(
     "ecs_spawn_query" -> spawnQueryOracle,
@@ -362,5 +411,6 @@ object EcsQueries {
     "ecs_time_travel" -> timeTravelOracle,
     "ecs_global_interaction" -> globalInteractionOracle,
     "ecs_spatial_neighbors" -> spatialNeighborsOracle,
-    "ecs_migration" -> migrationOracle)
+    "ecs_migration" -> migrationOracle,
+    "ecs_trajectory" -> trajectoryOracle)
 }
