@@ -357,7 +357,12 @@ object EcsQueries {
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange hashpartitioning"),
         "bucketed history self-join unexpectedly shuffled")
-      joined.localCheckpoint(true)
+      // one summary row: a driver round-trip materializes it before
+      // the table drops, with no retained executor blocks (the
+      // localCheckpoint alternative pins block storage for the
+      // session — the r2-ADVICE leak pattern)
+      spark.createDataFrame(
+        java.util.Arrays.asList(joined.collect(): _*), joined.schema)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -1142,7 +1142,36 @@ object RelationalQueries {
       | CAST(bit_count(o_orderkey % 256) AS BIGINT) AS popcnt
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // q49 — FILTER-clause aggregation (SQL:2003): per-group aggregates
+  // each over their own predicate in one pass — the standard-SQL twin
+  // of q13's CASE-WHEN conditional aggregation, through spark.sql.
+  private def q49FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q49_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        | count(*) AS n,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_closed,
+        | round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+        |   AS big_total,
+        | round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+        |   AS open_avg
+        |FROM graft_q49_orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q49Sql =
+    """SELECT o_orderpriority,
+      | count(*) AS n,
+      | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_closed,
+      | round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+      |   AS big_total,
+      | round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+      |   AS open_avg
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_filter_agg" -> (q49FilterAgg _),
     "q48_bit_ops" -> (q48BitOps _),
     "q47_union_missing" -> (q47UnionMissing _),
     "q46_full_outer" -> (q46FullOuter _),
@@ -1193,6 +1222,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q49_filter_agg" -> q49Sql,
     "q48_bit_ops" -> q48Sql,
     "q47_union_missing" -> q47Sql,
     "q46_full_outer" -> q46Sql,

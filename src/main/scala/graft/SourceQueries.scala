@@ -218,8 +218,13 @@ object SourceQueries {
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange hashpartitioning"),
         "bucketed join unexpectedly shuffled — storage co-location broken")
-      // materialize before restoring conf / dropping tables
-      joined.orderBy(col("l_orderkey")).localCheckpoint(true)
+      // materialize to parquet before the tables drop: stays
+      // distributed and leaves no retained executor blocks behind
+      // (the localCheckpoint alternative pins block storage — the
+      // r2-ADVICE leak pattern)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_out_$tag"
+      joined.orderBy(col("l_orderkey")).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAutoScan)
