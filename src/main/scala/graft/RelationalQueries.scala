@@ -1170,7 +1170,35 @@ object RelationalQueries {
       |FROM orders
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // q50 — explicit GROUPING SETS + grouping_id: an arbitrary list of
+  // grouping shapes in ONE pass (per-priority, per-status, grand
+  // total — NOT the full cube), with grouping_id() disambiguating
+  // which set produced each row (cleaner than q22's coalesce
+  // sentinel). Completes the grouping trio: q16 rollup, q22 cube,
+  // q50 explicit sets.
+  private def q50GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q50_orders")
+    s.sql(
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        | coalesce(o_orderstatus, 'ALL') AS status,
+        | CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft_q50_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, pri, status""".stripMargin)
+  }
+
+  private val q50Sql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+      | coalesce(o_orderstatus, 'ALL') AS status,
+      | CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, pri, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_grouping_sets_id" -> (q50GroupingSets _),
     "q49_filter_agg" -> (q49FilterAgg _),
     "q48_bit_ops" -> (q48BitOps _),
     "q47_union_missing" -> (q47UnionMissing _),
@@ -1222,6 +1250,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,
     "q48_bit_ops" -> q48Sql,
     "q47_union_missing" -> q47Sql,
