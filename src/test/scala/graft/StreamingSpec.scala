@@ -300,6 +300,11 @@ class StreamingSpec extends SparkSpec {
         "incrementally-maintained sketch must equal the batch aggregate")
       // and the estimates are actually good: 150 distinct per shard
       streamed.values.foreach(e => assert(math.abs(e - 150L) <= 8L))
+      // BOUNDED STATE: the store holds one row per shard (the sketch),
+      // not one per item — the property that makes this viable for
+      // billions of events per key
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 4L, s"state rows $stateRows != 4 shards")
     } finally q.stop()
   }
 
@@ -334,6 +339,9 @@ class StreamingSpec extends SparkSpec {
       val exact = (batch1 ++ batch2).groupBy(_.shard)
         .map { case (s, rows) => s -> rows.count(_.item == 7L).toLong }
       exact.foreach { case (s, n) => assert(streamed(s) >= n) }
+      // bounded state: one counter-array row per shard, not per item
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 4L, s"state rows $stateRows != 4 shards")
     } finally q.stop()
   }
 
