@@ -303,7 +303,38 @@ object PipelineQueries {
       |   AS kept_words
       |FROM documents JOIN keep USING (doc_id)""".stripMargin
 
+  // J7 — curriculum bucketing: order the corpus by a difficulty proxy
+  // (text length; swap in E11's LM score for a semantic curriculum)
+  // and cut it into 4 equal phases with DistributedNtile — the
+  // easy-to-hard schedule curriculum training consumes. No
+  // single-partition global window (q26's operator: range partition +
+  // per-partition offsets); phase boundaries are exact ntile
+  // semantics, replayed by DuckDB's windowed ntile.
+  private def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("difficulty"))
+    graft.operators.DistributedNtile
+      .withNtile(scored, 4, "phase", col("difficulty").asc, col("doc_id"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("difficulty")).as("min_len"),
+        max(col("difficulty")).as("max_len"),
+        round(avg(col("difficulty")), 4).as("avg_len"))
+      .orderBy(col("phase"))
+  }
+
+  private val pipelineCurriculumSql =
+    """WITH r AS (
+      | SELECT doc_id, CAST(length(text) AS BIGINT) AS difficulty,
+      |   CAST(ntile(4) OVER (ORDER BY length(text), doc_id) AS BIGINT) AS phase
+      | FROM documents)
+      |SELECT phase, count(*) AS n_docs,
+      | min(difficulty) AS min_len, max(difficulty) AS max_len,
+      | round(avg(difficulty), 4) AS avg_len
+      |FROM r GROUP BY phase ORDER BY phase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_neardup_select" -> (pipelineNeardupSelect _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
@@ -312,6 +343,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_neardup_select" -> pipelineNeardupSelectSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
