@@ -224,6 +224,55 @@ object DedupQueries {
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
   }
 
+  // C8 — CONTAINMENT near-dup (asymmetric overlap): |A∩B| / |A| —
+  // what Jaccard misses. A short doc quoted whole inside a long one
+  // scores near 1.0 on containment but low on Jaccard (the union is
+  // dominated by the long doc), so quote/subset relationships need
+  // this measure. Same bounded-offset narrow skeleton + injective
+  // gram codes + codegen'd sorted-merge intersect as C4; emits both
+  // directions' containments per pair.
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val gramCodes = GraftBridge.column(
+      graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))
+    val grams = docs(s, dir).select(col("doc_id"), gramCodes.as("g"))
+    val pairs = docs(s, dir).select(col("doc_id").as("id_a"),
+        explode(expr("sequence(1, 10)")).as("off"))
+      .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
+    val inter = GraftBridge.column(graft.functions.SortedIntersectCountExpr(
+      GraftBridge.expression(col("ga")), GraftBridge.expression(col("gb"))))
+    pairs
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .withColumn("inter", inter)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / size(col("ga")), 4).as("cont_a_in_b"),
+        round(col("inter").cast("double") / size(col("gb")), 4).as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
+  }
+
+  private val dedupContainmentSql =
+    """WITH g AS (
+      | SELECT doc_id, list_sort(list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 2, 1)),
+      |   i -> ascii(substring(text, i, 1)) * 17161
+      |      + ascii(substring(text, i + 1, 1)) * 131
+      |      + ascii(substring(text, i + 2, 1))))) AS gr
+      | FROM documents),
+      |p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   len(list_intersect(a.gr, b.gr)) AS inter,
+      |   len(a.gr) AS na, len(b.gr) AS nb
+      | FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10)
+      |SELECT id_a, id_b,
+      | round(CAST(inter AS DOUBLE) / na, 4) AS cont_a_in_b,
+      | round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b_in_a
+      |FROM p
+      |WHERE round(CAST(inter AS DOUBLE) / na, 4) >= 0.5
+      |   OR round(CAST(inter AS DOUBLE) / nb, 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val dedupNgramJaccardSql =
     """WITH g AS (
       | SELECT doc_id, list_distinct(list_transform(
@@ -431,6 +480,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -440,6 +490,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
