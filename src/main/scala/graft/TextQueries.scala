@@ -498,7 +498,41 @@ object TextQueries {
       |FROM t JOIN m USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // E13 — lexical diversity / word-shape metrics: type-token ratio
+  // (the classic repetition detector — boilerplate and generation
+  // loops crater it), mean word length, and long-word ratio, all from
+  // one array of tokens per doc via higher-order functions (filter /
+  // aggregate / array_distinct — codegen'd, UDF-free, exact integer
+  // arithmetic under the rounds).
+  private def textLexicalStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double")
+          / size(col("toks")), 4).as("avg_word_len"),
+        round(size(expr("array_distinct(toks)")).cast("double")
+          / size(col("toks")), 4).as("ttr"),
+        round(size(expr("filter(toks, x -> length(x) > 5)")).cast("double")
+          / size(col("toks")), 4).as("long_ratio"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private val textLexicalStatsSql =
+    """WITH t AS (
+      | SELECT doc_id,
+      |   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(len(toks) AS BIGINT) AS n_words,
+      | round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |   / len(toks), 4) AS avg_word_len,
+      | round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+      | round(CAST(len(list_filter(toks, x -> length(x) > 5)) AS DOUBLE)
+      |   / len(toks), 4) AS long_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lexical_stats" -> (textLexicalStats _),
     "text_lm_score" -> (textLmScore _),
     "text_normalize" -> (textNormalize _),
     "text_langid" -> (textLangid _),
@@ -512,6 +546,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_lexical_stats" -> textLexicalStatsSql,
     "text_lm_score" -> textLmScoreSql,
     "text_normalize" -> textNormalizeSql,
     "text_langid" -> textLangidSql,
