@@ -332,6 +332,35 @@ object SimilarityQueries {
         (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
   }
 
+  // D10 — RADIUS search (τ-ball retrieval): every neighbor with
+  // cosine ≥ τ, the range-query complement to top-k (dedup thresholds
+  // and "related items above a floor" use this, not a fixed k).
+  // Result cardinality is data-driven, so no window/rank — one
+  // broadcast of the query set, one corpus scan, a codegen'd cosine
+  // and a filter; the LSH tier (D2) is the scale path when τ is high
+  // enough to make candidates sparse.
+  private def knnRadius(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .filter(col("cos") >= 0.25)
+      .select(col("qid"), col("nid"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("nid")))
+  }
+
+  private val knnRadiusSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 3),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |        list_dot_product(qv, v) /
+      |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |      FROM q JOIN e ON e.vec_id <> qid)
+      |SELECT qid, nid, round(cos, 4) + 0 AS cos_sim
+      |FROM s WHERE cos >= 0.25 ORDER BY qid, nid""".stripMargin
+
   // D3 — per-label vector norm statistics.
   private def vecNormStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -421,6 +450,7 @@ object SimilarityQueries {
     "knn_ivf_trained" -> (knnIvfTrained _),
     "knn_ivf_quantized" -> (knnIvfQuantized _),
     "knn_pq" -> (knnPq _),
+    "knn_radius" -> (knnRadius _),
     "vec_norm_stats" -> (vecNormStats _),
     "vec_hof_stats" -> (vecHofStats _),
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
@@ -432,6 +462,7 @@ object SimilarityQueries {
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "knn_ivf_quantized" -> knnIvfTrainedSql, // same exact-reference contract; only the index path differs
     "knn_pq" -> knnIvfTrainedSql, // same contract again: PQ changes the index, not the reference
+    "knn_radius" -> knnRadiusSql,
     "vec_norm_stats" -> vecNormStatsSql,
     "vec_hof_stats" -> vecHofStatsSql,
     "vec_quantize_int8" -> vecQuantizeInt8Sql)
