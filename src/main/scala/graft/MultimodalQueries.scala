@@ -463,7 +463,87 @@ object MultimodalQueries {
       |FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // F9 — perceptual-hash GROUPING: the dedup step the fingerprints
+  // exist for. Images sharing a dHash collapse into one group via a
+  // hash equi-join/groupBy (8 bytes per image on the shuffle, never
+  // pixels) — on this synthetic corpus the gradient patterns genuinely
+  // collide (many saturate to all-ones), so the groups are non-trivial
+  // and the oracle replays them exactly. Output: each multi-image
+  // group with its size and id range.
+  private def mmPhashGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    val hashes = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            (((id + x * 7 + y * 13) % 256).toInt,
+              ((id * 3 + x * 5 + y * 11) % 256).toInt,
+              ((id * 5 + x * 3 + y * 17) % 256).toInt)
+          }
+          val d = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px))
+          val thumb = MediaCodec.resizeNearest(d, 9, 8)
+          def gray(tx: Int, ty: Int): Long = {
+            val p = thumb(ty * 9 + tx)
+            p._1.toLong + p._2 + p._3
+          }
+          var lo = 0L; var hi = 0L
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 8) {
+              if (gray(tx + 1, ty) > gray(tx, ty)) {
+                val pos = ty * 8 + tx
+                if (pos < 32) lo += 1L << pos else hi += 1L << (pos - 32)
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+    hashes.groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .filter(col("n_images") >= 2)
+      .orderBy(col("dhash_hi"), col("dhash_lo"))
+  }
+
+  private val mmPhashGroupsSql =
+    """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      |             FROM documents),
+      |thumb AS (
+      | SELECT doc_id, tx, ty,
+      |   (doc_id + (tx * w // 9) * 7 + (ty * h // 8) * 13) % 256 +
+      |   (doc_id * 3 + (tx * w // 9) * 5 + (ty * h // 8) * 11) % 256 +
+      |   (doc_id * 5 + (tx * w // 9) * 3 + (ty * h // 8) * 17) % 256 AS gray
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, 8)) AS tx) txs,
+      |  LATERAL (SELECT unnest(generate_series(0, 7)) AS ty) tys),
+      |bits AS (
+      | SELECT a.doc_id, a.ty * 8 + a.tx AS pos
+      | FROM thumb a JOIN thumb b
+      |   ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+      | WHERE a.tx < 8 AND b.gray > a.gray),
+      |hashes AS (
+      | SELECT d.doc_id,
+      |  CAST(coalesce(sum(CASE WHEN pos >= 32 THEN 1::BIGINT << (pos - 32) END), 0) AS BIGINT) AS dhash_hi,
+      |  CAST(coalesce(sum(CASE WHEN pos < 32 THEN 1::BIGINT << pos END), 0) AS BIGINT) AS dhash_lo
+      | FROM dims d LEFT JOIN bits USING (doc_id)
+      | GROUP BY d.doc_id)
+      |SELECT dhash_hi, dhash_lo, count(*) AS n_images,
+      | min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM hashes GROUP BY dhash_hi, dhash_lo
+      |HAVING count(*) >= 2
+      |ORDER BY dhash_hi, dhash_lo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_groups" -> (mmPhashGroups _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_image_phash" -> (mmImagePhash _),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -474,6 +554,7 @@ object MultimodalQueries {
     "mm_image_features" -> (mmImageFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_groups" -> mmPhashGroupsSql,
     "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_image_phash" -> mmImagePhashSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
