@@ -1197,7 +1197,48 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, pri, status""".stripMargin
 
+  // q51 — date-spine densification (gap filling): every (user, day)
+  // cell over the corpus's date span, absent days zero-filled — the
+  // step that turns sparse event logs into dense daily series for
+  // downstream models. The spine is generated (sequence over the
+  // min/max date — one tiny agg + a broadcast cross join), never
+  // stored; the only real shuffle is the daily aggregation.
+  private def q51DateSpine(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+    val users = ev.select(col("user_id")).distinct()
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("n")).as("n_active"),
+        (count(lit(1)) - count(col("n"))).as("n_gaps"),
+        round(sum(coalesce(col("v"), lit(0.0))), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q51Sql =
+    """WITH span AS (
+      | SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      | FROM events),
+      |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |         FROM span),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+      |            sum(value) AS v
+      |          FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, count(*) AS n_days, count(daily.n) AS n_active,
+      | count(*) - count(daily.n) AS n_gaps,
+      | round(sum(coalesce(daily.v, 0)), 2) AS total_value
+      |FROM u CROSS JOIN days
+      |LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = days.day
+      |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_date_spine" -> (q51DateSpine _),
     "q50_grouping_sets_id" -> (q50GroupingSets _),
     "q49_filter_agg" -> (q49FilterAgg _),
     "q48_bit_ops" -> (q48BitOps _),
@@ -1250,6 +1291,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,
     "q48_bit_ops" -> q48Sql,
