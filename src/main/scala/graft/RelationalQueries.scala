@@ -1237,7 +1237,35 @@ object RelationalQueries {
       |LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = days.day
       |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin
 
+  // q52 — built-in approximate percentile (Greenwald-Khanna) beside
+  // the exact: Spark's approx_percentile(col, q, accuracy) is the
+  // stock answer before reaching for the KLL tier; its determinism is
+  // data-order-based (no RNG), and the GK guarantee bounds the RANK
+  // error by n/accuracy — asserted I4-style (rank of the estimate
+  // within 2·n/accuracy of the target), beside the exact DuckDB
+  // replays.
+  private def q52ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sk = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("apx_p50"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("exact_p50")).as("exact_p50"),
+        first(col("n")).as("n"),
+        (abs(count(when(col("value") <= col("apx_p50"), 1)) -
+          first(col("n")) / 2) <= first(col("n")) * 2 / 1000 + 1).as("gk_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q52Sql =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_p50,
+      | count(*) AS n, true AS gk_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_approx_percentile" -> (q52ApproxPercentile _),
     "q51_date_spine" -> (q51DateSpine _),
     "q50_grouping_sets_id" -> (q50GroupingSets _),
     "q49_filter_agg" -> (q49FilterAgg _),
@@ -1291,6 +1319,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q52_approx_percentile" -> q52Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,
