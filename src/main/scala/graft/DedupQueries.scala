@@ -73,10 +73,16 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
     val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
+      // materialize the (small) pair list eagerly so the bands cache can
+      // be released NOW instead of leaking one copy per call in a
+      // long-lived session (Bench runs every query 4×)
+      .localCheckpoint(eager = true)
+    bands.unpersist(false)
+    pairs
   }
 
   private val dedupMinhashLshSql =

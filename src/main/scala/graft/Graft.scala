@@ -38,6 +38,13 @@ object Graft {
     // extensions only apply to newly-built sessions; a pre-existing
     // session returned by getOrCreate still needs the registry path
     install(s)
+    // getOrCreate silently ignores builder configs on a pre-existing
+    // session — re-apply the mutable, semantics-affecting ones so the
+    // tuned defaults this docstring promises actually hold
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set(Tables.NanosAsLongKey, "true")
     s
   }
 

@@ -57,11 +57,13 @@ object MultimodalQueries {
         md5(col("frame").cast("binary")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** STUB decode: where a real pipeline would run an image/audio
-    * decoder over each binary payload (the libs are absent here), we
-    * partition-map a deterministic fake "decoded feature" — the
-    * distributed shape (mapPartitions over binary payloads, one output
-    * row per input, fixed-width feature vector) is the real contract.
+  /** Plumbing-shape harness for formats with no in-repo codec (e.g.
+    * JPEG/MP3 — real WAV/BMP/PNG decoding lives in
+    * [[graft.operators.MediaCodec]] and backs F3/F4/F10): partition-maps
+    * a deterministic fake "decoded feature" so the distributed contract
+    * — mapPartitions over binary payloads, one output row per input,
+    * fixed-width feature vector — stays spec-covered for codecs a
+    * cluster deployment would plug in.
     */
   def decodeStub(df: DataFrame, payloadCol: String, featureDim: Int = 4): DataFrame = {
     val spark = df.sparkSession

@@ -128,8 +128,16 @@ final class ArchetypeStore(
     */
   def despawnWhere(hash: String, cond: org.apache.spark.sql.Column): Unit = {
     flush()
-    val scoped = cond && col("simulation") === simulation && col("run") === run
-    val tombstones = ArchetypeStore.latestWinsKeepVersion(tables(hash).filter(scoped))
+    // Resolve latest-wins over the FULL (sim, run) scope first, then
+    // apply cond: evaluating cond on raw rows would let a superseded
+    // version that happens to match tombstone a frame whose current
+    // state doesn't (and resolution over a cond-filtered subset could
+    // crown a stale version whose newer non-matching sibling was
+    // filtered out).
+    val scope = col("simulation") === simulation && col("run") === run
+    val tombstones = ArchetypeStore
+      .latestWinsKeepVersion(tables(hash).filter(scope))
+      .filter(col("is_active") && cond)
       .withColumn("is_active", lit(false))
       .withColumn(VersionCol, lit(commitCounter.incrementAndGet()))
     tables(hash) = tables(hash).unionByName(tombstones)
@@ -154,13 +162,25 @@ final class ArchetypeStore(
     val fromHash = Archetype.hashOf(fromMetas)
     require(sigByHash.contains(fromHash),
       s"migrate: unknown source archetype $fromHash")
-    // bind movers to the CURRENT table plan before tombstoning (lazy
-    // frames: the tombstone append below does not affect this plan);
-    // each entity moves with its LATEST live frame, keeping its step
+    flush()
+    // Resolve latest-wins FIRST, then apply cond — both the tombstone
+    // and the mover sets must see each (entity, step) frame's CURRENT
+    // state, never a superseded version: a stale upserted version that
+    // happens to match cond must neither tombstone a live frame whose
+    // current state doesn't match, nor migrate with stale values.
+    val scope = col("simulation") === simulation && col("run") === run
+    val live = ArchetypeStore
+      .latestWinsKeepVersion(tables(fromHash).filter(scope))
+      .filter(col("is_active"))
+    // An entity migrates iff its LATEST live frame matches cond, and it
+    // moves with that frame — an older frame that matches while the
+    // newest doesn't must not migrate (the entity would otherwise be
+    // live in both archetypes with divergent state).
     val wLatest = Window.partitionBy(col("entity_id")).orderBy(col("step").desc)
-    val movers = resolved(fromHash).filter(col("is_active") && cond)
+    val movers = live
       .withColumn("_rn", row_number().over(wLatest))
-      .filter(col("_rn") === 1).drop("_rn")
+      .filter(col("_rn") === 1 && cond)
+      .drop("_rn").drop(VersionCol)
     val toHash = ensureTable(toMetas)
     var out = movers
     defaults.foreach { case (n, c) => out = out.withColumn(n, c) }
@@ -168,6 +188,9 @@ final class ArchetypeStore(
       .filterNot(out.columns.contains)
     require(missing.isEmpty,
       s"migrate: target components $missing have no source column and no default")
+    // Tombstone exactly the resolved live frames whose current state
+    // matches cond (lazy plans: `movers` is bound to the pre-append
+    // table, so despawning first is safe).
     despawnWhere(fromHash, cond)
     upsert(toHash, out)
   }
@@ -193,9 +216,13 @@ final class ArchetypeStore(
     val (hash, sig) = host.getOrElse(sys.error(
       s"removeComponentFromEntity: entity $entityId not found live in any " +
         s"archetype containing ${meta.name} with another component to keep"))
-    migrate(sig, sig.filterNot(_.name == meta.name),
-      col("entity_id") === entityId)
-    entitySig.remove(entityId)
+    val smaller = sig.filterNot(_.name == meta.name)
+    migrate(sig, smaller, col("entity_id") === entityId)
+    // re-point (not remove) the entity's signature: the entity is still
+    // live in the smaller archetype, and removeEntity only acts on ids
+    // present in entitySig — dropping the entry here would make the
+    // entity undeletable through the normal API.
+    entitySig(entityId) = Archetype.hashOf(smaller)
     ()
   }
 

@@ -65,6 +65,11 @@ object ProductQuantizer {
         .select(col(vecCol))
         .collect()
         .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"ProductQuantizer.train: input has no vectors in column '$vecCol'")
+    require(sample.length >= k,
+      s"ProductQuantizer.train: need at least k=$k vectors to seed " +
+        s"each codebook, got ${sample.length} — lower k or add data")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }

@@ -367,6 +367,57 @@ class EcsSpec extends SparkSpec {
     assert(!frozen.head.schema.fieldNames.contains("velocity__vx"))
   }
 
+  test("migrate evaluates cond on resolved state, never on stale versions") {
+    val world = World.make(spark, "sim_test", "run_mig3")
+    val e1 = world.spawn(Position(100.0, 0.0))
+    val posHash = Archetype.hashOf(Seq(PosMeta))
+    // upsert the SAME (entity, step) frame to x=1 — the stale x=100
+    // version still matches cond, the current state does not
+    world.store.upsert(posHash,
+      world.store.resolved(posHash).withColumn("position__x", lit(1.0)))
+    world.migrateWhere(Seq(PosMeta), PosVel, col("position__x") > 50,
+      defaults = Map(
+        "velocity__vx" -> lit(0.0), "velocity__vy" -> lit(0.0)))
+    // current x=1 fails cond: the entity must stay live in the source
+    // archetype (the stale version must not tombstone it) and must not
+    // have migrated
+    val left = world.query(Seq(PosMeta))(posHash).collect()
+    assert(left.map(_.getAs[Long]("entity_id")).toSeq == Seq(e1))
+    assert(left.head.getAs[Double]("position__x") == 1.0)
+    assert(world.query(PosVel).values.map(_.count()).sum == 0L)
+  }
+
+  test("migrate decides movers by the latest frame, not the latest matching frame") {
+    val world = World.make(spark, "sim_test", "run_mig4")
+    val e1 = world.spawn(Position(100.0, 0.0))
+    val posHash = Archetype.hashOf(Seq(PosMeta))
+    // a NEWER frame at step 5 whose state fails cond — the entity's
+    // current state must not migrate on the strength of the older frame
+    world.store.upsert(posHash,
+      world.store.resolved(posHash)
+        .withColumn("step", lit(5L)).withColumn("position__x", lit(1.0)))
+    world.migrateWhere(Seq(PosMeta), PosVel, col("position__x") > 50,
+      defaults = Map(
+        "velocity__vx" -> lit(0.0), "velocity__vy" -> lit(0.0)))
+    val posVelHash = Archetype.hashOf(PosVel)
+    assert(world.store.resolved(posVelHash).filter(col("is_active")).count() == 0L,
+      "entity whose latest frame fails cond must not migrate")
+    // the latest frame stays live in the source; the old matching frame
+    // is tombstoned (it matched on resolved state)
+    val live = world.store.resolved(posHash).filter(col("is_active")).collect()
+    assert(live.map(r => (r.getAs[Long]("entity_id"), r.getAs[Long]("step"))).toSeq
+      == Seq((e1, 5L)))
+    assert(live.head.getAs[Double]("position__x") == 1.0)
+  }
+
+  test("entity remains deletable after removeComponent") {
+    val world = World.make(spark, "sim_test", "run_rm2")
+    val e1 = world.spawn(Position(1.0, 1.0), Velocity(2.0, 2.0))
+    world.removeComponent(e1, ComponentMeta.of[Velocity])
+    world.despawn(e1) // must act on the NEW archetype, not silently no-op
+    assert(world.query(Seq(PosMeta)).values.map(_.count()).sum == 0L)
+  }
+
   test("removeComponent + entities-filtered query (reference parity)") {
     val world = World.make(spark, "sim_test", "run_rm")
     val e1 = world.spawn(Position(1.0, 1.0), Velocity(3.0, 3.0))
