@@ -3,11 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types._
 
 /** Match direction of the as-of join. */
@@ -139,7 +141,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     direction: AsOfDirection,
     tolerance: Option[Long] = None)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -161,6 +163,162 @@ case class AsOfJoinExec(
     case _ => None
   }
 
+  /** The single-long-key, long-backed-time shape that both the fast
+    * interpreted merge and the generated merge specialize to.
+    */
+  private lazy val primitivePath: Boolean = leftKeys.length == 1 &&
+    longGetter(leftKeys.head.dataType).isDefined &&
+    longGetter(leftTime.dataType).isDefined
+
+  // ------------------------------------------------------------------
+  // Whole-stage codegen (primitive path): the merge loop is generated
+  // into the surrounding stage like SortMergeJoinExec — left rows
+  // stream through the fused pipeline, the blocked right head and the
+  // last consumed match live as class-level state, and output columns
+  // flow to the parent as vars (no per-row UnsafeProjection
+  // materialization, no iterator hop into the downstream operator).
+  // Composite keys / non-long-backed types keep the interpreted
+  // doExecute below (supportCodegen=false → Spark plans the children
+  // as their own codegen stages, exactly the pre-codegen behavior).
+  // ------------------------------------------------------------------
+
+  // GRAFT_ASOF_INTERPRETED disables only this operator's codegen —
+  // the measured A/B hook (spark.sql.codegen.wholeStage would turn
+  // off every operator's, which isn't the comparison that matters)
+  override def supportCodegen: Boolean =
+    primitivePath && !sys.env.contains("GRAFT_ASOF_INTERPRETED")
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the streamed left row and the buffered right
+  // row; a buffering parent (sort, limit) must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    // blocked right head + its cached key/time (valid while headRow != null)
+    val headRow = ctx.addMutableState("InternalRow", "asofHeadRow")
+    val hk = ctx.addMutableState("long", "asofHeadKey")
+    val ht = ctx.addMutableState("long", "asofHeadTime")
+    // last consumed right row (copied — the sorter reuses its buffer)
+    val lastMatch = ctx.addMutableState("InternalRow", "asofLastMatch")
+    val matchKey = ctx.addMutableState("long", "asofMatchKey")
+    val matchTime = ctx.addMutableState("long", "asofMatchTime")
+    val haveMatch = ctx.addMutableState("boolean", "asofHaveMatch")
+
+    // headReady(): pull right rows until one with non-null key+time
+    // blocks; safe to hold the sorter's row uncopied because next() is
+    // never called while a head is blocked
+    val rRow = ctx.freshName("rightRow")
+    ctx.INPUT_ROW = rRow
+    ctx.currentVars = null
+    val rKeyEv = BindReferences.bindReference(rightKeys.head, right.output).genCode(ctx)
+    val rTimeEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val headReady = ctx.addNewFunction("asofHeadReady",
+      s"""
+         |private boolean asofHeadReady() {
+         |  while ($headRow == null && $rightInput.hasNext()) {
+         |    InternalRow $rRow = (InternalRow) $rightInput.next();
+         |    ${rKeyEv.code}
+         |    ${rTimeEv.code}
+         |    if (!(${rKeyEv.isNull}) && !(${rTimeEv.isNull})) {
+         |      $hk = (long) ${rKeyEv.value};
+         |      $ht = (long) ${rTimeEv.value};
+         |      $headRow = $rRow;
+         |    }
+         |  }
+         |  return $headRow != null;
+         |}
+       """.stripMargin)
+
+    val lRow = ctx.freshName("leftRow")
+    ctx.INPUT_ROW = lRow
+    ctx.currentVars = null
+    val lKeyEv = BindReferences.bindReference(leftKeys.head, left.output).genCode(ctx)
+    val lTimeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val k = ctx.freshName("leftKey")
+    val t = ctx.freshName("leftTime")
+    val matched = ctx.freshName("matched")
+    val back = ctx.freshName("back")
+    val ahead = ctx.freshName("ahead")
+    val advancing = ctx.freshName("advancing")
+    val tol = tolerance.getOrElse(Long.MaxValue)
+
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // right columns read through the matched row, null when unmatched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val dv = CodeGenerator.defaultValue(a.dataType)
+      val gv = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      ExprCode(
+        code"""boolean $isNull = ($matched == null) || $matched.isNullAt($i);
+$jt $value = $isNull ? $dv : ($gv);""",
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    // backward/nearest consume rows at-or-before t (remembering the
+    // newest); forward discards rows strictly before t and matches the
+    // blocked head itself
+    val headLe =
+      if (direction == AsOfDirection.Forward) s"$ht < $t" else s"$ht <= $t"
+    val consumeHead =
+      if (direction == AsOfDirection.Forward) ""
+      else s"""$lastMatch = $headRow.copy();
+         |        $matchKey = $hk;
+         |        $matchTime = $ht;
+         |        $haveMatch = true;""".stripMargin
+    val select = direction match {
+      case AsOfDirection.Backward => s"$matched = $back;"
+      case AsOfDirection.Forward => s"$matched = $ahead;"
+      case AsOfDirection.Nearest =>
+        // closest by |Δt|; ties prefer the backward match
+        s"""if ($back == null) { $matched = $ahead; }
+           |    else if ($ahead == null) { $matched = $back; }
+           |    else { $matched = ($t - $matchTime <= $ht - $t) ? $back : $ahead; }""".stripMargin
+    }
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $lRow = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.code}
+       |  ${lTimeEv.code}
+       |  InternalRow $matched = null;
+       |  if (!(${lKeyEv.isNull}) && !(${lTimeEv.isNull})) {
+       |    long $k = (long) ${lKeyEv.value};
+       |    long $t = (long) ${lTimeEv.value};
+       |    boolean $advancing = true;
+       |    while ($advancing && $headReady()) {
+       |      if ($hk < $k || ($hk == $k && $headLe)) {
+       |        $consumeHead
+       |        $headRow = null;
+       |      } else {
+       |        $advancing = false;
+       |      }
+       |    }
+       |    // a candidate beyond the tolerance is no match at all
+       |    InternalRow $back =
+       |      ($haveMatch && $matchKey == $k && $t - $matchTime <= ${tol}L)
+       |        ? $lastMatch : null;
+       |    InternalRow $ahead =
+       |      ($headRow != null && $hk == $k && $ht - $t <= ${tol}L)
+       |        ? $headRow : null;
+       |    $select
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars).trim}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -172,8 +330,7 @@ case class AsOfJoinExec(
     // None -> unbounded; the merge then treats every candidate as in
     // range without a per-row Option hop
     val tol = tolerance.getOrElse(Long.MaxValue)
-    val primitive = nKeys == 1 &&
-      longGetter(keyDts.head).isDefined && longGetter(timeDt).isDefined
+    val primitive = primitivePath
     val lKtExprs = leftKeys :+ leftTime
     val rKtExprs = rightKeys :+ rightTime
 

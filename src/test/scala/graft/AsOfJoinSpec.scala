@@ -265,4 +265,51 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan.take(800))
   }
+
+  test("primitive merge fuses into whole-stage codegen, parity with interpreted") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import graft.plans.AsOfJoinExec
+    val quotes = Seq(
+      (1L, 10L, "q10"), (1L, 20L, "q20"), (1L, 30L, "q30"), (2L, 15L, "p15"))
+      .toDF("key", "t", "quote")
+    val trades = Seq(
+      (1L, 5L, "early"), (1L, 20L, "at"), (1L, 25L, "mid"), (1L, 99L, "late"),
+      (2L, 14L, "before"), (3L, 50L, "nokey"))
+      .toDF("key", "t", "trade")
+    def run(dir: String, tol: Option[Long]) = {
+      val d = dir match {
+        case "fwd" => AsOfJoin.join(trades, quotes, "key", "t", "key", "t",
+          forward = true, tolerance = tol)
+        case "near" if tol.isEmpty =>
+          AsOfJoin.joinNearest(trades, quotes, "key", "t", "key", "t")
+        case _ => AsOfJoin.join(trades, quotes, "key", "t", "key", "t",
+          tolerance = tol)
+      }
+      d.select(col("trade"), col("quote")).orderBy(col("trade"))
+    }
+    // fallback=false: a codegen compile error now throws instead of
+    // silently running the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cases = Seq(("back", None), ("back", Some(5L)),
+        ("fwd", None), ("fwd", Some(5L)), ("near", None))
+      val withCodegen = cases.map { case (d, t) =>
+        val df = run(d, t)
+        val rows = df.collect().toSeq // materialize so AQE finalizes stages
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+          s"as-of ($d, tol=$t) must fuse into a WholeStageCodegen stage:\n" +
+            plan.take(1200))
+        rows
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = cases.map { case (d, t) => run(d, t).collect().toSeq }
+      assert(withCodegen == interpreted,
+        "generated merge must agree with the interpreted merge")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
