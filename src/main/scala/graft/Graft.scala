@@ -18,13 +18,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
+  /** Spark's disk-backed keyed state store — the provider the
+    * streaming tier (G7-G15, ECS ingestion) should run on at real key
+    * cardinality: per-key point reads/writes hit RocksDB instead of an
+    * all-keys-in-heap HashMap, so state size is bounded by disk, not
+    * executor memory.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Build a session with graft extensions + tuned defaults.
     * `shufflePartitions` defaults to the machine's core count locally;
     * set it to 2-3× total executor cores on a real cluster.
+    * `rocksDbStateStore` switches stateful streaming to the RocksDB
+    * provider (recommended once keyed state outgrows executor heap).
     */
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       appName: String = "graft",
-      shufflePartitions: Option[Int] = None): SparkSession = {
+      shufflePartitions: Option[Int] = None,
+      rocksDbStateStore: Boolean = false): SparkSession = {
     val parts = shufflePartitions.getOrElse(Runtime.getRuntime.availableProcessors())
     val s = SparkSession.builder()
       .master(master)
@@ -45,6 +57,8 @@ object Graft {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.adaptive.enabled", "true")
     s.conf.set(Tables.NanosAsLongKey, "true")
+    if (rocksDbStateStore)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     s
   }
 

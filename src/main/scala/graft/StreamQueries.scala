@@ -73,6 +73,68 @@ object StreamQueries {
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
         col("ts").cast("timestamp_ntz").as("first_ts"))
 
+  /** Streaming transform (G15): bounded-state dedup —
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until
+    * the watermark passes the kept event's time + delay, so state size
+    * is bounded by the key-arrival rate × delay window instead of
+    * growing with every key ever seen (G2's plain dropDuplicates keeps
+    * state forever). A duplicate within the delay of the kept event is
+    * suppressed; one arriving after eviction re-emits — the documented
+    * trade for bounded state.
+    */
+  def dedupWithinWatermarkStream(events: DataFrame, delay: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+
+  // G15 batch equivalent — the deterministic closed-form model of the
+  // within-watermark semantics (watermark advancing instantly): per
+  // (user, type) an event is KEPT iff it is the first, or lies more
+  // than the delay after the last kept event (dropped duplicates do
+  // NOT extend the epoch — state anchors at the kept event's time,
+  // exactly like the operator's state expiration). The fold is one
+  // codegen'd HOF over each key's sorted events; the oracle replays it
+  // as a per-key recursive walk.
+  private def streamDedupWatermark(s: SparkSession, dir: String): DataFrame = {
+    val delayUs = 21600000000L // 6 h
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id")))).as("evs"))
+      .select(col("user_id"), col("event_type"), explode(expr(
+        s"""aggregate(evs,
+           |  CAST(array() AS ARRAY<STRUCT<ts_us: BIGINT, event_id: BIGINT>>),
+           |  (acc, e) -> CASE
+           |    WHEN size(acc) = 0 OR e.ts_us - element_at(acc, -1).ts_us > ${delayUs}L
+           |    THEN array_append(acc, e) ELSE acc END)""".stripMargin)).as("kept"))
+      .select(col("user_id"), col("event_type"),
+        col("kept.event_id").as("event_id"), col("kept.ts_us").as("ts_us"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+  }
+
+  private val streamDedupWatermarkSql =
+    """WITH RECURSIVE ev AS (
+      | SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |   row_number() OVER (PARTITION BY user_id, event_type
+      |                      ORDER BY epoch_us(ts), event_id) AS rn
+      | FROM events
+      |), walk(user_id, event_type, rn, ts_us, event_id, last_kept, kept) AS (
+      | SELECT user_id, event_type, rn, ts_us, event_id, ts_us, TRUE
+      | FROM ev WHERE rn = 1
+      | UNION ALL
+      | SELECT e.user_id, e.event_type, e.rn, e.ts_us, e.event_id,
+      |   CASE WHEN e.ts_us - w.last_kept > 21600000000 THEN e.ts_us
+      |        ELSE w.last_kept END,
+      |   e.ts_us - w.last_kept > 21600000000
+      | FROM walk w JOIN ev e ON e.user_id = w.user_id
+      |   AND e.event_type = w.event_type AND e.rn = w.rn + 1
+      |)
+      |SELECT user_id, event_type, event_id, ts_us FROM walk WHERE kept
+      |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin
+
   // G2 batch equivalent — deterministic "first" via window rank
   // (batch dropDuplicates keeps an arbitrary row; the streaming path
   // keeps first-arrival, which equals earliest-ts on ordered input).
@@ -633,7 +695,8 @@ object StreamQueries {
     "stream_cms" -> (streamCms _),
     "stream_session_window" -> (streamSessionWindow _),
     "stream_topk" -> (streamTopk _),
-    "stream_exactly_once" -> (streamExactlyOnce _))
+    "stream_exactly_once" -> (streamExactlyOnce _),
+    "stream_dedup_watermark" -> (streamDedupWatermark _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -649,5 +712,6 @@ object StreamQueries {
     "stream_cms" -> streamCmsSql,
     "stream_session_window" -> streamSessionWindowSql,
     "stream_topk" -> streamTopkSql,
-    "stream_exactly_once" -> streamExactlyOnceSql)
+    "stream_exactly_once" -> streamExactlyOnceSql,
+    "stream_dedup_watermark" -> streamDedupWatermarkSql)
 }

@@ -1,9 +1,9 @@
 package graft.ecs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
 /** Streaming ingestion bridge: a live event stream drives `World`
   * state, the reference's external `step` loop re-expressed as
@@ -27,10 +27,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ingestion (a driver-side id counter would serialize 100 TB of
   * spawns through one process).
   *
-  * Scale shape: per batch, one shuffle to aggregate the delta and one
-  * keyed join of that (small) delta against the live view — the delta
-  * side broadcasts when it fits, and only touched entities are ever
-  * rewritten. No driver-side rows, no collect.
+  * Scale shape: per batch, one shuffle to group the delta by user and
+  * a point read/write of exactly the touched keys' running totals in
+  * the streaming state store — per-batch READ work is O(delta) like
+  * the write side; the world's history is never re-read during
+  * ingestion. No driver-side rows, no collect.
   */
 object EcsStreamIngest {
 
@@ -62,9 +63,26 @@ object EcsStreamIngest {
             col(s"${P}total").as("total"), col(s"${P}n_events").as("n_events"))
       }
 
+  /** Append one step's touched-entity frames (user_id/total/n_events
+    * columns) to the world — shared by the batch-replay and streaming
+    * paths; O(frames) work, no read of existing state.
+    */
+  private def appendFrames(world: World, frames: DataFrame): Unit = {
+    val prefixed = frames.select(
+      col("user_id").as("entity_id"),
+      col("user_id").as(s"${P}user_id"), col("total").as(s"${P}total"),
+      col("n_events").as(s"${P}n_events"))
+    world.store.spawnBatch(Seq(meta), prefixed, world.currentStep + 1)
+    world.currentStep += 1
+  }
+
   /** Fold one micro-batch of raw events (`user_id`, `value` columns)
     * into the world as one step, appending rows only for the users
-    * present in the batch.
+    * present in the batch. This is the deterministic BATCH-REPLAY path
+    * (the G4/G9 oracles replay it): it reads running totals from the
+    * world's own history, so its per-batch read cost is O(live state)
+    * — the streaming bridge ([[attach]]) instead carries totals in the
+    * streaming state store and never re-reads history.
     */
   def ingestBatch(world: World, batch: DataFrame): Unit = {
     val delta = batch.groupBy(col("user_id"))
@@ -75,30 +93,64 @@ object EcsStreamIngest {
       case Some(cur) =>
         delta.join(cur, Seq("user_id"), "left_outer")
           .select(
-            coalesce(col("entity_id"), col("user_id")).as("entity_id"),
             col("user_id"),
             (coalesce(col("total"), lit(0.0)) + col("d_total")).as("total"),
             (coalesce(col("n_events"), lit(0L)) + col("d_n")).as("n_events"))
       case None =>
-        delta.select(col("user_id").as("entity_id"), col("user_id"),
+        delta.select(col("user_id"),
           col("d_total").as("total"), col("d_n").as("n_events"))
     }
-    val prefixed = updated.select(col("entity_id"),
-      col("user_id").as(s"${P}user_id"), col("total").as(s"${P}total"),
-      col("n_events").as(s"${P}n_events"))
-    world.store.spawnBatch(Seq(meta), prefixed, world.currentStep + 1)
-    world.currentStep += 1
+    appendFrames(world, updated)
   }
+
+  /** Event shape consumed by the keyed-state bridge. */
+  final case class IngestEvent(user_id: Long, value: Double)
+
+  /** A touched entity's refreshed running totals — one per updated
+    * group per micro-batch.
+    */
+  final case class LiveFrame(user_id: Long, total: Double, n_events: Long)
 
   /** Attach the bridge to a streaming events DataFrame; every
     * micro-batch becomes one world step.
+    *
+    * O(delta) on BOTH sides: running totals live in the streaming
+    * state store keyed by user (mapGroupsWithState — the G7-G12
+    * maintainer shape), so a micro-batch reads exactly the state of
+    * the keys it touches (point lookups; RocksDB provider keeps cold
+    * keys on disk) and emits exactly those keys' refreshed frames,
+    * which append to the world as one sparse step. Nothing re-reads
+    * the world's history during ingestion — [[liveState]] remains the
+    * on-demand read for queries and re-attached durable stores.
     */
   def attach(world: World, events: DataFrame,
-      queryName: String = "ecs_ingest"): StreamingQuery =
-    events.writeStream
+      queryName: String = "ecs_ingest"): StreamingQuery = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .as[IngestEvent]
+    val updates: Dataset[LiveFrame] = typed.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[IngestEvent], state: GroupState[LiveFrame]) => {
+          var dTotal = 0.0
+          var dN = 0L
+          it.foreach { e => dTotal += e.value; dN += 1 }
+          val prev = state.getOption.getOrElse(LiveFrame(uid, 0.0, 0L))
+          val next = LiveFrame(uid, prev.total + dTotal, prev.n_events + dN)
+          state.update(next)
+          next
+        })
+    updates.writeStream
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(world, batch)
+      .outputMode("update")
+      .foreachBatch { (frames: Dataset[LiveFrame], _: Long) =>
+        // materialize the delta NOW: every state-store partition must
+        // commit within the batch, and the appended frame must never
+        // lazily re-run the stateful streaming plan out of band
+        appendFrames(world, frames.toDF().localCheckpoint(true))
       }
       .start()
+  }
 }

@@ -267,6 +267,21 @@ class StreamingSpec extends SparkSpec {
         .agg(round(sum(col("value")), 2).as("t"), count(lit(1)).as("n_events"))
         .orderBy("user_id").collect().toSeq
       assert(live == expected)
+      // O(delta) READ contract: the ingest carries running totals in
+      // the keyed state store, so batch 2 updates exactly its own
+      // distinct-user set even though total state is larger — the
+      // per-batch state work must not scale with total entities
+      val progresses = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progresses.length == 2, "expected two data-carrying batches")
+      val b2 = progresses.last.stateOperators.head
+      assert(b2.numRowsUpdated == subset.size.toLong,
+        s"batch-2 state updates (${b2.numRowsUpdated}) must equal its " +
+          s"touched-key count (${subset.size}), not total state " +
+          s"(${b2.numRowsTotal})")
+      assert(b2.numRowsTotal == users.size.toLong,
+        "state store holds every entity ever seen")
+      assert(b2.numRowsUpdated < b2.numRowsTotal,
+        "read/update work must be a strict subset of total state")
     } finally q.stop()
   }
 
@@ -306,6 +321,47 @@ class StreamingSpec extends SparkSpec {
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows == 4L, s"state rows $stateRows != 4 shards")
     } finally q.stop()
+  }
+
+  test("RocksDB state store: maintainer output identical, state bounded per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // same shape as stream_sketch, but the keyed state lives in the
+    // disk-backed RocksDB provider Graft.session(rocksDbStateStore=true)
+    // surfaces — the 100 TB configuration, where per-key point access
+    // must not require the whole state map in executor heap
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[SketchRow]
+    val batch1 = (0 until 400).map(i => SketchRow(i % 4, i.toLong))
+    val batch2 = (200 until 600).map(i => SketchRow(i % 4, i.toLong))
+    val q = StreamQueries.hllMaintainStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sketch_rocks_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("sketch_rocks_out")
+        .groupBy(col("shard")).agg(max(col("approx_items")).as("approx_items"))
+        .as[(Long, Long)].collect().toMap
+      val batch = (batch1 ++ batch2).toDS()
+        .groupBy(col("shard"))
+        .agg(graft.functions.SketchAggregates.hll(col("item"), 12).as("e"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        "RocksDB-backed maintainer must equal the batch aggregate")
+      val op = q.lastProgress.stateOperators.head
+      assert(op.numRowsTotal == 4L, s"state rows ${op.numRowsTotal} != 4 shards")
+      // provider really engaged: RocksDB reports its own custom metrics
+      assert(op.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb custom metrics, got ${op.customMetrics.keySet}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("stream_cms: counters maintained across micro-batches equal batch aggregate") {
@@ -451,6 +507,47 @@ class StreamingSpec extends SparkSpec {
           s"shard $shard stream median rank $rank")
       }
       assert(est.size == 2)
+    } finally q.stop()
+  }
+
+  test("stream_dedup_watermark: state evicts past the watermark, dup re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val input = MemoryStream[Ev]
+    // base well above epoch: the initial watermark is 1970-01-01, and
+    // rows at-or-below the watermark are dropped as late on arrival
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, tsMin: Long) = Ev(id,
+      new Timestamp(base + tsMin * 60000L), user, "click", 1.0, """{}""")
+    val q = StreamQueries.dedupWithinWatermarkStream(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      delay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      // batch 1: key (1, click) at t=0 kept; dup at t=5 (within the
+      // 10-min delay) suppressed; a second key seeds the watermark later
+      input.addData(ev(1, 1L, 0), ev(2, 1L, 5), ev(3, 2L, 0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("dedup_wm_out")
+        .select(col("event_id")).as[Long].collect().sorted.toSeq
+      assert(afterB1 == Seq(1L, 3L), s"dup within delay must be dropped: $afterB1")
+      val b1State = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(b1State == 2L, s"state holds both keys, got $b1State")
+      // batch 2: advance event time far past t=0+delay — watermark
+      // moves, key-1 state evicts, and a NEW key-1 event re-emits
+      input.addData(ev(4, 2L, 60))
+      q.processAllAvailable() // watermark -> 50 min; key-1/key-2 old state dies
+      input.addData(ev(5, 1L, 55))
+      q.processAllAvailable()
+      val afterB3 = spark.table("dedup_wm_out")
+        .select(col("event_id")).as[Long].collect().sorted.toSeq
+      assert(afterB3.contains(5L),
+        s"key re-emits after its state evicted past the watermark: $afterB3")
+      // bounded state: evicted keys really left the store
+      val finalState = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(finalState < b1State + 2,
+        s"state must shrink by eviction, got $finalState rows")
     } finally q.stop()
   }
 
