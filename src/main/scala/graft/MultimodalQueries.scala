@@ -544,6 +544,70 @@ object MultimodalQueries {
       |HAVING count(*) >= 2
       |ORDER BY dhash_hi, dhash_lo""".stripMargin
 
+  // F10 — PNG decode: the compressed-format path. Each doc's payload
+  // is synthesized as a REAL PNG (zlib IDAT, per-row filters cycling
+  // through all five types, RGBA for odd ids) whose pixel content is a
+  // closed-form function of doc_id, then decoded through MediaCodec's
+  // genuine chunk-walk + CRC + Inflater + filter reconstruction. The
+  // oracle recomputes the stats from the same closed forms — a row
+  // hash-matches only if signature/CRC validation, zlib round-trip,
+  // and all five de-filter paths are exact. Integer sums divided once,
+  // so doubles agree bit-for-bit.
+  private def mmPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (6 + id % 7).toInt
+          val h = (5 + id % 4).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            (((id * 2 + x * 3 + y * 7) % 256).toInt,
+              ((id * 3 + x * 13 + y * 5) % 256).toInt,
+              ((id * 7 + x + y * 19) % 256).toInt)
+          }
+          val alpha = if (id % 2 == 1)
+            Some(Array.tabulate(w * h) { i =>
+              val (x, y) = (i % w, i / w)
+              ((id + x * 11 + y * 3) % 256).toInt
+            })
+          else None
+          val png = MediaCodec.encodePng(w, h, px, alpha)
+          val d = MediaCodec.decodePng(png) // real parse: CRC + inflate + de-filter
+          val sumR = d.pixels.foldLeft(0L)((a, p) => a + p._1)
+          val sumA = d.alpha.foldLeft(0L)(_ + _)
+          MmPngRow(id, d.width.toLong, d.height.toLong,
+            if (d.hasAlpha) 4L else 3L,
+            sumR.toDouble / (w * h), sumA.toDouble / (w * h))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_a"), 4).as("mean_a"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmPngDecodeSql =
+    """WITH dims AS (SELECT doc_id, 6 + doc_id % 7 AS w, 5 + doc_id % 4 AS h
+      |             FROM documents),
+      |px AS (
+      | SELECT doc_id, w, h, x, y,
+      |   (doc_id * 2 + x * 3 + y * 7) % 256 AS r,
+      |   CASE WHEN doc_id % 2 = 1 THEN (doc_id + x * 11 + y * 3) % 256
+      |        ELSE 255 END AS a
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+      | CAST(CASE WHEN d.doc_id % 2 = 1 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+      | round(CAST(sum(p.r) AS DOUBLE) / (d.w * d.h), 4) AS mean_r,
+      | round(CAST(sum(p.a) AS DOUBLE) / (d.w * d.h), 4) AS mean_a
+      |FROM dims d JOIN px p ON p.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.w, d.h
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_groups" -> (mmPhashGroups _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
@@ -553,7 +617,8 @@ object MultimodalQueries {
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_image_decode" -> (mmImageDecode _),
-    "mm_image_features" -> (mmImageFeatures _))
+    "mm_image_features" -> (mmImageFeatures _),
+    "mm_png_decode" -> (mmPngDecode _))
 
   val oracles: Map[String, String] = Map(
     "mm_phash_groups" -> mmPhashGroupsSql,
@@ -564,7 +629,8 @@ object MultimodalQueries {
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_image_decode" -> mmImageDecodeSql,
-    "mm_image_features" -> mmImageFeaturesSql)
+    "mm_image_features" -> mmImageFeaturesSql,
+    "mm_png_decode" -> mmPngDecodeSql)
 }
 
 /** Output rows for the decode queries (top-level for Encoders). */
@@ -579,3 +645,5 @@ case class MmImageFeatRow(doc_id: Long, q_tl: Double, q_tr: Double,
 case class MmImagePhashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
     n_bits: Long)
 case class MmAudioFpRow(doc_id: Long, n_frames: Long, fp: Long, n_bits: Long)
+case class MmPngRow(doc_id: Long, width: Long, height: Long, channels: Long,
+  mean_r: Double, mean_a: Double)

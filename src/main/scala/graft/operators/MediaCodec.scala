@@ -2,16 +2,18 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM media codecs for the multimodal tier: RIFF/WAVE PCM audio
-  * and BMP (BITMAPINFOHEADER, uncompressed 24-bpp) images. These are
-  * REAL decoders — byte-level header parsing, chunk walking, sample
-  * extraction, row-padding arithmetic — chosen because the formats are
-  * decodable without external libraries; codec-heavy formats (JPEG,
-  * H.264, …) still need native libs and remain out of scope in this
-  * container.
+/** Pure-JVM media codecs for the multimodal tier: RIFF/WAVE PCM audio,
+  * BMP (BITMAPINFOHEADER, uncompressed 24-bpp) and PNG (8-bit
+  * truecolor/truecolor-alpha, zlib, filters 0-4) images. These are
+  * REAL decoders — byte-level header parsing, chunk walking with CRC
+  * validation, zlib inflation, per-scanline filter reconstruction —
+  * chosen because the formats are decodable without external
+  * libraries (java.util.zip IS the zlib PNG requires); codec-heavy
+  * formats (JPEG, H.264, …) still need native libs and remain out of
+  * scope in this container.
   *
   * Format references: the public RIFF/WAVE and BMP file-format
-  * specifications (Microsoft/IBM, 1991–1994).
+  * specifications (Microsoft/IBM, 1991–1994) and RFC 2083 (PNG).
   */
 object MediaCodec {
 
@@ -165,4 +167,199 @@ object MediaCodec {
       val sy = ty * img.height / th
       img.pixels(sy * img.width + sx)
     }
+
+  // ------------------------------------------------------------------
+  // PNG (RFC 2083): 8-bit truecolor (RGB) / truecolor+alpha, zlib
+  // (Inflater/Deflater) IDAT, per-scanline filters 0-4 — the first
+  // COMPRESSED format in the tier, still decodable with nothing but
+  // the JVM (java.util.zip carries the zlib the spec requires).
+  // ------------------------------------------------------------------
+
+  final case class PngData(width: Int, height: Int, hasAlpha: Boolean,
+      /** row-major top-down (r, g, b) triples */
+      pixels: Array[(Int, Int, Int)],
+      /** per-pixel alpha; all-255 for RGB images */
+      alpha: Array[Int])
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def pngChunk(bb: ByteBuffer, chunkType: String, data: Array[Byte]): Unit = {
+    bb.putInt(data.length)
+    val t = chunkType.getBytes("US-ASCII")
+    bb.put(t).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode 8-bit RGB(A) pixels as a standard PNG. `filterOf` picks
+    * the filter type per scanline (default cycles 0-4, so a round-trip
+    * exercises every de-filter path — a real encoder would pick per
+    * row by heuristic; any choice is spec-valid).
+    */
+  def encodePng(width: Int, height: Int, pixels: Array[(Int, Int, Int)],
+      alpha: Option[Array[Int]] = None,
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(pixels.length == width * height)
+    alpha.foreach(a => require(a.length == width * height))
+    val bpp = if (alpha.isDefined) 4 else 3
+    val stride = width * bpp
+    // raw scanlines
+    val raw = Array.ofDim[Byte](height, stride)
+    var i = 0
+    while (i < pixels.length) {
+      val (x, y) = (i % width, i / width)
+      val (r, g, b) = pixels(i)
+      raw(y)(x * bpp) = r.toByte
+      raw(y)(x * bpp + 1) = g.toByte
+      raw(y)(x * bpp + 2) = b.toByte
+      alpha.foreach(a => raw(y)(x * bpp + 3) = a(i).toByte)
+      i += 1
+    }
+    // filter, concatenate (1 filter byte + stride per row), deflate
+    val filtered = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val f = filterOf(y)
+      require(f >= 0 && f <= 4, s"invalid filter $f")
+      filtered(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y)(x) & 0xff
+        val left = if (x >= bpp) raw(y)(x - bpp) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) raw(y - 1)(x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = comp.toByteArray
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)                                  // bit depth
+      .put((if (alpha.isDefined) 6 else 2).toByte)    // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)      // deflate/adaptive/no interlace
+      .array()
+    val out = ByteBuffer.allocate(
+      PngSig.length + (12 + 13) + (12 + idat.length) + 12)
+      .order(ByteOrder.BIG_ENDIAN)
+    out.put(PngSig)
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", idat)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  /** Decode an 8-bit truecolor PNG (color type 2 or 6, deflate,
+    * non-interlaced): signature + chunk walk with CRC validation,
+    * multi-IDAT zlib inflate, and full filter reconstruction
+    * (None/Sub/Up/Average/Paeth). Throws on malformed input.
+    */
+  def decodePng(bytes: Array[Byte]): PngData = {
+    require(bytes.length >= PngSig.length &&
+      PngSig.indices.forall(i => bytes(i) == PngSig(i)), "not a PNG")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    bb.position(PngSig.length)
+    var width = -1; var height = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(bb.remaining() >= 12, "truncated chunk")
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len + 8, "truncated chunk body")
+      val tBytes = new Array[Byte](4); bb.get(tBytes)
+      val chunkType = new String(tBytes, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tBytes); crc.update(data)
+      require(bb.getInt == crc.getValue.toInt, s"bad CRC in $chunkType")
+      chunkType match {
+        case "IHDR" =>
+          val h = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+          width = h.getInt; height = h.getInt
+          val bitDepth = h.get(); colorType = h.get()
+          require(bitDepth == 8, s"only 8-bit supported, got $bitDepth")
+          require(colorType == 2 || colorType == 6,
+            s"only truecolor/truecolor-alpha supported, got color type $colorType")
+          require(h.get() == 0 && h.get() == 0 && h.get() == 0,
+            "unsupported compression/filter/interlace method")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => // ancillary chunk — skip
+      }
+    }
+    require(width > 0 && height > 0, "missing IHDR")
+    require(idat.size() > 0, "missing IDAT")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = width * bpp
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](height * (1 + stride))
+    var off = 0
+    while (!inflater.finished() && off < filtered.length) {
+      val n = inflater.inflate(filtered, off, filtered.length - off)
+      require(n > 0 || inflater.finished(), "bad zlib stream")
+      off += n
+    }
+    inflater.end()
+    require(off == filtered.length,
+      s"decompressed $off bytes, expected ${filtered.length}")
+    // reconstruct scanlines in place
+    val raw = Array.ofDim[Byte](height, stride)
+    var y = 0
+    while (y < height) {
+      val f = filtered(y * (1 + stride)) & 0xff
+      require(f <= 4, s"invalid filter type $f on row $y")
+      var x = 0
+      while (x < stride) {
+        val v = filtered(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) raw(y)(x - bpp) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) raw(y - 1)(x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y)(x) = ((v + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val n = width * height
+    val pixels = new Array[(Int, Int, Int)](n)
+    val alpha = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val (x, y2) = (i % width, i / width)
+      pixels(i) = (raw(y2)(x * bpp) & 0xff, raw(y2)(x * bpp + 1) & 0xff,
+        raw(y2)(x * bpp + 2) & 0xff)
+      alpha(i) = if (bpp == 4) raw(y2)(x * bpp + 3) & 0xff else 255
+      i += 1
+    }
+    PngData(width, height, colorType == 6, pixels, alpha)
+  }
 }

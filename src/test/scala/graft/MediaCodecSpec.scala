@@ -70,4 +70,43 @@ class MediaCodecSpec extends AnyFunSuite {
       yield ((2 * ty) * w + 2 * tx, 0, 0)
     assert(t.toSeq == expect)
   }
+
+  test("PNG: RGB roundtrip under every filter type (None/Sub/Up/Avg/Paeth)") {
+    val w = 7; val h = 6 // 6 rows: cycles through all 5 filters + one repeat
+    val px = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      ((x * 37 + y * 11) % 256, (x * 5 + y * 91) % 256, (x * 17 + y * 3) % 256)
+    }
+    // per-row cycling filter (default), plus each filter uniformly
+    (Seq[Int => Int](_ % 5) ++ (0 to 4).map(f => (_: Int) => f)).foreach { fo =>
+      val d = MediaCodec.decodePng(MediaCodec.encodePng(w, h, px, filterOf = fo))
+      assert(d.width == w && d.height == h && !d.hasAlpha)
+      assert(d.pixels.toSeq == px.toSeq)
+      assert(d.alpha.forall(_ == 255))
+    }
+  }
+
+  test("PNG: RGBA roundtrip carries the alpha channel") {
+    val w = 5; val h = 5
+    val px = Array.tabulate(w * h)(i => (i % 256, (i * 3) % 256, (i * 7) % 256))
+    val a = Array.tabulate(w * h)(i => (i * 13) % 256)
+    val d = MediaCodec.decodePng(MediaCodec.encodePng(w, h, px, alpha = Some(a)))
+    assert(d.hasAlpha && d.pixels.toSeq == px.toSeq && d.alpha.toSeq == a.toSeq)
+  }
+
+  test("PNG: malformed input fails loudly") {
+    val good = MediaCodec.encodePng(3, 3,
+      Array.fill(9)((1, 2, 3)), filterOf = _ => 0)
+    // not a PNG
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodePng("JFIF-ish".getBytes))
+    // corrupt a byte inside the IDAT payload -> CRC mismatch
+    val corrupt = good.clone()
+    corrupt(good.length - 13) = (corrupt(good.length - 13) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](MediaCodec.decodePng(corrupt))
+    assert(e.getMessage.contains("CRC"))
+    // truncated stream
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodePng(good.take(good.length - 6)))
+  }
 }
