@@ -123,6 +123,30 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Best-scoring profile language per doc (E6's decision, factored
+    * for reuse by the per-language vocabularies): docs without a
+    * profile hit (or shorter than one trigram) default to "en".
+    */
+  private def predLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profile = NgramProfiles.toDF("lang", "gram", "weight")
+    val grams = docs(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
+        .as("gram"))
+    val scores = grams.join(broadcast(profile), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("weight")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))
+    val best = scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("doc_id"), col("lang"))
+    docs(s, dir).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang"), lit("en")).as("pred_lang"))
+  }
+
   // E7 — BPE vocabulary-merge training (graft.operators.BpeTrainer):
   // 8 rounds of count-pairs → pick-max → greedy left-to-right merge
   // over the word-type table. The oracle replays the ENTIRE training
@@ -232,6 +256,139 @@ object TextQueries {
       | round(sum(length(word)) / sum(len(toks)), 4) AS compression
       |FROM docw JOIN w$BpeMerges USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // E14 — PER-LANGUAGE BPE: E6's language decision keys one vocabulary
+  // per language (the reason a corpus-level language ID exists in a
+  // tokenizer pipeline). Each language's merges train ONLY on word
+  // types of docs predicted as that language, and each doc encodes
+  // with its own language's table. The oracle replays E6's decision
+  // AND all four training loops in chained CTEs — rank-for-rank,
+  // pair-for-pair — then joins each doc's words to its language's
+  // final word table.
+  private val PerLangMerges = 4
+  private val BpeLangs = Seq("de", "en", "es", "fr")
+
+  private def textBpePerLang(s: SparkSession, dir: String): DataFrame = {
+    val docWords = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) >= 2)"))
+        .as("word"))
+      .join(predLang(s, dir), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docWords.count() // fill the cache once before the parallel trainers hit it
+    // the four vocabularies are independent — train them CONCURRENTLY
+    // (Spark schedules the four job chains in parallel; each language's
+    // rounds stay sequential within its own future). Wall time is one
+    // language's training, not four.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val encoded = Await.result(
+      Future.sequence(BpeLangs.map { lang => Future {
+        val wordCounts = docWords.filter(col("pred_lang") === lang)
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val merges = graft.operators.BpeTrainer.train(wordCounts, PerLangMerges)
+          .orderBy(col("merge_rank")).select(col("pa"), col("pb"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.operators.BpeTrainer.encode(wordCounts.select(col("word")), merges)
+          .withColumn("pred_lang", lit(lang))
+      }}), scala.concurrent.duration.Duration(10, "min"))
+      .reduce(_ unionByName _)
+    val out = docWords.join(encoded, Seq("pred_lang", "word"))
+      .groupBy(col("doc_id"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+      .select(col("doc_id"), col("pred_lang"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"), col("compression"))
+      .orderBy(col("doc_id"))
+      // materialize so the docWords cache releases deterministically
+      .localCheckpoint(eager = true)
+    docWords.unpersist(false)
+    out
+  }
+
+  /** One language's training chain over `dwl` (doc_id, pred_lang,
+    * word): CTEs `${L}w0 … ${L}w$PerLangMerges`. An empty pair table
+    * must leave the word table UNCHANGED (LEFT JOIN ON TRUE), matching
+    * the trainer's "no pair found → no merge" behavior.
+    */
+  private def perLangSqlChain(lang: String): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      |${lang}w0 AS (
+      | SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+      |   list_transform(generate_series(1, length(word)),
+      |     i -> substring(word, i, 1)) AS toks
+      | FROM dwl WHERE pred_lang = '$lang' GROUP BY word
+      |)""".stripMargin)
+    for (k <- 0 until PerLangMerges) {
+      sb.append(s""",
+        |${lang}c$k AS (
+        | SELECT p.pa AS pa, p.pb AS pb, CAST(sum(cnt) AS BIGINT) AS weight
+        | FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> {'pa': toks[i], 'pb': toks[i + 1]})) AS p
+        |       FROM ${lang}w$k WHERE len(toks) >= 2) px
+        | GROUP BY 1, 2
+        |),
+        |${lang}b$k AS (SELECT pa, pb FROM ${lang}c$k
+        |               ORDER BY weight DESC, pa, pb LIMIT 1),
+        |${lang}w${k + 1} AS (
+        | SELECT w.word, w.cnt,
+        |   CASE WHEN b.pa IS NULL THEN w.toks ELSE
+        |     list_reduce(
+        |       list_prepend(CAST([] AS VARCHAR[]), list_transform(w.toks, x -> [x])),
+        |       (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.pa AND x[1] = b.pb
+        |                   THEN list_append(acc[1:len(acc) - 1], b.pa || b.pb)
+        |                   ELSE list_append(acc, x[1]) END) END AS toks
+        | FROM ${lang}w$k w LEFT JOIN ${lang}b$k b ON TRUE
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val textBpePerLangSql: String = {
+    val vals = NgramProfiles.map { case (l, g, w) => s"('$l', '$g', $w)" }
+      .mkString(", ")
+    s"""WITH prof(lang, gram, weight) AS (VALUES $vals),
+       |g AS (
+       | SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 2),
+       |   i -> substring(lower(text), i, 3))) AS gram
+       | FROM documents WHERE length(text) >= 3
+       |),
+       |h AS (
+       | SELECT doc_id, lang, CAST(sum(weight) AS BIGINT) AS score
+       | FROM g JOIN prof USING (gram) GROUP BY doc_id, lang
+       |),
+       |bst AS (
+       | SELECT doc_id, lang,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+       | FROM h
+       |),
+       |pl AS (
+       | SELECT d.doc_id, coalesce(b.lang, 'en') AS pred_lang
+       | FROM documents d LEFT JOIN (SELECT * FROM bst WHERE rk = 1) b USING (doc_id)
+       |),
+       |dw AS (
+       | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |   x -> x <> '' AND length(x) >= 2)) AS word
+       | FROM documents
+       |),
+       |dwl AS (SELECT dw.doc_id, pl.pred_lang, dw.word FROM dw JOIN pl USING (doc_id))""".stripMargin +
+      BpeLangs.map(perLangSqlChain).mkString + s""",
+       |enc AS (${BpeLangs.map(l =>
+        s"SELECT '$l' AS pred_lang, word, CAST(len(toks) AS BIGINT) AS n_toks FROM ${l}w$PerLangMerges")
+        .mkString("\n  UNION ALL ")}
+       |)
+       |SELECT d.doc_id, d.pred_lang, count(*) AS n_words,
+       | CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       | CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens,
+       | round(sum(length(d.word)) / sum(e.n_toks), 4) AS compression
+       |FROM dwl d JOIN enc e USING (pred_lang, word)
+       |GROUP BY d.doc_id, d.pred_lang
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   // E2 — quality scoring: length / punctuation / digit / stopword ratios.
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
@@ -543,6 +700,7 @@ object TextQueries {
     "text_tfidf" -> (textTfidf _),
     "text_bpe" -> (textBpe _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_perlang" -> (textBpePerLang _),
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -557,5 +715,6 @@ object TextQueries {
     "text_tfidf" -> textTfidfSql,
     "text_bpe" -> textBpeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_perlang" -> textBpePerLangSql,
     "text_pii_scrub" -> textPiiScrubSql)
 }
