@@ -32,6 +32,49 @@ object EcsQueries {
       .withColumn("position__y", col("position__y") + col("velocity__vy") * dt)
   }
 
+  /** Flocking force as a Processor — the spatial-grid broad phase
+    * (A9's SpatialGrid) closing the loop into the step cycle: each
+    * step, every entity steers toward its neighborhood's center
+    * (cohesion 0.25) and mean heading (alignment 0.5), then moves
+    * with the steered velocity. Neighbor aggregation is the grid
+    * equi-join + one hash agg (never all-pairs); all neighbor SUMS
+    * are over integer-valued doubles, so the means are exact ratios
+    * and the step replays bit-for-bit in the oracle.
+    */
+  final case class FlockingProcessor(radius: Double) extends Processor {
+    override val priority = 1
+    val components: Seq[ComponentMeta] = PosVel
+    def process(df: DataFrame, dt: Double): DataFrame = {
+      val pairs = graft.operators.SpatialGrid.neighborPairs(
+        df, col("entity_id"), col("position__x"), col("position__y"), radius)
+      val sym = pairs.select(col("id_a").as("entity_id"), col("id_b").as("nb"))
+        .unionByName(pairs.select(col("id_b").as("entity_id"), col("id_a").as("nb")))
+      val nbrs = sym.join(
+        df.select(col("entity_id").as("nb"), col("position__x").as("nx"),
+          col("position__y").as("ny"), col("velocity__vx").as("nvx"),
+          col("velocity__vy").as("nvy")), Seq("nb"))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_nb"),
+          sum(col("nx")).as("sx"), sum(col("ny")).as("sy"),
+          sum(col("nvx")).as("svx"), sum(col("nvy")).as("svy"))
+      df.join(nbrs, Seq("entity_id"), "left")
+        .withColumn("velocity__vx", when(col("n_nb").isNotNull,
+            col("velocity__vx")
+              + lit(0.25) * (col("sx") / col("n_nb") - col("position__x"))
+              + lit(0.5) * (col("svx") / col("n_nb") - col("velocity__vx")))
+          .otherwise(col("velocity__vx")))
+        .withColumn("velocity__vy", when(col("n_nb").isNotNull,
+            col("velocity__vy")
+              + lit(0.25) * (col("sy") / col("n_nb") - col("position__y"))
+              + lit(0.5) * (col("svy") / col("n_nb") - col("velocity__vy")))
+          .otherwise(col("velocity__vy")))
+        // move with the STEERED velocity (the withColumns above)
+        .withColumn("position__x", col("position__x") + col("velocity__vx") * dt)
+        .withColumn("position__y", col("position__y") + col("velocity__vy") * dt)
+        .drop("n_nb", "sx", "sy", "svx", "svy")
+    }
+  }
+
   private def seedCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer").select(
       col("c_custkey").cast("long").as("entity_id"),
@@ -393,6 +436,62 @@ object EcsQueries {
        |  SELECT '$PosOnlyHash' AS archetype, (SELECT count(*) FROM supplier) AS n
        |) ORDER BY archetype""".stripMargin
 
+  /** A12: flocking step through the full World cycle — spawn a 2D
+    * field from customers (integer-valued coordinates/velocities),
+    * run ONE FlockingProcessor step (grid broad phase + neighbor
+    * steer + move), read the step-1 frame per entity. The oracle
+    * replays the neighbor aggregation as a brute-force radius
+    * self-join plus the identical steer arithmetic — grid candidate
+    * generation must be COMPLETE (a missed adjacent-cell pair changes
+    * that entity's mean and its row hash).
+    */
+  def flocking(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_flock")
+    world.addProcessor(FlockingProcessor(25.0))
+    val seed = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("entity_id"),
+      floor(col("c_acctbal")).cast("double").as("position__x"),
+      (col("c_custkey") % 997).cast("double").as("position__y"),
+      (col("c_custkey") % 5).cast("double").as("velocity__vx"),
+      ((col("c_custkey") % 7) - 3).cast("double").as("velocity__vy"))
+    world.spawnBatch(PosVel, seed)
+    world.step(0.25)
+    world.query(PosVel)(PosVelHash)
+      .select(col("entity_id"),
+        round(col("position__x"), 4).as("x"),
+        round(col("position__y"), 4).as("y"),
+        round(col("velocity__vx"), 4).as("vx"),
+        round(col("velocity__vy"), 4).as("vy"))
+      .orderBy(col("entity_id"))
+  }
+
+  val flockingOracle: String =
+    """WITH p AS (
+      | SELECT c_custkey AS id, floor(c_acctbal) AS x,
+      |   CAST(c_custkey % 997 AS DOUBLE) AS y,
+      |   CAST(c_custkey % 5 AS DOUBLE) AS vx,
+      |   CAST(c_custkey % 7 - 3 AS DOUBLE) AS vy
+      | FROM customer),
+      |nb AS (
+      | SELECT a.id, count(*) AS n, sum(b.x) AS sx, sum(b.y) AS sy,
+      |   sum(b.vx) AS svx, sum(b.vy) AS svy
+      | FROM p a JOIN p b ON a.id <> b.id
+      |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625.0
+      | GROUP BY a.id),
+      |st AS (
+      | SELECT p.id, p.x, p.y,
+      |   CASE WHEN nb.n IS NULL THEN p.vx
+      |        ELSE p.vx + 0.25 * (nb.sx / nb.n - p.x)
+      |                  + 0.5 * (nb.svx / nb.n - p.vx) END AS nvx,
+      |   CASE WHEN nb.n IS NULL THEN p.vy
+      |        ELSE p.vy + 0.25 * (nb.sy / nb.n - p.y)
+      |                  + 0.5 * (nb.svy / nb.n - p.vy) END AS nvy
+      | FROM p LEFT JOIN nb ON nb.id = p.id)
+      |SELECT id AS entity_id,
+      | round(x + nvx * 0.25, 4) AS x, round(y + nvy * 0.25, 4) AS y,
+      | round(nvx, 4) AS vx, round(nvy, 4) AS vy
+      |FROM st ORDER BY entity_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ecs_spawn_query" -> (spawnQuery _),
     "ecs_movement_sim" -> (movementSim _),
@@ -404,7 +503,8 @@ object EcsQueries {
     "ecs_global_interaction" -> (globalInteraction _),
     "ecs_spatial_neighbors" -> (spatialNeighbors _),
     "ecs_migration" -> (migration _),
-    "ecs_trajectory" -> (trajectory _))
+    "ecs_trajectory" -> (trajectory _),
+    "ecs_flocking" -> (flocking _))
 
   val oracles: Map[String, String] = Map(
     "ecs_spawn_query" -> spawnQueryOracle,
@@ -417,5 +517,6 @@ object EcsQueries {
     "ecs_global_interaction" -> globalInteractionOracle,
     "ecs_spatial_neighbors" -> spatialNeighborsOracle,
     "ecs_migration" -> migrationOracle,
-    "ecs_trajectory" -> trajectoryOracle)
+    "ecs_trajectory" -> trajectoryOracle,
+    "ecs_flocking" -> flockingOracle)
 }

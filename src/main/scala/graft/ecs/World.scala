@@ -28,6 +28,10 @@ final class QueryManager(store: ArchetypeStore) {
       h -> entities.fold(base)(ids => base.filter(col("entity_id").isin(ids: _*)))
     }
 
+  /** Archetypes a component request currently matches (subset rule). */
+  def matchingHashes(metas: Seq[ComponentMeta]): Seq[String] =
+    store.matchingHashes(metas)
+
   def getHistory(metas: Seq[ComponentMeta], includeAllRuns: Boolean = false): Map[String, DataFrame] =
     store.getHistory(metas, includeAllRuns)
 }
@@ -65,6 +69,31 @@ final class SimpleSystem(querier: QueryManager) {
     }
     modified.toMap
   }
+
+  /** The processor DAG, flattened to maximal parallel stages: a
+    * processor depends on an earlier (lower-priority-value) one iff
+    * their matched ARCHETYPE sets intersect — that is exactly when
+    * execute() chains one's output into the other's input; disjoint
+    * processors read/write different tables, so their plans are
+    * independent and they commute. The reference's system loop is
+    * strictly sequential (system.py:26-59) — this is the stage-level
+    * parallelism a declarative engine gets to expose. Stages are
+    * computed greedily in priority order (a processor joins the
+    * newest stage unless it conflicts with it).
+    */
+  def stages(): Seq[Seq[Processor]] = {
+    val out = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[Processor], mutable.Set[String])]
+    procs.sortBy(_.priority).foreach { p =>
+      val hs = querier.matchingHashes(p.components).toSet
+      out.lastOption match {
+        case Some((ps, seen)) if hs.intersect(seen).isEmpty =>
+          ps += p; seen ++= hs
+        case _ =>
+          out += ((mutable.ArrayBuffer(p), mutable.Set(hs.toSeq: _*)))
+      }
+    }
+    out.map(_._1.toSeq).toSeq
+  }
 }
 
 /** Facade over store/querier/updater/system
@@ -90,6 +119,27 @@ final class World private (
   def step(dt: Double): Unit = {
     val updates = system.execute(currentStep, dt)
     updater.collect(updates, currentStep + 1)
+    currentStep += 1
+    if (optimizeInterval > 0 && currentStep % optimizeInterval == 0) store.optimize()
+  }
+
+  /** One step whose per-archetype updates MATERIALIZE as concurrent
+    * Spark jobs (eager localCheckpoint per archetype, one future
+    * each): wall time is the DAG's critical path instead of the
+    * processor sum — see [[SimpleSystem.stages]] — and every step's
+    * lineage is cut at the materialization. State after the step is
+    * identical to [[step]]'s: disjoint processors commute, chained
+    * ones already share one plan per archetype.
+    */
+  def stepEager(dt: Double): Unit = {
+    val updates = system.execute(currentStep, dt)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val mat = Await.result(
+      Future.traverse(updates.toSeq) { case (h, df) =>
+        Future(h -> df.localCheckpoint(eager = true))
+      }, scala.concurrent.duration.Duration(10, "min")).toMap
+    updater.collect(mat, currentStep + 1)
     currentStep += 1
     if (optimizeInterval > 0 && currentStep % optimizeInterval == 0) store.optimize()
   }
@@ -123,6 +173,9 @@ final class World private (
 
   def addProcessor(p: Processor): Unit = system.addProcessor(p)
   def removeProcessor(p: Processor): Unit = system.removeProcessor(p)
+
+  /** Parallel-stage view of the processor DAG ([[SimpleSystem.stages]]). */
+  def stages(): Seq[Seq[Processor]] = system.stages()
 
   def query(metas: Seq[ComponentMeta], step: Option[Long] = None,
       entities: Option[Seq[Long]] = None): Map[String, DataFrame] =

@@ -4,6 +4,9 @@ import graft.ecs._
 import graft.EcsQueries.{MovementProcessor, PosMeta, PosVel, Position, Velocity}
 import org.apache.spark.sql.functions._
 
+/** Spec-only component living in a third archetype (DAG tests). */
+case class Heat(h: Double) extends Component
+
 /** Mirrors the reference's tests/test_toy.py plus despawn, upsert,
   * multi-archetype and persistence semantics.
   */
@@ -442,6 +445,113 @@ class EcsSpec extends SparkSpec {
       world.removeComponent(e3, PosMeta)
     }
     assert(ex.getMessage.contains("another component to keep"))
+  }
+
+  test("processor DAG: archetype-disjoint processors share a stage, conflicting split") {
+    val world = World.make(spark, "sim_test", "run_dag")
+    world.spawn(Position(0.0, 0.0), Velocity(1.0, 0.0))
+    val heatId = world.store.ensureTable(Seq(ComponentMeta.of[Heat]))
+    world.store.spawnBatch(Seq(ComponentMeta.of[Heat]),
+      spark.range(1).select((col("id") + 100L).as("entity_id"),
+        lit(10.0).as("heat__h")), 0L)
+    object MoveProc extends Processor {
+      override val priority = 1
+      val components = PosVel
+      def process(df: org.apache.spark.sql.DataFrame, dt: Double) =
+        df.withColumn("position__x", col("position__x") + col("velocity__vx") * dt)
+    }
+    object HeatProc extends Processor {
+      override val priority = 2
+      val components = Seq(ComponentMeta.of[Heat])
+      def process(df: org.apache.spark.sql.DataFrame, dt: Double) =
+        df.withColumn("heat__h", col("heat__h") * 0.5)
+    }
+    object DragProc extends Processor { // conflicts with MoveProc's archetype
+      override val priority = 3
+      val components = Seq(ComponentMeta.of[Velocity])
+      def process(df: org.apache.spark.sql.DataFrame, dt: Double) =
+        df.withColumn("velocity__vx", col("velocity__vx") * 0.5)
+    }
+    world.addProcessor(MoveProc)
+    world.addProcessor(HeatProc)
+    world.addProcessor(DragProc)
+    // Move and Heat touch disjoint archetypes -> one parallel stage;
+    // Drag subset-matches the (Pos, Vel) archetype Move writes -> new stage
+    val st = world.stages()
+    def names(s: Seq[Seq[Processor]]) =
+      s.map(_.map(_.getClass.getSimpleName.replaceAll("[$\\d]", "")))
+    assert(names(st) == Seq(Seq("MoveProc", "HeatProc"), Seq("DragProc")),
+      s"got stages ${names(st)}")
+    assert(heatId.nonEmpty)
+  }
+
+  test("stepEager: concurrent per-archetype materialization equals step()") {
+    def build(run: String): World = {
+      val world = World.make(spark, "sim_test", run, optimizeInterval = 0)
+      world.addProcessor(MovementProcessor)
+      world.spawn(Position(0.0, 0.0), Velocity(1.0, 2.0))
+      world.spawn(Position(10.0, 10.0), Velocity(-1.0, 0.5))
+      val heatMeta = ComponentMeta.of[Heat]
+      world.store.ensureTable(Seq(heatMeta))
+      world.store.spawnBatch(Seq(heatMeta),
+        spark.range(3).select((col("id") + 50L).as("entity_id"),
+          (col("id") * 2).cast("double").as("heat__h")), 0L)
+      world.addProcessor(new Processor {
+        override val priority = 2
+        val components = Seq(heatMeta)
+        def process(df: org.apache.spark.sql.DataFrame, dt: Double) =
+          df.withColumn("heat__h", col("heat__h") + lit(1.0))
+      })
+      world
+    }
+    val lazyW = build("run_lazy"); (1 to 3).foreach(_ => lazyW.step(0.5))
+    val eagerW = build("run_eager"); (1 to 3).foreach(_ => eagerW.stepEager(0.5))
+    def state(w: World) = (
+      w.query(PosVel).values.head
+        .select(col("entity_id"), col("position__x"), col("position__y"))
+        .orderBy("entity_id").collect().toSeq,
+      w.query(Seq(ComponentMeta.of[Heat])).values.head
+        .select(col("entity_id"), col("heat__h"))
+        .orderBy("entity_id").collect().toSeq)
+    assert(state(eagerW) == state(lazyW))
+  }
+
+  test("flocking processor: grid neighbor steer equals brute-force replay") {
+    import spark.implicits._
+    val world = World.make(spark, "sim_test", "run_flock_spec")
+    world.addProcessor(EcsQueries.FlockingProcessor(10.0))
+    // a tight cluster of 4 + one isolated entity
+    val seed = Seq(
+      (1L, 0.0, 0.0, 1.0, 0.0), (2L, 3.0, 0.0, 0.0, 1.0),
+      (3L, 0.0, 4.0, -1.0, 0.0), (4L, 3.0, 4.0, 0.0, -1.0),
+      (5L, 1000.0, 1000.0, 2.0, 2.0))
+      .toDF("entity_id", "position__x", "position__y", "velocity__vx", "velocity__vy")
+    world.spawnBatch(EcsQueries.PosVel, seed)
+    world.step(0.5)
+    val got = world.query(EcsQueries.PosVel)(EcsQueries.PosVelHash)
+      .select(col("entity_id"), col("position__x"), col("position__y"),
+        col("velocity__vx"), col("velocity__vy"))
+      .orderBy("entity_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // brute-force replay on the driver
+    val pts = Seq(
+      (1L, 0.0, 0.0, 1.0, 0.0), (2L, 3.0, 0.0, 0.0, 1.0),
+      (3L, 0.0, 4.0, -1.0, 0.0), (4L, 3.0, 4.0, 0.0, -1.0),
+      (5L, 1000.0, 1000.0, 2.0, 2.0))
+    val expect = pts.map { case (id, x, y, vx, vy) =>
+      val nb = pts.filter { case (oid, ox, oy, _, _) =>
+        oid != id && (x - ox) * (x - ox) + (y - oy) * (y - oy) <= 100.0 }
+      val (nvx, nvy) = if (nb.isEmpty) (vx, vy) else {
+        val n = nb.size
+        (vx + 0.25 * (nb.map(_._2).sum / n - x) + 0.5 * (nb.map(_._4).sum / n - vx),
+         vy + 0.25 * (nb.map(_._3).sum / n - y) + 0.5 * (nb.map(_._5).sum / n - vy))
+      }
+      (id, x + nvx * 0.5, y + nvy * 0.5, nvx, nvy)
+    }
+    assert(got.toSeq == expect,
+      s"grid flocking diverged from brute force:\n got $got\n exp $expect")
+    // the isolated entity just moved with its unchanged velocity
+    assert(got(4) == (5L, 1001.0, 1001.0, 2.0, 2.0))
   }
 
   test("processor chaining: later processors see earlier output in-step") {
