@@ -37,7 +37,16 @@ final class ArchetypeStore(
     val spark: SparkSession,
     val simulation: String,
     val run: String,
-    val reliableCheckpoints: Boolean = false) {
+    val reliableCheckpoints: Boolean = false,
+    /** When set, durable commits lay data out in `bucket=<entity_id
+      * mod n>` partition directories under (simulation, run): a
+      * single-entity trajectory probe then partition-prunes to 1/n of
+      * each commit instead of scanning the run — the analogue of the
+      * reference's BTree index on entity_id (store.py:107-108). All
+      * writers/readers of one durable dir must agree on n (recorded in
+      * the manifest, validated at attach).
+      */
+    val entityBuckets: Option[Int] = None) {
 
   import ArchetypeStore._
 
@@ -355,8 +364,11 @@ final class ArchetypeStore(
   // dead and can be vacuumed out-of-band.
   // -------------------------------------------------------------------
 
-  /** Commit watermarks: everything a reader/writer needs to resume. */
-  final case class Manifest(base: Long, maxCommit: Long, maxV: Long, maxEntity: Long)
+  /** Commit watermarks: everything a reader/writer needs to resume.
+    * `buckets` = entity-bucket count of the layout (0 = unbucketed).
+    */
+  final case class Manifest(base: Long, maxCommit: Long, maxV: Long,
+      maxEntity: Long, buckets: Long = 0L)
 
   private def manifestPath(dir: String, hash: String) =
     java.nio.file.Paths.get(s"$dir/$hash/_manifest")
@@ -367,7 +379,8 @@ final class ArchetypeStore(
       val kv = java.nio.file.Files.readString(p).linesIterator
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.trim.toLong }
         .toMap
-      Some(Manifest(kv("base"), kv("maxCommit"), kv("maxV"), kv("maxEntity")))
+      Some(Manifest(kv("base"), kv("maxCommit"), kv("maxV"), kv("maxEntity"),
+        kv.getOrElse("buckets", 0L)))
     }
 
   def readManifest(dir: String, hash: String): Option[Manifest] =
@@ -391,7 +404,8 @@ final class ArchetypeStore(
     val tmp = p.resolveSibling(s"_manifest.tmp.${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(tmp,
-      s"base=${m.base}\nmaxCommit=${m.maxCommit}\nmaxV=${m.maxV}\nmaxEntity=${m.maxEntity}\n")
+      s"base=${m.base}\nmaxCommit=${m.maxCommit}\nmaxV=${m.maxV}\n" +
+        s"maxEntity=${m.maxEntity}\nbuckets=${m.buckets}\n")
     // immutable per-version snapshot first (enables time travel) …
     java.nio.file.Files.copy(tmp,
       p.resolveSibling(s"_manifest.v${m.maxCommit}"),
@@ -410,10 +424,21 @@ final class ArchetypeStore(
   private def stageCommit(dir: String, hash: String, n: Long, df: DataFrame): Unit = {
     val staging = java.nio.file.Paths.get(
       s"$dir/$hash/_staging/${java.util.UUID.randomUUID()}")
-    df.repartition(col("simulation"), col("run"))
+    val (laidOut, partCols) = entityBuckets match {
+      case Some(b) =>
+        // bucket = entity_id mod b as a partition DIRECTORY: point
+        // trajectory reads prune to 1/b of every commit
+        (df.withColumn("bucket", pmod(col("entity_id"), lit(b.toLong)))
+          .repartition(col("simulation"), col("run"), col("bucket")),
+          Seq("simulation", "run", "bucket"))
+      case None =>
+        (df.repartition(col("simulation"), col("run")),
+          Seq("simulation", "run"))
+    }
+    laidOut
       .sortWithinPartitions(col("step"), col("entity_id"))
       .write.mode("overwrite")
-      .partitionBy("simulation", "run")
+      .partitionBy(partCols: _*)
       .parquet(staging.toString)
     val target = java.nio.file.Paths.get(s"$dir/$hash/commit=$n")
     if (java.nio.file.Files.exists(target))
@@ -428,8 +453,12 @@ final class ArchetypeStore(
     */
   private def durableReadSchema(metas: Seq[ComponentMeta]) = {
     import org.apache.spark.sql.types._
-    StructType(withVersion(Archetype.schemaOf(Archetype.signature(metas)))
-      .fields :+ StructField("commit", LongType, nullable = false))
+    val base = withVersion(Archetype.schemaOf(Archetype.signature(metas)))
+      .fields :+ StructField("commit", LongType, nullable = false)
+    StructType(entityBuckets match {
+      case Some(_) => base :+ StructField("bucket", LongType, nullable = false)
+      case None => base
+    })
   }
 
   /** Only the manifest's committed range is visible. */
@@ -487,6 +516,9 @@ final class ArchetypeStore(
     flush()
     tables.foreach { case (hash, df) =>
       val prev = readManifest(dir, hash)
+      prev.foreach(m => require(m.buckets == bucketCount,
+        s"commitDelta: durable dir has bucket layout ${m.buckets}, " +
+          s"this store writes $bucketCount — bucket counts must match"))
       val lastV = durableMaxV.getOrElse(hash, -1L)
       val highV = commitCounter.get()
       // never target a commit at-or-below the CURRENT manifest tip: a
@@ -504,7 +536,8 @@ final class ArchetypeStore(
         base = prev.map(_.base).getOrElse(0L),
         maxCommit = n,
         maxV = highV,
-        maxEntity = entityCounter.get()))
+        maxEntity = entityCounter.get(),
+        buckets = bucketCount))
       durableMaxV(hash) = highV
       nextCommit(hash) = n + 1
     }
@@ -518,13 +551,40 @@ final class ArchetypeStore(
   def compactDurable(dir: String): Unit = withDirLock(dir) {
     sigByHash.foreach { case (hash, sig) =>
       readManifest(dir, hash).foreach { m =>
+        require(m.buckets == bucketCount,
+          s"compactDurable: bucket layout ${m.buckets} != store's $bucketCount")
         val live = liveDurable(dir, hash, sig, m)
         val n = m.maxCommit + 1
-        stageCommit(dir, hash, n, latestWinsKeepVersion(live.drop("commit")))
+        stageCommit(dir, hash, n,
+          latestWinsKeepVersion(live.drop("commit")).drop("bucket"))
         writeManifest(dir, hash, m.copy(base = n, maxCommit = n))
         nextCommit(hash) = n + 1
       }
     }
+  }
+
+  /** Bucket count this store writes/expects (0 = unbucketed). */
+  private def bucketCount: Long = entityBuckets.map(_.toLong).getOrElse(0L)
+
+  /** Durable POINT READ: one entity's resolved step history, pruned to
+    * its `bucket=` partition directory when the store is bucketed — the
+    * probe never scans the rest of the run (the reference's
+    * entity-BTree lookup, store.py:107-108, as partition pruning).
+    */
+  def entityTrajectoryDurable(metas: Seq[ComponentMeta], dir: String,
+      entityId: Long): DataFrame = {
+    val hash = Archetype.hashOf(metas)
+    val m = readManifest(dir, hash).getOrElse(
+      sys.error(s"entityTrajectoryDurable: no manifest at $dir/$hash"))
+    require(m.buckets == bucketCount,
+      s"entityTrajectoryDurable: bucket layout ${m.buckets} != store's $bucketCount")
+    val base = liveDurable(dir, hash, metas, m)
+    val scoped = entityBuckets match {
+      case Some(b) => base.filter(col("bucket") === entityId % b)
+      case None => base
+    }
+    latestWins(scoped.filter(col("entity_id") === entityId)
+      .drop("commit").drop("bucket"))
   }
 
   /** Remove data unreachable from the CURRENT manifest: commit dirs
@@ -569,6 +629,10 @@ final class ArchetypeStore(
       case None => readManifest(dir, hash).getOrElse(
         sys.error(s"attachDurable: no manifest at $dir/$hash — nothing committed"))
     }
+    require(m.buckets == bucketCount,
+      s"attachDurable: durable dir has bucket layout ${m.buckets}, this " +
+        s"store expects $bucketCount — construct the store with " +
+        s"entityBuckets matching the manifest")
     val schema = withVersion(Archetype.schemaOf(Archetype.signature(metas)))
     tables(hash) = liveDurable(dir, hash, metas, m)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

@@ -447,6 +447,45 @@ class EcsSpec extends SparkSpec {
     assert(ex.getMessage.contains("another component to keep"))
   }
 
+  test("durable entity bucketing: point trajectory reads only its bucket") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = new ArchetypeStore(spark, "sim_test", "run_bkt",
+      entityBuckets = Some(8))
+    store.ensureTable(PosVel)
+    def frame(step: Long) = spark.range(100).select(
+      col("id").as("entity_id"),
+      (col("id") * 2 + step).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      lit(1.0).as("velocity__vx"), lit(0.0).as("velocity__vy"))
+    store.spawnBatch(PosVel, frame(0), 0L)
+    store.spawnBatch(PosVel, frame(1), 1L)
+    store.commitDelta(tmp)
+    val traj = store.entityTrajectoryDurable(PosVel, tmp, 5L)
+    // the probe is a partition filter on bucket, not a data filter
+    val plan = traj.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("bucket#"),
+      s"expected bucket partition pruning in:\n${plan.take(1500)}")
+    // strongest form: corrupt every parquet file OUTSIDE bucket=5 —
+    // a pruned read must never open them
+    Files.walk(Paths.get(tmp)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("bucket=5"))
+      .foreach(p => Files.write(p, "not parquet".getBytes))
+    val rows = store.entityTrajectoryDurable(PosVel, tmp, 5L)
+      .select(col("step"), col("position__x"))
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((0L, 10.0), (1L, 11.0)),
+      s"bucketed point read wrong/scanned other buckets: $rows")
+    // layout is part of the contract: an unbucketed store cannot attach
+    val plain = new ArchetypeStore(spark, "sim_test", "run_bkt")
+    val e = intercept[IllegalArgumentException](
+      plain.attachDurable(PosVel, tmp))
+    assert(e.getMessage.contains("bucket layout"))
+  }
+
   test("processor DAG: archetype-disjoint processors share a stage, conflicting split") {
     val world = World.make(spark, "sim_test", "run_dag")
     world.spawn(Position(0.0, 0.0), Velocity(1.0, 0.0))
