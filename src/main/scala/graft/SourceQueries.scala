@@ -306,6 +306,42 @@ object SourceQueries {
       | SELECT unnest(['snappy', 'zstd']) AS codec)
       |GROUP BY codec, l_returnflag ORDER BY codec, l_returnflag""".stripMargin
 
+  // H9 — small-file COMPACTION: the table-maintenance op every
+  // 100 TB lake runs continuously (ingest dribbles small files; scans
+  // die by a thousand file-opens). 64 small files bin-pack into 4 via
+  // repartitionByRange on the scan key — range clustering keeps
+  // parquet min/max stats selective after compaction, unlike a plain
+  // round-robin coalesce. Both file counts are measured and emitted
+  // as columns, so the oracle's constants (64, 4) make a layout
+  // regression a CORRECTNESS failure; content equality rides the
+  // usual aggregate replay.
+  private def srcCompactSmallFiles(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .repartition(64) // the dribble: 64 tiny files
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    val before = s.read.parquet(s"$tmp/small")
+    val nBefore = before.inputFiles.length.toLong
+    before.repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/compact")
+    val compacted = s.read.parquet(s"$tmp/compact")
+    val nAfter = compacted.inputFiles.length.toLong
+    compacted
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .withColumn("n_files_before", lit(nBefore))
+      .withColumn("n_files_after", lit(nAfter))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val srcCompactSmallFilesSql =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+      | CAST(64 AS BIGINT) AS n_files_before, CAST(4 AS BIGINT) AS n_files_after
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_codec_roundtrip" -> (srcCodecRoundtrip _),
     "src_dynamic_overwrite" -> (srcDynamicOverwrite _),
@@ -314,7 +350,8 @@ object SourceQueries {
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_partitioned_write" -> (srcPartitionedWrite _),
     "src_zorder_layout" -> (srcZorderLayout _),
-    "src_schema_evolution" -> (srcSchemaEvolution _))
+    "src_schema_evolution" -> (srcSchemaEvolution _),
+    "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
     "src_codec_roundtrip" -> srcCodecRoundtripSql,
@@ -324,5 +361,6 @@ object SourceQueries {
     "src_orc_roundtrip" -> srcOrcRoundtripSql,
     "src_partitioned_write" -> srcPartitionedWriteSql,
     "src_zorder_layout" -> srcZorderLayoutSql,
-    "src_schema_evolution" -> srcSchemaEvolutionSql)
+    "src_schema_evolution" -> srcSchemaEvolutionSql,
+    "src_compact_small_files" -> srcCompactSmallFilesSql)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Row/state types for the stateful sessionizer (top-level for
   * Encoder derivation).
@@ -134,6 +134,63 @@ object StreamQueries {
       |)
       |SELECT user_id, event_type, event_id, ts_us FROM walk WHERE kept
       |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin
+
+  /** G16 rows: per-user running value stats. */
+  final case class TwsEvent(user_id: Long, value: Double)
+  final case class TwsSummary(user_id: Long, n: Long, total: Double,
+      vmin: Double, vmax: Double)
+
+  /** Streaming transform (G16): per-key running stats through Spark
+    * 4's `transformWithState` — the arbitrary-state API that succeeds
+    * mapGroupsWithState: explicit named state variables on the
+    * handle (here one ValueState), timer support, TTL, and a
+    * RocksDB-only runtime (the state never has to fit in heap). Each
+    * batch folds its rows into the per-user summary and emits the
+    * refreshed row — same O(touched keys) contract as the G4 ingest.
+    */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, TwsEvent, TwsSummary] {
+    @transient private var state: ValueState[TwsSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsSummary]("stats",
+        org.apache.spark.sql.Encoders.product[TwsSummary], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        timers: TimerValues): Iterator[TwsSummary] = {
+      var s =
+        if (state.exists()) state.get()
+        else TwsSummary(key, 0L, 0.0, Double.MaxValue, Double.MinValue)
+      rows.foreach { e =>
+        s = TwsSummary(key, s.n + 1, s.total + e.value,
+          math.min(s.vmin, e.value), math.max(s.vmax, e.value))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  def twsRunningStats(events: Dataset[TwsEvent]): Dataset[TwsSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  // G16 batch equivalent — the same running stats as one hash agg.
+  private def streamTws(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"),
+        round(min(col("value")), 2).as("vmin"),
+        round(max(col("value")), 2).as("vmax"))
+      .orderBy(col("user_id"))
+
+  private val streamTwsSql =
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total,
+      | round(min(value), 2) AS vmin, round(max(value), 2) AS vmax
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // G2 batch equivalent — deterministic "first" via window rank
   // (batch dropDuplicates keeps an arbitrary row; the streaming path
@@ -696,7 +753,8 @@ object StreamQueries {
     "stream_session_window" -> (streamSessionWindow _),
     "stream_topk" -> (streamTopk _),
     "stream_exactly_once" -> (streamExactlyOnce _),
-    "stream_dedup_watermark" -> (streamDedupWatermark _))
+    "stream_dedup_watermark" -> (streamDedupWatermark _),
+    "stream_tws" -> (streamTws _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -713,5 +771,6 @@ object StreamQueries {
     "stream_session_window" -> streamSessionWindowSql,
     "stream_topk" -> streamTopkSql,
     "stream_exactly_once" -> streamExactlyOnceSql,
-    "stream_dedup_watermark" -> streamDedupWatermarkSql)
+    "stream_dedup_watermark" -> streamDedupWatermarkSql,
+    "stream_tws" -> streamTwsSql)
 }

@@ -257,6 +257,59 @@ object TextQueries {
       |FROM docw JOIN w$BpeMerges USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // E15 — HASH-TRICK FEATURE VECTORIZER (the "hashing vectorizer" of
+  // scikit/Vowpal lineage): tokens map to a fixed 64-bucket feature
+  // space through the repo's portable polynomial hash (base 31 mod
+  // 1e9+7 — the same family the MinHash/SimHash oracles replay), so
+  // the featurization needs no vocabulary, no fit pass, and no
+  // driver state — the property that makes it THE text featurizer at
+  // 100 TB. Per doc: bucket counts → nnz, total, argmax bucket
+  // (ties to the lowest bucket via struct ordering), exact-integer
+  // L2 norm. One explode + two hash aggs; fully oracle-replayed.
+  private def textHashFeatures(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 64
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % buckets)
+    tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("c")).as("n_tokens"),
+        min(struct((-col("c")).as("nc"), col("bucket").as("b"))).as("top"),
+        round(sqrt(sum(col("c") * col("c")).cast("double")), 4).as("l2"))
+      .select(col("doc_id"), col("nnz"), col("n_tokens"),
+        col("top.b").as("top_bucket"), (-col("top.nc")).as("top_count"),
+        col("l2"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textHashFeaturesSql =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id,
+      |   list_reduce(
+      |     list_prepend(7::BIGINT, list_transform(generate_series(1, length(tok)),
+      |       i -> ascii(substring(tok, i, 1))::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket
+      | FROM tok),
+      |bc AS (
+      | SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+      | FROM b GROUP BY doc_id, bucket)
+      |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tokens,
+      | min({'nc': -c, 'b': bucket}).b AS top_bucket,
+      | CAST(-(min({'nc': -c, 'b': bucket}).nc) AS BIGINT) AS top_count,
+      | round(sqrt(CAST(sum(c * c) AS DOUBLE)), 4) AS l2
+      |FROM bc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // E14 — PER-LANGUAGE BPE: E6's language decision keys one vocabulary
   // per language (the reason a corpus-level language ID exists in a
   // tokenizer pipeline). Each language's merges train ONLY on word
@@ -701,6 +754,7 @@ object TextQueries {
     "text_bpe" -> (textBpe _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_perlang" -> (textBpePerLang _),
+    "text_hash_features" -> (textHashFeatures _),
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -716,5 +770,6 @@ object TextQueries {
     "text_bpe" -> textBpeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_perlang" -> textBpePerLangSql,
+    "text_hash_features" -> textHashFeaturesSql,
     "text_pii_scrub" -> textPiiScrubSql)
 }

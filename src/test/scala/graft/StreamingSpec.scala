@@ -551,6 +551,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_tws: transformWithState running stats across micro-batches == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState runs only on the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[StreamQueries.TwsEvent]
+    val all = sampleEvents(300).map(e => StreamQueries.TwsEvent(e.user_id, e.value))
+    val (first, second) = all.splitAt(all.length / 2)
+    val q = StreamQueries.twsRunningStats(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_out").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      // last emission per user is the full running summary
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n").desc)
+      val streamed = spark.table("tws_out")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n"), round(col("total"), 2).as("total"),
+          round(col("vmin"), 2).as("vmin"), round(col("vmax"), 2).as("vmax"))
+        .orderBy("user_id").collect().toSeq
+      val batch = all.toDS().groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+          round(min(col("value")), 2).as("vmin"),
+          round(max(col("value")), 2).as("vmax"))
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batch,
+        "transformWithState running stats must equal the batch aggregate")
+      assert(streamed.nonEmpty)
+      // per-batch work = touched keys, not total state
+      val op = q.lastProgress.stateOperators.head
+      assert(op.numRowsUpdated == second.map(_.user_id).distinct.size.toLong)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_dedup: streaming keeps first arrival per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
