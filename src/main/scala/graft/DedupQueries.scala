@@ -210,7 +210,7 @@ object DedupQueries {
   // (graft.functions.GramCodeArrayExpr) and the per-pair step is a
   // codegen'd sorted merge — no per-pair string hash sets; Jaccard
   // values are exactly the string-gram values.
-  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val gramCodes = GraftBridge.column(
       graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))

@@ -333,7 +333,80 @@ object PipelineQueries {
       | round(avg(difficulty), 4) AS avg_len
       |FROM r GROUP BY phase ORDER BY phase""".stripMargin
 
+  // J8 — PAGERANK over the near-dup graph (C4's jaccard >= 0.7 edges,
+  // both directions): link analysis picks the CANONICAL document of a
+  // duplicate neighborhood (the one most "endorsed" by its near-dups)
+  // — the selection signal dedup clustering alone doesn't give. Three
+  // fixed iterations of FIXED-POINT PageRank (damping 0.85, ranks as
+  // integers scaled 1e6, contributions by integer division): every
+  // operation is exact integer arithmetic, so the distributed sums
+  // are order-independent and the oracle replays all three rounds
+  // bit-for-bit — the standard float PageRank would be
+  // summation-order nondeterministic across partitions. Dangling
+  // docs (no near-dups) keep the damping floor. Per iteration: one
+  // broadcast-join of ranks to edges + one hash agg — the
+  // power-iteration shape that scales to billions of edges.
+  private def pipelinePagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.dedupNgramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true) // 3 iterations re-read the edges
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src"))
+    val ids = docs(s, dir).select(col("doc_id"))
+    var rank = ids.select(col("doc_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = withDeg
+        .join(rank.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      rank = ids.join(contrib, ids("doc_id") === contrib("dst"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) DIV 100")).as("r"))
+    }
+    rank.select(col("doc_id"), col("r").as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelinePagerankSql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         | SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS in_sum
+         | FROM e JOIN d ON d.src = e.src JOIN r${k - 1} r ON r.doc_id = e.src
+         | GROUP BY e.dst
+         |),
+         |r$k AS (
+         | SELECT doc.doc_id,
+         |   CAST(150000 + (85 * coalesce(c.in_sum, 0)) // 100 AS BIGINT) AS r
+         | FROM documents doc LEFT JOIN c$k c ON c.dst = doc.doc_id
+         |)""".stripMargin
+    s"""WITH g AS (
+       | SELECT doc_id, list_distinct(list_transform(
+       |   generate_series(1, greatest(length(text) - 2, 1)),
+       |   i -> ascii(substring(text, i, 1)) * 17161
+       |      + ascii(substring(text, i + 1, 1)) * 131
+       |      + ascii(substring(text, i + 2, 1)))) AS gr
+       | FROM documents
+       |), p AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+       | WHERE round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+       |       len(list_distinct(list_concat(a.gr, b.gr))), 4) >= 0.7
+       |), e AS (
+       | SELECT id_a AS src, id_b AS dst FROM p
+       | UNION ALL SELECT id_b, id_a FROM p
+       |), d AS (
+       | SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), r0 AS (
+       | SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents
+       |), ${(1 to 3).map(round).mkString(",\n")}
+       |SELECT doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pagerank" -> (pipelinePagerank _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_neardup_select" -> (pipelineNeardupSelect _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
@@ -343,6 +416,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pagerank" -> pipelinePagerankSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_neardup_select" -> pipelineNeardupSelectSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,

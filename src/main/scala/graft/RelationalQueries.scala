@@ -1264,8 +1264,108 @@ object RelationalQueries {
       | count(*) AS n, true AS gk_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q53 — time-series GAP FILL with linear interpolation: the
+  // resample step every sensor/metric pipeline runs before modeling
+  // (q51's date spine densifies; this INTERPOLATES). A fixed 6-hour
+  // grid (first 120 buckets of the span, epoch-aligned by integer
+  // arithmetic — the microsecond epoch overflows double precision,
+  // so DIV, not ceil) unions with each sampled user's events; the
+  // surrounding observations come from two frame-bounded ignoreNulls
+  // window lookups (last over preceding, first over following — the
+  // as-of-both-directions shape as ONE sort per user instead of two
+  // joins), then per-row lerp. Grid points before the first / after
+  // the last observation clamp to the nearest one; an event exactly
+  // on a grid point wins both lookups and the lerp degenerates to
+  // its value. Events are pre-deduped per (user, ts) with min() so
+  // the window ordering is total — no tie nondeterminism.
+  private def q53Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val sixH = 21600000000L
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(min(col("value")).as("value"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    val grid = bounds.select(explode(expr(
+      s"""sequence(((lo + ${sixH - 1}L) DIV ${sixH}L) * ${sixH}L,
+         | least(hi, ((lo + ${sixH - 1}L) DIV ${sixH}L) * ${sixH}L + ${119 * sixH}L),
+         | ${sixH}L)""".stripMargin)).as("ts_us"))
+    val gridPts = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(grid))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("is_grid", lit(1))
+    val all = ev.withColumn("is_grid", lit(0)).unionByName(gridPts)
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_grid"))
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    all
+      .withColumn("pv", last(col("value"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("value").isNotNull, col("ts_us")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("value"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("value").isNotNull, col("ts_us")), ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("ts_us"),
+        round(
+          when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nt") === col("pt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("ts_us") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double"))), 4).as("interp"))
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
+  private val q53Sql =
+    """WITH ev AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, min(value) AS value
+      | FROM events WHERE user_id % 50 = 0
+      | GROUP BY user_id, epoch_us(ts)
+      |), b AS (
+      | SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev
+      |), grid AS (
+      | SELECT unnest(generate_series(
+      |   ((lo + 21599999999) // 21600000000) * 21600000000,
+      |   least(hi, ((lo + 21599999999) // 21600000000) * 21600000000
+      |     + 119 * 21600000000),
+      |   21600000000)) AS ts_us
+      | FROM b
+      |), gp AS (
+      | SELECT u.user_id, g.ts_us, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+      | FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN grid g
+      |), allr AS (
+      | SELECT user_id, ts_us, value, 0 AS is_grid FROM ev
+      | UNION ALL SELECT * FROM gp
+      |), w AS (
+      | SELECT user_id, ts_us, is_grid,
+      |  last_value(value IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, is_grid
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |  last_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, is_grid
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |  first_value(value IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, is_grid
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |  first_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, is_grid
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      | FROM allr
+      |)
+      |SELECT user_id, ts_us,
+      | round(CASE WHEN pv IS NULL THEN nv
+      |            WHEN nv IS NULL THEN pv
+      |            WHEN nt = pt THEN pv
+      |            ELSE pv + (nv - pv) *
+      |              (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END, 4)
+      |   AS interp
+      |FROM w WHERE is_grid = 1
+      |ORDER BY user_id, ts_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_approx_percentile" -> (q52ApproxPercentile _),
+    "q53_interpolate" -> (q53Interpolate _),
     "q51_date_spine" -> (q51DateSpine _),
     "q50_grouping_sets_id" -> (q50GroupingSets _),
     "q49_filter_agg" -> (q49FilterAgg _),
@@ -1320,6 +1420,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q52_approx_percentile" -> q52Sql,
+    "q53_interpolate" -> q53Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,
