@@ -1363,9 +1363,87 @@ object RelationalQueries {
       |FROM w WHERE is_grid = 1
       |ORDER BY user_id, ts_us""".stripMargin
 
+  // q54 — SCD TYPE-2 dimension build: turn a change log (per-customer
+  // order-priority changes, one change per day via arg-max-orderkey
+  // dedup) into versioned dimension rows with [valid_from, valid_to)
+  // ranges and an is_current flag — lead() over the change sequence,
+  // the warehouse-standard dimension-versioning op. One shuffle
+  // (window by customer); null valid_to marks the open version.
+  private def q54Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+      .select(col("o_custkey"), col("o_orderdate").as("valid_from"), col("prio"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+
+  private val q54Sql =
+    """WITH ch AS (
+      | SELECT o_custkey, o_orderdate, arg_max(o_orderpriority, o_orderkey) AS prio
+      | FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT o_custkey, o_orderdate AS valid_from, prio,
+      | lead(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+      |   AS valid_to,
+      | lead(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+      |   IS NULL AS is_current
+      |FROM ch ORDER BY o_custkey, valid_from""".stripMargin
+
+  // q55 — conversion FUNNEL through the native forward as-of with
+  // tolerance: every click attaches the user's EARLIEST purchase
+  // at-or-after it, null once the gap exceeds 24 h — exactly
+  // AsOfJoinExec(Forward, tolerance), the funnel primitive as one
+  // sort-merge pass instead of a window-deduped interval join. Output
+  // = per click-day conversion rates. DuckDB replays it as forward
+  // ASOF + a CASE on the gap (its ASOF has no tolerance).
+  private def q55Funnel(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoin.install(s)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(min(col("event_id")).as("p_event_id"))
+    val dayUs = 86400000000L
+    graft.plans.AsOfJoin.join(clicks, purchases,
+        "user_id", "ts", "p_user", "p_ts",
+        forward = true, tolerance = Some(dayUs))
+      .groupBy(col("ts").cast("date").as("click_day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("p_event_id")).as("n_converted"),
+        round(count(col("p_event_id")).cast("double") / count(lit(1)), 4)
+          .as("conv_rate"))
+      .orderBy(col("click_day"))
+  }
+
+  private val q55Sql =
+    """WITH c AS (
+      | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |), p AS (
+      | SELECT user_id AS p_user, ts AS p_ts, min(event_id) AS p_event_id
+      | FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      |), j AS (
+      | SELECT c.ts,
+      |   CASE WHEN pp.p_ts IS NOT NULL
+      |     AND epoch_us(pp.p_ts) - epoch_us(c.ts) <= 86400000000
+      |   THEN pp.p_event_id END AS p_event_id
+      | FROM c ASOF LEFT JOIN p pp
+      |   ON c.user_id = pp.p_user AND c.ts <= pp.p_ts
+      |)
+      |SELECT CAST(ts AS DATE) AS click_day, count(*) AS n_clicks,
+      | count(p_event_id) AS n_converted,
+      | round(CAST(count(p_event_id) AS DOUBLE) / count(*), 4) AS conv_rate
+      |FROM j GROUP BY 1 ORDER BY click_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_approx_percentile" -> (q52ApproxPercentile _),
     "q53_interpolate" -> (q53Interpolate _),
+    "q54_scd2" -> (q54Scd2 _),
+    "q55_funnel" -> (q55Funnel _),
     "q51_date_spine" -> (q51DateSpine _),
     "q50_grouping_sets_id" -> (q50GroupingSets _),
     "q49_filter_agg" -> (q49FilterAgg _),
@@ -1421,6 +1499,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q52_approx_percentile" -> q52Sql,
     "q53_interpolate" -> q53Sql,
+    "q54_scd2" -> q54Sql,
+    "q55_funnel" -> q55Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,

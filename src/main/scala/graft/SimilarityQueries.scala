@@ -443,7 +443,112 @@ object SimilarityQueries {
       | round(mn, 4) + 0 AS mn_r, round(mx, 4) + 0 AS mx_r
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // D11 — MMR DIVERSIFIED re-rank (Carbonell & Goldstein 1998): the
+  // step between retrieval and the context window — pick k=5 of the
+  // top-12 candidate pool maximizing 0.7·relevance − 0.3·max-sim-to-
+  // already-selected, greedily. The pool here is brute-force (at
+  // scale it's the ANN tier's output); candidate-candidate sims are a
+  // per-query 12×12 self-join, never corpus-wide. Determinism: both
+  // engines compute identical IEEE cosines (D1's proven parity), the
+  // greedy argmax ties on nid, and max() over doubles is
+  // order-independent — so all five rounds replay exactly in chained
+  // oracle CTEs.
+  private def knnMmr(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val wPool = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val pool = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("prn", row_number().over(wPool))
+      .filter(col("prn") <= 12)
+      .select(col("qid"), col("nid"), col("nv"), col("cos").as("rel"))
+      .localCheckpoint(eager = true) // five greedy rounds re-read the pool
+    val pairs = pool.select(col("qid"), col("nid").as("a"), col("nv").as("av"))
+      .join(pool.select(col("qid"), col("nid").as("b"), col("nv").as("bv")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        VectorOps.cosine(col("av"), col("bv")).as("sim"))
+      .localCheckpoint(eager = true)
+    val wPick = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    var selected = pool
+      .withColumn("score", col("rel"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), lit(1L).as("rank"), col("rel"))
+    for (r <- 2 to 5) {
+      val penalty = pairs
+        .join(selected.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("nid"))
+        .agg(max(col("sim")).as("pen"))
+      val pick = pool
+        .join(selected.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .join(penalty, Seq("qid", "nid"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("pen"))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), lit(r.toLong).as("rank"), col("rel"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select(col("qid"), col("rank"), col("nid"),
+        (round(col("rel"), 4) + lit(0.0)).as("rel"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val knnMmrSql: String = {
+    def round(r: Int) = {
+      val prev = s"sel${r - 1}"
+      s"""c$r AS (
+         | SELECT p.qid, p.nid, p.rel, max(pr.sim) AS pen
+         | FROM pool p
+         | JOIN pr ON pr.qid = p.qid AND pr.a = p.nid
+         | JOIN $prev sb ON sb.qid = pr.qid AND sb.nid = pr.b
+         | WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                   WHERE x.qid = p.qid AND x.nid = p.nid)
+         | GROUP BY p.qid, p.nid, p.rel
+         |),
+         |s$r AS (
+         | SELECT qid, nid, rel, CAST($r AS BIGINT) AS rank FROM (
+         |  SELECT qid, nid, rel, row_number() OVER
+         |    (PARTITION BY qid ORDER BY 0.7 * rel - 0.3 * pen DESC, nid) AS rk
+         |  FROM c$r) WHERE rk = 1
+         |),
+         |sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 5),
+       |pool AS (
+       | SELECT qid, nid, v, rel FROM (
+       |  SELECT qid, e.vec_id AS nid, e.v,
+       |    list_dot_product(qv, v) /
+       |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS rel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_dot_product(qv, v) /
+       |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |      e.vec_id) AS prn
+       |  FROM q JOIN e ON e.vec_id <> qid) WHERE prn <= 12
+       |),
+       |pr AS (
+       | SELECT a.qid, a.nid AS a, b.nid AS b,
+       |   list_dot_product(a.v, b.v) /
+       |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+       | FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid
+       |),
+       |sel1 AS (
+       | SELECT qid, nid, rel, CAST(1 AS BIGINT) AS rank FROM (
+       |  SELECT qid, nid, rel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+       |  FROM pool) WHERE rk = 1
+       |),
+       |${(2 to 5).map(round).mkString(",\n")}
+       |SELECT qid, rank, nid, round(rel, 4) + 0 AS rel
+       |FROM sel5 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_mmr" -> (knnMmr _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -456,6 +561,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_mmr" -> knnMmrSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
