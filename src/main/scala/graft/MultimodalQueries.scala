@@ -608,7 +608,71 @@ object MultimodalQueries {
       |GROUP BY d.doc_id, d.w, d.h
       |ORDER BY d.doc_id""".stripMargin
 
+  // F11 — VIDEO keyframe extraction: each doc's payload is a real
+  // GVID container (length-prefixed BMP frames — MediaCodec walks the
+  // container and runs the genuine BMP decoder per frame); frames are
+  // constant-color with a scene change every 2 frames, so keyframes
+  // (frame 0 + any frame whose luminance-sum moved vs its
+  // predecessor) are exactly the even frames — but the QUERY detects
+  // them from the DECODED pixels, so a container-walk or BMP-parse
+  // bug shifts the luminance sums and fails the closed-form oracle.
+  private def mmVideoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nf = (4 + id % 4).toInt
+          val w = (4 + id % 3).toInt
+          val h = (3 + id % 2).toInt
+          def color(f: Int) = (
+            ((id * 5 + 37 * (f / 2)) % 256).toInt,
+            ((id * 3 + 11 * (f / 2)) % 256).toInt,
+            ((id * 7 + 23 * (f / 2)) % 256).toInt)
+          val gvid = MediaCodec.encodeGvid((0 until nf).map { f =>
+            MediaCodec.encodeBmp24(w, h, Array.fill(w * h)(color(f)))
+          })
+          val frames = MediaCodec.decodeGvid(gvid) // real container walk + BMP parse
+          val lums = frames.map(fr =>
+            fr.pixels.foldLeft(0L)((a, p) => a + p._1 + p._2 + p._3) /
+              (fr.width * fr.height))
+          val key = lums.zipWithIndex.filter { case (l, i) =>
+            i == 0 || l != lums(i - 1) }.map(_._2)
+          MmVideoRow(id, nf.toLong, key.length.toLong,
+            key.last.toLong, key.map(i => lums(i)).sum)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
+        col("last_keyframe"), col("keyframe_lum_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmVideoKeyframesSql =
+    """WITH f AS (
+      | SELECT doc_id, 4 + doc_id % 4 AS nf,
+      |   unnest(generate_series(0, CAST(3 + doc_id % 4 AS BIGINT))) AS fi
+      | FROM documents
+      |), lum AS (
+      | SELECT doc_id, nf, fi,
+      |   (doc_id * 5 + 37 * (fi // 2)) % 256
+      |   + (doc_id * 3 + 11 * (fi // 2)) % 256
+      |   + (doc_id * 7 + 23 * (fi // 2)) % 256 AS l
+      | FROM f
+      |), keyed AS (
+      | SELECT doc_id, nf, fi, l,
+      |   CASE WHEN fi = 0 OR l <> lag(l) OVER
+      |     (PARTITION BY doc_id ORDER BY fi) THEN 1 ELSE 0 END AS is_key
+      | FROM lum
+      |)
+      |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+      | CAST(sum(is_key) AS BIGINT) AS n_keyframes,
+      | CAST(max(CASE WHEN is_key = 1 THEN fi END) AS BIGINT) AS last_keyframe,
+      | CAST(sum(CASE WHEN is_key = 1 THEN l END) AS BIGINT) AS keyframe_lum_sum
+      |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_keyframes" -> (mmVideoKeyframes _),
     "mm_phash_groups" -> (mmPhashGroups _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_image_phash" -> (mmImagePhash _),
@@ -630,7 +694,8 @@ object MultimodalQueries {
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_image_decode" -> mmImageDecodeSql,
     "mm_image_features" -> mmImageFeaturesSql,
-    "mm_png_decode" -> mmPngDecodeSql)
+    "mm_png_decode" -> mmPngDecodeSql,
+    "mm_video_keyframes" -> mmVideoKeyframesSql)
 }
 
 /** Output rows for the decode queries (top-level for Encoders). */
@@ -647,3 +712,5 @@ case class MmImagePhashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
 case class MmAudioFpRow(doc_id: Long, n_frames: Long, fp: Long, n_bits: Long)
 case class MmPngRow(doc_id: Long, width: Long, height: Long, channels: Long,
   mean_r: Double, mean_a: Double)
+case class MmVideoRow(doc_id: Long, n_frames: Long, n_keyframes: Long,
+  last_keyframe: Long, keyframe_lum_sum: Long)

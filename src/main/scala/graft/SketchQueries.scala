@@ -202,7 +202,46 @@ object SketchQueries {
       | true AS a_ok, true AS b_ok, true AS union_ok, true AS inter_ok
       |FROM s""".stripMargin
 
+  // I7 — SLIDING-WINDOW distinct users (24 h windows sliding by 6 h):
+  // each event explodes into the 4 windows covering it — the standard
+  // distributed sliding-window shape (row duplication × window/slide,
+  // ONE shuffle on window start; a self-join of 4 bucket frames would
+  // shuffle 4×) — then per window the exact distinct rides beside the
+  // HLL estimate's 5% bound boolean, I1-style. At 100 TB the HLL is
+  // the point: per window the shuffle carries 4096 registers, not the
+  // user set.
+  private def sketchHllRolling(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sixH = 21600000000L
+    Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts").cast("timestamp")).cast("long") / sixH).cast("long")
+          .as("bucket"))
+      .select(col("user_id"),
+        explode(expr("sequence(bucket - 3, bucket)")).as("win_start"))
+      .createOrReplaceTempView("graft_hll_rolling")
+    s.sql(
+      """SELECT win_start,
+        | count(DISTINCT user_id) AS exact_users,
+        | abs(graft_hll(user_id, 12) - count(DISTINCT user_id))
+        |   <= count(DISTINCT user_id) * 0.05 AS hll_within_5pct
+        |FROM graft_hll_rolling
+        |GROUP BY win_start ORDER BY win_start""".stripMargin)
+  }
+
+  private val sketchHllRollingSql =
+    """WITH b AS (
+      | SELECT user_id, epoch_us(ts) // 21600000000 AS bucket FROM events
+      |), w AS (
+      | SELECT user_id, unnest(generate_series(bucket - 3, bucket)) AS win_start
+      | FROM b
+      |)
+      |SELECT win_start, count(DISTINCT user_id) AS exact_users,
+      | true AS hll_within_5pct
+      |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_rolling" -> (sketchHllRolling _),
     "sketch_set_ops" -> (sketchSetOps _),
     "sketch_topk_tokens" -> (sketchTopkTokens _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
@@ -211,6 +250,7 @@ object SketchQueries {
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_rolling" -> sketchHllRollingSql,
     "sketch_set_ops" -> sketchSetOpsSql,
     "sketch_topk_tokens" -> sketchTopkTokensSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,

@@ -738,6 +738,43 @@ object StreamQueries {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Explicit schema for the file-drop ingest (file stream sources
+    * must never infer — a torn half-written file would poison the
+    * inferred schema).
+    */
+  val FileIngestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  // G17 — FILE-SOURCE ingest (batch equivalent): events land as two
+  // JSON "drops" in one directory — the batch-file-drop pattern every
+  // lake ingest starts from — then aggregate per type off the files.
+  // The REAL incremental path is in StreamingSpec: readStream over
+  // the same directory with Trigger.AvailableNow (drain everything
+  // available, checkpoint, terminate — the production
+  // incremental-batch shape), resuming from the checkpoint picks up
+  // only newly landed files.
+  private def streamFileIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fileingest_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").json(tmp)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").json(tmp)
+    s.read.schema(FileIngestSchema).json(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamFileIngestSql =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
@@ -754,7 +791,8 @@ object StreamQueries {
     "stream_topk" -> (streamTopk _),
     "stream_exactly_once" -> (streamExactlyOnce _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
-    "stream_tws" -> (streamTws _))
+    "stream_tws" -> (streamTws _),
+    "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
@@ -772,5 +810,6 @@ object StreamQueries {
     "stream_topk" -> streamTopkSql,
     "stream_exactly_once" -> streamExactlyOnceSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
-    "stream_tws" -> streamTwsSql)
+    "stream_tws" -> streamTwsSql,
+    "stream_file_ingest" -> streamFileIngestSql)
 }

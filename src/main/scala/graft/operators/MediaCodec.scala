@@ -169,6 +169,42 @@ object MediaCodec {
     }
 
   // ------------------------------------------------------------------
+  // GVID — a minimal length-prefixed video container over BMP frames
+  // (magic + frame count + per-frame [u32 length | BMP payload]):
+  // the frame-extraction path of the multimodal tier with REAL
+  // per-frame image decoding. Real video codecs (H.264…) need native
+  // libs; the container walk + per-frame decode IS the distributed
+  // shape a keyframe pipeline runs.
+  // ------------------------------------------------------------------
+
+  /** Encode frames (each as a standard BMP) into a GVID container. */
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 6 + frames.map(4 + _.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")).putShort(frames.length.toShort)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Decode a GVID container to its BMP frames. Throws on malformed
+    * input (bad magic, truncated frame, non-BMP payload).
+    */
+  def decodeGvid(bytes: Array[Byte]): Seq[BmpData] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+    val n = bb.getShort().toInt
+    require(n >= 0, s"negative frame count $n")
+    (0 until n).map { i =>
+      require(bb.remaining() >= 4, s"truncated header of frame $i")
+      val len = bb.getInt
+      require(len > 0 && bb.remaining() >= len, s"truncated frame $i")
+      val f = new Array[Byte](len); bb.get(f)
+      decodeBmp(f)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // PNG (RFC 2083): 8-bit truecolor (RGB) / truecolor+alpha, zlib
   // (Inflater/Deflater) IDAT, per-scanline filters 0-4 — the first
   // COMPRESSED format in the tier, still decodable with nothing but

@@ -94,6 +94,19 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(d.hasAlpha && d.pixels.toSeq == px.toSeq && d.alpha.toSeq == a.toSeq)
   }
 
+  test("GVID: container roundtrip decodes every frame; malformed fails") {
+    val frames = (0 until 3).map(f =>
+      MediaCodec.encodeBmp24(2, 2, Array.fill(4)((f * 10, f * 20, f * 30))))
+    val d = MediaCodec.decodeGvid(MediaCodec.encodeGvid(frames))
+    assert(d.length == 3)
+    assert(d(1).pixels.forall(_ == (10, 20, 30)))
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeGvid("AVI?xxxx".getBytes))
+    val good = MediaCodec.encodeGvid(frames)
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeGvid(good.take(good.length - 10)))
+  }
+
   test("PNG: malformed input fails loudly") {
     val good = MediaCodec.encodePng(3, 3,
       Array.fill(9)((1, 2, 3)), filterOf = _ => 0)

@@ -551,6 +551,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_file_ingest: AvailableNow drains drops, terminates, resumes incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ck = s"$tmp/_checkpoint"
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id").limit(400)
+    def runOnce(name: String): Unit = {
+      val q = spark.readStream.schema(StreamQueries.FileIngestSchema)
+        .json(s"$tmp/data")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ck)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // AvailableNow processes everything present, then STOPS on its own
+      assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    }
+    def expected(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("event_type").collect().toSeq
+    // drop 1 → first incremental run sees only it
+    ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").json(s"$tmp/data")
+    runOnce("fs_out1")
+    assert(spark.table("fs_out1").orderBy("event_type").collect().toSeq ==
+      expected(ev.filter(col("event_id") % 2 === 0)))
+    // drop 2 lands; resuming from the checkpoint ingests ONLY new files
+    // but the complete-mode aggregate now covers both drops
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").json(s"$tmp/data")
+    runOnce("fs_out2")
+    assert(spark.table("fs_out2").orderBy("event_type").collect().toSeq ==
+      expected(ev))
+  }
+
   test("stream_tws: transformWithState running stats across micro-batches == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
