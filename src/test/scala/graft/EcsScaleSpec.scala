@@ -65,4 +65,53 @@ class EcsScaleSpec extends SparkSpec {
     assert(secs.max < 120.0,
       f"a 1M-entity step took ${secs.max}%.1f s — compaction is not holding")
   }
+
+  test("100k entities: flocking step (grid broad phase) inside the world cycle") {
+    // a 100k-entity neighbor-coupled step: the spatial-grid candidate
+    // join must stay O(points + near pairs) inside the step cycle.
+    // Entities sit on a 100-spaced lattice (radius 30 → all isolated)
+    // except every id ≡ 1 (mod 1000), which sits 10 RIGHT of entity
+    // id-1's lattice point — exactly n/1000 coupled pairs with a
+    // closed-form steer: left partner vx 2→4.5 (cohesion +0.25·10),
+    // right partner vx 2→-0.5, everyone else keeps vx=2 and moves
+    // +1.0 in x. Any broad-phase miss or phantom pair breaks a count.
+    val n = 100000L
+    val world = World.make(spark, "sim_scale_flock", "run_flock",
+      optimizeInterval = 0)
+    world.addProcessor(EcsQueries.FlockingProcessor(30.0))
+    val latticeId = expr("CASE WHEN id % 1000 = 1 THEN id - 1 ELSE id END")
+    val seed = spark.range(n).select(
+      col("id").as("entity_id"),
+      ((latticeId / 320).cast("long") * 100 +
+        when(col("id") % 1000 === 1, 10).otherwise(0)).cast("double")
+        .as("position__x"),
+      ((latticeId % 320) * 100).cast("double").as("position__y"),
+      lit(2.0).as("velocity__vx"), lit(0.0).as("velocity__vy"))
+    world.spawnBatch(PosVel, seed)
+    val t0 = System.nanoTime()
+    world.step(0.5)
+    val state = world.query(PosVel).values.head
+      .select(col("entity_id"), col("position__x"), col("position__y"),
+        col("velocity__vx"), col("velocity__vy"))
+      .localCheckpoint(true)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"100k flocking step: $sec%.1f s")
+    assert(state.count() == n)
+    val nPairs = n / 1000
+    assert(state.filter(col("velocity__vx") === 4.5).count() == nPairs,
+      "every left partner must steer to vx=4.5")
+    assert(state.filter(col("velocity__vx") === -0.5).count() == nPairs,
+      "every right partner must steer to vx=-0.5")
+    assert(state.filter(col("velocity__vx") === 2.0).count() == n - 2 * nPairs,
+      "isolated entities must keep vx=2.0 (no phantom pairs)")
+    // y never changes (partners share y; vy stays 0)
+    assert(state.filter(col("velocity__vy") =!= 0.0).count() == 0L)
+    // isolated closed form: x' = lattice x + vx·dt = x0 + 1.0
+    val movedWrong = state.filter(col("velocity__vx") === 2.0 &&
+      col("position__x") =!=
+        (expr("CASE WHEN entity_id % 1000 = 1 THEN entity_id - 1 ELSE entity_id END DIV 320")
+          * 100).cast("double") + 1.0).count()
+    assert(movedWrong == 0L, s"$movedWrong isolated entities moved wrong")
+    assert(sec < 120.0, f"flocking step took $sec%.1f s")
+  }
 }
