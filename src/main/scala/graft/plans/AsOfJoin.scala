@@ -163,30 +163,48 @@ case class AsOfJoinExec(
     case _ => None
   }
 
-  /** The single-long-key, long-backed-time shape that both the fast
-    * interpreted merge and the generated merge specialize to.
+  /** The single-long-key, long-backed-time shape the fast interpreted
+    * merge specializes to.
     */
   private lazy val primitivePath: Boolean = leftKeys.length == 1 &&
     longGetter(leftKeys.head.dataType).isDefined &&
     longGetter(leftTime.dataType).isDefined
 
+  /** Key types the GENERATED merge can hold as class-level cached
+    * state and compare with `ctx.genComp`: fixed-width long-backed
+    * types plus string/double/float/boolean. (Strings cache as cloned
+    * UTF8Strings — the sorter reuses its row buffer.)
+    */
+  private def codegenKeyType(dt: DataType): Boolean = dt match {
+    case _ if longGetter(dt).isDefined => true
+    case StringType | DoubleType | FloatType | BooleanType => true
+    case _ => false
+  }
+
   // ------------------------------------------------------------------
-  // Whole-stage codegen (primitive path): the merge loop is generated
-  // into the surrounding stage like SortMergeJoinExec — left rows
-  // stream through the fused pipeline, the blocked right head and the
-  // last consumed match live as class-level state, and output columns
-  // flow to the parent as vars (no per-row UnsafeProjection
+  // Whole-stage codegen: the merge loop is generated into the
+  // surrounding stage like SortMergeJoinExec — left rows stream
+  // through the fused pipeline, the blocked right head's key/time and
+  // the last consumed match live as class-level state, and output
+  // columns flow to the parent as vars (no per-row UnsafeProjection
   // materialization, no iterator hop into the downstream operator).
-  // Composite keys / non-long-backed types keep the interpreted
-  // doExecute below (supportCodegen=false → Spark plans the children
-  // as their own codegen stages, exactly the pre-codegen behavior).
+  // Covers any key list of codegen-safe types (single long key is
+  // just the one-field case; composite/string keys compare through
+  // per-type ctx.genComp chains) with a long-backed time. Other
+  // orderable types (decimal, arrays…) keep the interpreted doExecute
+  // below (supportCodegen=false → Spark plans the children as their
+  // own codegen stages, exactly the pre-codegen behavior).
   // ------------------------------------------------------------------
+
+  private lazy val codegenPath: Boolean =
+    longGetter(leftTime.dataType).isDefined &&
+      leftKeys.forall(k => codegenKeyType(k.dataType))
 
   // GRAFT_ASOF_INTERPRETED disables only this operator's codegen —
   // the measured A/B hook (spark.sql.codegen.wholeStage would turn
   // off every operator's, which isn't the comparison that matters)
   override def supportCodegen: Boolean =
-    primitivePath && !sys.env.contains("GRAFT_ASOF_INTERPRETED")
+    codegenPath && !sys.env.contains("GRAFT_ASOF_INTERPRETED")
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     left.execute() :: right.execute() :: Nil
@@ -196,37 +214,53 @@ case class AsOfJoinExec(
   override def needCopyResult: Boolean = true
 
   override protected def doProduce(ctx: CodegenContext): String = {
+    val keyDts = leftKeys.map(_.dataType)
     val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
       v => s"$v = inputs[0];")
     val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
       v => s"$v = inputs[1];")
-    // blocked right head + its cached key/time (valid while headRow != null)
+    // blocked right head + its cached keys/time (valid while headRow != null)
     val headRow = ctx.addMutableState("InternalRow", "asofHeadRow")
-    val hk = ctx.addMutableState("long", "asofHeadKey")
+    val hk = keyDts.map(dt =>
+      ctx.addMutableState(CodeGenerator.javaType(dt), "asofHeadKey"))
     val ht = ctx.addMutableState("long", "asofHeadTime")
     // last consumed right row (copied — the sorter reuses its buffer)
     val lastMatch = ctx.addMutableState("InternalRow", "asofLastMatch")
-    val matchKey = ctx.addMutableState("long", "asofMatchKey")
+    val matchKey = keyDts.map(dt =>
+      ctx.addMutableState(CodeGenerator.javaType(dt), "asofMatchKey"))
     val matchTime = ctx.addMutableState("long", "asofMatchTime")
     val haveMatch = ctx.addMutableState("boolean", "asofHaveMatch")
 
-    // headReady(): pull right rows until one with non-null key+time
+    // a cached key must not alias the sorter's reused row buffer
+    def retained(dt: DataType, v: String): String = dt match {
+      case StringType => s"$v.clone()"
+      case _ => v
+    }
+    def keysEqual(as: Seq[String], bs: Seq[String]): String =
+      keyDts.indices.map(i =>
+        s"(${ctx.genComp(keyDts(i), as(i), bs(i))} == 0)").mkString(" && ")
+
+    // headReady(): pull right rows until one with non-null keys+time
     // blocks; safe to hold the sorter's row uncopied because next() is
     // never called while a head is blocked
     val rRow = ctx.freshName("rightRow")
     ctx.INPUT_ROW = rRow
     ctx.currentVars = null
-    val rKeyEv = BindReferences.bindReference(rightKeys.head, right.output).genCode(ctx)
+    val rKeyEvs = rightKeys.map(k =>
+      BindReferences.bindReference(k, right.output).genCode(ctx))
     val rTimeEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val rNotNull = (rKeyEvs :+ rTimeEv).map(e => s"!(${e.isNull})").mkString(" && ")
     val headReady = ctx.addNewFunction("asofHeadReady",
       s"""
          |private boolean asofHeadReady() {
          |  while ($headRow == null && $rightInput.hasNext()) {
          |    InternalRow $rRow = (InternalRow) $rightInput.next();
-         |    ${rKeyEv.code}
+         |    ${rKeyEvs.map(_.code.toString).mkString("\n")}
          |    ${rTimeEv.code}
-         |    if (!(${rKeyEv.isNull}) && !(${rTimeEv.isNull})) {
-         |      $hk = (long) ${rKeyEv.value};
+         |    if ($rNotNull) {
+         |      ${keyDts.indices.map(i =>
+                  s"${hk(i)} = ${retained(keyDts(i), rKeyEvs(i).value.toString)};")
+                  .mkString("\n      ")}
          |      $ht = (long) ${rTimeEv.value};
          |      $headRow = $rRow;
          |    }
@@ -238,14 +272,17 @@ case class AsOfJoinExec(
     val lRow = ctx.freshName("leftRow")
     ctx.INPUT_ROW = lRow
     ctx.currentVars = null
-    val lKeyEv = BindReferences.bindReference(leftKeys.head, left.output).genCode(ctx)
+    val lKeyEvs = leftKeys.map(k =>
+      BindReferences.bindReference(k, left.output).genCode(ctx))
     val lTimeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
-    val k = ctx.freshName("leftKey")
+    val lNotNull = (lKeyEvs :+ lTimeEv).map(e => s"!(${e.isNull})").mkString(" && ")
+    val k = keyDts.map(_ => ctx.freshName("leftKey"))
     val t = ctx.freshName("leftTime")
     val matched = ctx.freshName("matched")
     val back = ctx.freshName("back")
     val ahead = ctx.freshName("ahead")
     val advancing = ctx.freshName("advancing")
+    val headCmp = ctx.freshName("headCmp")
     val tol = tolerance.getOrElse(Long.MaxValue)
 
     val leftVars = left.output.zipWithIndex.map { case (a, i) =>
@@ -273,7 +310,8 @@ $jt $value = $isNull ? $dv : ($gv);""",
     val consumeHead =
       if (direction == AsOfDirection.Forward) ""
       else s"""$lastMatch = $headRow.copy();
-         |        $matchKey = $hk;
+         |        ${keyDts.indices.map(i => s"${matchKey(i)} = ${hk(i)};")
+                    .mkString("\n        ")}
          |        $matchTime = $ht;
          |        $haveMatch = true;""".stripMargin
     val select = direction match {
@@ -286,18 +324,28 @@ $jt $value = $isNull ? $dv : ($gv);""",
            |    else { $matched = ($t - $matchTime <= $ht - $t) ? $back : $ahead; }""".stripMargin
     }
 
+    // lexicographic compare of the cached head keys vs the left keys
+    val cmpSteps = keyDts.zipWithIndex.map { case (dt, i) =>
+      val c = ctx.genComp(dt, hk(i), k(i))
+      if (i == 0) s"int $headCmp = $c;"
+      else s"if ($headCmp == 0) { $headCmp = $c; }"
+    }.mkString("\n      ")
+
     s"""
        |while ($leftInput.hasNext()) {
        |  InternalRow $lRow = (InternalRow) $leftInput.next();
-       |  ${lKeyEv.code}
+       |  ${lKeyEvs.map(_.code.toString).mkString("\n")}
        |  ${lTimeEv.code}
        |  InternalRow $matched = null;
-       |  if (!(${lKeyEv.isNull}) && !(${lTimeEv.isNull})) {
-       |    long $k = (long) ${lKeyEv.value};
-       |    long $t = (long) ${lTimeEv.value};
+       |  if ($lNotNull) {
+       |    ${keyDts.indices.map(i =>
+            s"final ${CodeGenerator.javaType(keyDts(i))} ${k(i)} = ${lKeyEvs(i).value};")
+            .mkString("\n    ")}
+       |    final long $t = (long) ${lTimeEv.value};
        |    boolean $advancing = true;
        |    while ($advancing && $headReady()) {
-       |      if ($hk < $k || ($hk == $k && $headLe)) {
+       |      $cmpSteps
+       |      if ($headCmp < 0 || ($headCmp == 0 && $headLe)) {
        |        $consumeHead
        |        $headRow = null;
        |      } else {
@@ -306,10 +354,10 @@ $jt $value = $isNull ? $dv : ($gv);""",
        |    }
        |    // a candidate beyond the tolerance is no match at all
        |    InternalRow $back =
-       |      ($haveMatch && $matchKey == $k && $t - $matchTime <= ${tol}L)
+       |      ($haveMatch && ${keysEqual(matchKey, k)} && $t - $matchTime <= ${tol}L)
        |        ? $lastMatch : null;
        |    InternalRow $ahead =
-       |      ($headRow != null && $hk == $k && $ht - $t <= ${tol}L)
+       |      ($headRow != null && ${keysEqual(hk, k)} && $ht - $t <= ${tol}L)
        |        ? $headRow : null;
        |    $select
        |  }

@@ -312,4 +312,37 @@ class AsOfJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("string and composite keys fuse into whole-stage codegen too") {
+    val quotes = Seq(("a", 1L, 10L, "q10"), ("a", 1L, 30L, "q30"),
+      ("b", 2L, 15L, "p15"))
+      .toDF("s", "key", "t", "quote")
+    val trades = Seq(("a", 1L, 5L, "early"), ("a", 1L, 35L, "late"),
+      ("b", 2L, 14L, "before"), ("b", 2L, 16L, "after"), ("c", 3L, 50L, "nokey"))
+      .toDF("s", "key", "t", "trade")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      def run(tol: Option[Long]) = AsOfJoin.joinMulti(
+        trades, quotes, Seq("s", "key"), "t", Seq("s", "key"), "t",
+        tolerance = tol)
+        .select(col("trade"), col("quote")).orderBy(col("trade"))
+      Seq(None, Some(5L)).foreach { tol =>
+        val df = run(tol)
+        val rows = df.collect().toSeq
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+          s"composite (string, long) keys must fuse (tol=$tol):\n${plan.take(1200)}")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val interp = run(tol).collect().toSeq
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        assert(rows == interp, s"generic codegen diverged (tol=$tol)")
+      }
+      // expected matches incl. the unmatched-left null
+      val base = run(None).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(base == Seq(("after", "p15"), ("before", null),
+        ("early", null), ("late", "q30"), ("nokey", null)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
