@@ -671,7 +671,71 @@ object MultimodalQueries {
       | CAST(sum(CASE WHEN is_key = 1 THEN l END) AS BIGINT) AS keyframe_lum_sum
       |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // F12 — JPEG decode: the LOSSY-codec path through the JDK's bundled
+  // DCT codec (java.desktop — no external dependency). Each doc
+  // synthesizes smooth per-channel gradient pixels (JPEG-friendly
+  // content), round-trips them through real JPEG compression, and
+  // emits exact dimensions + the closed-form ORIGINAL channel means
+  // (integer arithmetic, oracle-replayed exactly) + booleans
+  // asserting the DECODED means landed within ±4 of them — real
+  // reconstruction error bounded, the I-suite contract applied to a
+  // codec. A decode that drops rows, swaps channels, or mangles the
+  // DCT fails a boolean and the row hash.
+  private def mmJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 8).toInt
+          val h = (12 + id % 5).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            ((x * 255) / (w - 1), (y * 255) / (h - 1),
+              ((x + y) * 255) / (w + h - 2))
+          }
+          val jpeg = MediaCodec.encodeJpeg(w, h, px)
+          val d = MediaCodec.decodeJpeg(jpeg)
+          def mean(f: ((Int, Int, Int)) => Int, ps: Array[(Int, Int, Int)]) =
+            ps.foldLeft(0L)((a, p) => a + f(p)).toDouble / ps.length
+          val (or, og, ob) = (mean(_._1, px), mean(_._2, px), mean(_._3, px))
+          val (dr, dg, db) = (mean(_._1, d.pixels), mean(_._2, d.pixels),
+            mean(_._3, d.pixels))
+          MmJpegRow(id, d.width.toLong, d.height.toLong,
+            or, og, ob,
+            math.abs(dr - or) <= 4.0 && math.abs(dg - og) <= 4.0 &&
+              math.abs(db - ob) <= 4.0)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"),
+        col("decode_within_bound"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmJpegDecodeSql =
+    """WITH dims AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+      |             FROM documents),
+      |px AS (
+      | SELECT doc_id, w, h,
+      |   (x * 255) // (w - 1) AS r, (y * 255) // (h - 1) AS g,
+      |   ((x + y) * 255) // (w + h - 2) AS b
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+      |SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+      | CAST(max(h) AS BIGINT) AS height,
+      | round(CAST(sum(r) AS DOUBLE) / (max(w) * max(h)), 4) AS mean_r,
+      | round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 4) AS mean_g,
+      | round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 4) AS mean_b,
+      | true AS decode_within_bound
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_jpeg_decode" -> (mmJpegDecode _),
     "mm_video_keyframes" -> (mmVideoKeyframes _),
     "mm_phash_groups" -> (mmPhashGroups _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
@@ -695,7 +759,8 @@ object MultimodalQueries {
     "mm_image_decode" -> mmImageDecodeSql,
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_png_decode" -> mmPngDecodeSql,
-    "mm_video_keyframes" -> mmVideoKeyframesSql)
+    "mm_video_keyframes" -> mmVideoKeyframesSql,
+    "mm_jpeg_decode" -> mmJpegDecodeSql)
 }
 
 /** Output rows for the decode queries (top-level for Encoders). */
@@ -714,3 +779,5 @@ case class MmPngRow(doc_id: Long, width: Long, height: Long, channels: Long,
   mean_r: Double, mean_a: Double)
 case class MmVideoRow(doc_id: Long, n_frames: Long, n_keyframes: Long,
   last_keyframe: Long, keyframe_lum_sum: Long)
+case class MmJpegRow(doc_id: Long, width: Long, height: Long,
+  mean_r: Double, mean_g: Double, mean_b: Double, decode_within_bound: Boolean)

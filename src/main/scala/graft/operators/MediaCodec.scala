@@ -205,6 +205,44 @@ object MediaCodec {
   }
 
   // ------------------------------------------------------------------
+  // JPEG via the JDK's bundled codec (java.desktop — part of the JVM,
+  // not an external dependency): unlike WAV/BMP/PNG/GVID above this is
+  // NOT a hand-written parser; it exists to make the LOSSY-format path
+  // honest — real DCT compression with real reconstruction error,
+  // which is why its oracle asserts error BOUNDS, not bit equality.
+  // ------------------------------------------------------------------
+
+  /** Encode 24-bpp pixels as baseline JPEG (JDK codec defaults). */
+  def encodeJpeg(width: Int, height: Int, pixels: Array[(Int, Int, Int)]): Array[Byte] = {
+    require(pixels.length == width * height)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < pixels.length) {
+      val (r, g, b) = pixels(i)
+      img.setRGB(i % width, i / width, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG to row-major top-down pixels. Throws on malformed
+    * input (ImageIO returns null or errors on garbage).
+    */
+  def decodeJpeg(bytes: Array[Byte]): BmpData = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pixels = Array.tabulate(w * h) { i =>
+      val rgb = img.getRGB(i % w, i / w)
+      ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    }
+    BmpData(w, h, pixels)
+  }
+
+  // ------------------------------------------------------------------
   // PNG (RFC 2083): 8-bit truecolor (RGB) / truecolor+alpha, zlib
   // (Inflater/Deflater) IDAT, per-scanline filters 0-4 — the first
   // COMPRESSED format in the tier, still decodable with nothing but

@@ -94,6 +94,22 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(d.hasAlpha && d.pixels.toSeq == px.toSeq && d.alpha.toSeq == a.toSeq)
   }
 
+  test("JPEG (JDK codec): lossy roundtrip preserves dims and bounded means") {
+    val w = 24; val h = 16
+    val px = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      ((x * 255) / (w - 1), (y * 255) / (h - 1), 128)
+    }
+    val d = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(w, h, px))
+    assert(d.width == w && d.height == h)
+    def mean(f: ((Int, Int, Int)) => Int, ps: Array[(Int, Int, Int)]) =
+      ps.map(f).sum.toDouble / ps.length
+    assert(math.abs(mean(_._1, d.pixels) - mean(_._1, px)) <= 4.0)
+    assert(math.abs(mean(_._3, d.pixels) - 128.0) <= 4.0)
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeJpeg("definitely not a jpeg".getBytes))
+  }
+
   test("GVID: container roundtrip decodes every frame; malformed fails") {
     val frames = (0 until 3).map(f =>
       MediaCodec.encodeBmp24(2, 2, Array.fill(4)((f * 10, f * 20, f * 30))))
