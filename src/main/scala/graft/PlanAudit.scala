@@ -17,7 +17,11 @@ object PlanAudit {
       "sketch_bloom_filter", "dedup_winnowing", "knn_ivf_quantized",
       "pipeline_quality_gate", "src_zorder_layout", "q36_asof_tolerance",
       "ecs_spatial_neighbors", "knn_pq", "q45_lateral_topk",
-      "q44_range_frame", "text_lm_score", "pipeline_domain_mix")
+      "q44_range_frame", "text_lm_score", "pipeline_domain_mix",
+      // r4 additions
+      "q53_interpolate", "q54_scd2", "q55_funnel", "knn_mmr",
+      "text_hash_features", "pipeline_pagerank", "sketch_hll_rolling",
+      "src_compact_small_files", "mm_png_decode", "ecs_flocking")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1405,7 +1405,12 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("timestamp_ntz").as("ts"))
     val clicks = ev.filter(col("event_type") === "click")
+    // repartition by user BEFORE the dedup agg: hash(user) satisfies
+    // both the (user, ts) aggregation's clustering AND the as-of's
+    // required distribution, so the purchase side shuffles exactly
+    // once (q31's pattern)
     val purchases = ev.filter(col("event_type") === "purchase")
+      .repartition(col("user_id"))
       .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .agg(min(col("event_id")).as("p_event_id"))
     val dayUs = 86400000000L
