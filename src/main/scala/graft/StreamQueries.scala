@@ -365,6 +365,42 @@ object StreamQueries {
         })
   }
 
+  /** The same HLL maintenance through `transformWithState` — the
+    * consolidation path for the whole sketch-maintainer family (G7,
+    * G10-G12 share this shape): the register buffer becomes a named
+    * ValueState on the processor handle, runs RocksDB-native, and
+    * gains the TTL/timer surface mapGroupsWithState lacks. Registers
+    * are the SAME HllSketch algebra, so the output is byte-equal to
+    * [[hllMaintainStream]] and to the batch aggregate (spec-asserted).
+    */
+  class HllStatefulProcessor(precision: Int)
+      extends StatefulProcessor[Long, SketchRow, SketchEstimate] {
+    import graft.functions.HllSketch
+    @transient private var state: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("hll",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SketchRow],
+        timers: TimerValues): Iterator[SketchEstimate] = {
+      val buf = if (state.exists()) state.get()
+        else HllSketch.emptyBuffer(precision)
+      rows.foreach(r => HllSketch.updateHashed(buf, precision,
+        HllSketch.hashLong(r.item)))
+      state.update(buf)
+      Iterator.single(SketchEstimate(key, HllSketch.estimate(buf)))
+    }
+  }
+
+  def hllMaintainTws(rows: Dataset[SketchRow],
+      precision: Int = 12): Dataset[SketchEstimate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.shard)
+      .transformWithState(new HllStatefulProcessor(precision),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // G7 batch equivalent — the same registers via the graft_hll
   // aggregate (register max-merge is order-insensitive, so the
   // incrementally-maintained stream estimate equals the one-shot batch

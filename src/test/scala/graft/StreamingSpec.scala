@@ -588,6 +588,39 @@ class StreamingSpec extends SparkSpec {
       expected(ev))
   }
 
+  test("HLL maintainer on transformWithState == mapGroupsWithState == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[SketchRow]
+    val batch1 = (0 until 400).map(i => SketchRow(i % 4, i.toLong))
+    val batch2 = (200 until 600).map(i => SketchRow(i % 4, i.toLong))
+    val q = StreamQueries.hllMaintainTws(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hll_tws_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_tws_out")
+        .groupBy(col("shard")).agg(max(col("approx_items")).as("approx_items"))
+        .as[(Long, Long)].collect().toMap
+      // byte-identical register algebra ⇒ equal to the batch aggregate
+      val batch = (batch1 ++ batch2).toDS()
+        .groupBy(col("shard"))
+        .agg(graft.functions.SketchAggregates.hll(col("item"), 12).as("e"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        "transformWithState HLL must equal the batch aggregate")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 4L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_tws: transformWithState running stats across micro-batches == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
