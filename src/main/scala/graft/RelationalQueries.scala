@@ -1392,6 +1392,62 @@ object RelationalQueries {
       |   IS NULL AS is_current
       |FROM ch ORDER BY o_custkey, valid_from""".stripMargin
 
+  // q57 — SCHEMA-ENFORCED JSON parsing with malformed-row accounting:
+  // q29 extracts scalars path-wise; real ingest parses against an
+  // explicit schema and must COUNT what failed (silently nulled rows
+  // are how corrupt feeds go unnoticed). Every 7th event's payload is
+  // deliberately mangled; from_json (PERMISSIVE) nulls it, the
+  // aggregate reports good/bad counts and the sum over survivors.
+  // DuckDB replays with json_valid + json_extract.
+  private def q57JsonSchema(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    t(s, dir, "events")
+      .withColumn("raw", when(col("event_id") % 7 === 0,
+        concat(lit("x"), col("props"))).otherwise(col("props")))
+      .withColumn("parsed", from_json(col("raw"), schema))
+      .groupBy(col("event_type"))
+      // PERMISSIVE from_json yields a struct of nulls (not a null
+      // struct) for malformed input — the field null is the signal
+      .agg(count(lit(1)).as("n"),
+        count(when(col("parsed.k").isNull, 1)).as("n_malformed"),
+        sum(col("parsed.k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q57Sql =
+    """WITH r AS (
+      | SELECT event_type,
+      |   CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+      | FROM events
+      |)
+      |SELECT event_type, count(*) AS n,
+      | CAST(count(*) FILTER (WHERE NOT json_valid(raw)) AS BIGINT) AS n_malformed,
+      | CAST(sum(CASE WHEN json_valid(raw)
+      |   THEN CAST(json_extract(raw, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q56 — CUBE: the full 2^d grouping-set lattice (q16 covers rollup,
+  // q22/q50 explicit grouping sets; cube completes the family). Both
+  // engines materialize all four (status × priority) subtotal levels
+  // in one pass with grouping-null markers coalesced to 'ALL'.
+  private def q56Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q56Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   // q55 — conversion FUNNEL through the native forward as-of with
   // tolerance: every click attaches the user's EARLIEST purchase
   // at-or-after it, null once the gap exceeds 24 h — exactly
@@ -1449,6 +1505,8 @@ object RelationalQueries {
     "q53_interpolate" -> (q53Interpolate _),
     "q54_scd2" -> (q54Scd2 _),
     "q55_funnel" -> (q55Funnel _),
+    "q56_cube" -> (q56Cube _),
+    "q57_json_schema" -> (q57JsonSchema _),
     "q51_date_spine" -> (q51DateSpine _),
     "q50_grouping_sets_id" -> (q50GroupingSets _),
     "q49_filter_agg" -> (q49FilterAgg _),
@@ -1506,6 +1564,8 @@ object RelationalQueries {
     "q53_interpolate" -> q53Sql,
     "q54_scd2" -> q54Sql,
     "q55_funnel" -> q55Sql,
+    "q56_cube" -> q56Sql,
+    "q57_json_schema" -> q57Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,
