@@ -249,7 +249,7 @@ object EcsQueries {
     * attach stays O(1) like the tip attach.
     */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tt_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("tt")
     val world = World.make(spark, "sim_graft", "run_tt")
     val store = world.store
     world.spawnBatch(Seq(PosMeta), seedSuppliers(spark, dir))

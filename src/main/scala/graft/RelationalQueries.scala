@@ -1287,10 +1287,15 @@ object RelationalQueries {
       .groupBy(col("user_id"), col("ts_us"))
       .agg(min(col("value")).as("value"))
     val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    // Spark's sequence(start, stop, step) THROWS when start > stop with a
+    // positive step, while DuckDB's generate_series returns empty — guard so
+    // a degenerate window (all events before the first 6h boundary, or an
+    // empty filter result) degrades to zero grid points on both engines.
     val grid = bounds.select(explode(expr(
-      s"""sequence(((lo + ${sixH - 1}L) DIV ${sixH}L) * ${sixH}L,
+      s"""CASE WHEN ((lo + ${sixH - 1}L) DIV ${sixH}L) * ${sixH}L <= hi THEN
+         | sequence(((lo + ${sixH - 1}L) DIV ${sixH}L) * ${sixH}L,
          | least(hi, ((lo + ${sixH - 1}L) DIV ${sixH}L) * ${sixH}L + ${119 * sixH}L),
-         | ${sixH}L)""".stripMargin)).as("ts_us"))
+         | ${sixH}L) END""".stripMargin)).as("ts_us"))
     val gridPts = ev.select(col("user_id")).distinct()
       .crossJoin(broadcast(grid))
       .withColumn("value", lit(null).cast("double"))
@@ -1400,19 +1405,25 @@ object RelationalQueries {
   // aggregate reports good/bad counts and the sum over survivors.
   // DuckDB replays with json_valid + json_extract.
   private def q57JsonSchema(s: SparkSession, dir: String): DataFrame = {
+    // Malformed = PARSE failure, matched to DuckDB's json_valid: the schema
+    // carries a corrupt-record column so unparseable payloads are flagged
+    // structurally, while VALID json merely lacking (or nulling) `k` counts
+    // as well-formed on both engines — the two signals are identical by
+    // construction, not by data luck.
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_bad",
+        org.apache.spark.sql.types.StringType)))
     t(s, dir, "events")
       .withColumn("raw", when(col("event_id") % 7 === 0,
         concat(lit("x"), col("props"))).otherwise(col("props")))
-      .withColumn("parsed", from_json(col("raw"), schema))
+      .withColumn("parsed", from_json(col("raw"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
       .groupBy(col("event_type"))
-      // PERMISSIVE from_json yields a struct of nulls (not a null
-      // struct) for malformed input — the field null is the signal
       .agg(count(lit(1)).as("n"),
-        count(when(col("parsed.k").isNull, 1)).as("n_malformed"),
-        sum(col("parsed.k")).as("sum_k"))
+        count(when(col("parsed._bad").isNotNull, 1)).as("n_malformed"),
+        sum(when(col("parsed._bad").isNull, col("parsed.k"))).as("sum_k"))
       .orderBy(col("event_type"))
   }
 

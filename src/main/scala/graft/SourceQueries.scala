@@ -18,7 +18,7 @@ object SourceQueries {
     StructField("l_returnflag", StringType)))
 
   private def srcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("roundtrip")
     // the test tables are single parquet files → one input partition;
     // without a repartition every text serialization below runs on ONE
     // core. Spreading to the session's parallelism is also the shape a
@@ -51,7 +51,7 @@ object SourceQueries {
   // read-back, the same stats story as parquet), reads it back with
   // a pushed filter, and aggregates.
   private def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("orc")
     Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
@@ -81,7 +81,7 @@ object SourceQueries {
   // matching partition). Aggregation is per order-month on the pruned
   // read-back.
   private def srcPartitionedWrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("part")
     Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderstatus"))
@@ -112,7 +112,7 @@ object SourceQueries {
   // layout-invariant, which is what the oracle checks.
   private def srcZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ZOrder
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("zorder")
     val orders = Tables.load(s, dir, "orders")
     // scale BOTH dimensions to the full bit width first (one tiny agg
     // job): a dimension whose values only reach 2^14 leaves its top
@@ -158,7 +158,7 @@ object SourceQueries {
   // aggregation groups on the evolved column with a null bucket, so
   // the row only matches if old-file rows really read as null.
   private def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("evo")
     val o = Tables.load(s, dir, "orders")
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -222,7 +222,7 @@ object SourceQueries {
       // distributed and leaves no retained executor blocks behind
       // (the localCheckpoint alternative pins block storage — the
       // r2-ADVICE leak pattern)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_out_$tag"
+      val out = TmpDir.scratch("bktout")
       joined.orderBy(col("l_orderkey")).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     } finally {
@@ -247,7 +247,7 @@ object SourceQueries {
   // would truncate every other partition, so the read-back aggregate
   // (F doubled, others byte-identical) proves the dynamic semantics.
   private def srcDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dyn_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("dyn")
     val orders = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
@@ -277,7 +277,7 @@ object SourceQueries {
   // a codec regression is visible, with the sizes themselves kept
   // out of the hash (they are layout, not semantics).
   private def srcCodecRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_codec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("codec")
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
     li.write.mode("overwrite").option("compression", "snappy")
@@ -316,7 +316,7 @@ object SourceQueries {
   // regression a CORRECTNESS failure; content equality rides the
   // usual aggregate replay.
   private def srcCompactSmallFiles(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("compact")
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
@@ -329,12 +329,16 @@ object SourceQueries {
       .write.mode("overwrite").parquet(s"$tmp/compact")
     val compacted = s.read.parquet(s"$tmp/compact")
     val nAfter = compacted.inputFiles.length.toLong
-    compacted
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-      .withColumn("n_files_before", lit(nBefore))
-      .withColumn("n_files_after", lit(nAfter))
-      .orderBy(col("l_returnflag"))
+    // the final aggregate is a handful of rows — pin it and release the
+    // 68 scratch files NOW rather than at JVM exit (bench replays 4x)
+    TmpDir.releasing(
+      compacted
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .withColumn("n_files_before", lit(nBefore))
+        .withColumn("n_files_after", lit(nAfter))
+        .orderBy(col("l_returnflag")),
+      tmp)
   }
 
   private val srcCompactSmallFilesSql =

@@ -682,7 +682,7 @@ object StreamQueries {
   // aggregate equals the plain-events aggregate only if the replay
   // replaced rather than appended. Oracle = the plain aggregate.
   private def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_eos_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("eos")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val b0 = ev.filter(col("event_id") % 2 === 0)
@@ -714,7 +714,7 @@ object StreamQueries {
   // commit 0 (time travel) — each per user, DuckDB-replayed.
   private def streamDurableIngest(s: SparkSession, dir: String): DataFrame = {
     import graft.ecs.{ArchetypeStore, EcsStreamIngest, World}
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_di_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("di")
     val world = World.make(s, simulation = "ingest_sim", run = "ingest_run",
       optimizeInterval = 0)
     val ev = Tables.load(s, dir, "events")
@@ -796,15 +796,18 @@ object StreamQueries {
   // incremental-batch shape), resuming from the checkpoint picks up
   // only newly landed files.
   private def streamFileIngest(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fileingest_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = TmpDir.scratch("fileingest")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").json(tmp)
     ev.filter(col("event_id") % 2 === 1).write.mode("append").json(tmp)
-    s.read.schema(FileIngestSchema).json(tmp)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      .orderBy(col("event_type"))
+    // small per-type aggregate — pin and drop the JSON drop-dir eagerly
+    TmpDir.releasing(
+      s.read.schema(FileIngestSchema).json(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type")),
+      tmp)
   }
 
   private val streamFileIngestSql =

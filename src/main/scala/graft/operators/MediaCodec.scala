@@ -212,7 +212,11 @@ object MediaCodec {
   // which is why its oracle asserts error BOUNDS, not bit equality.
   // ------------------------------------------------------------------
 
-  /** Encode 24-bpp pixels as baseline JPEG (JDK codec defaults). */
+  /** Encode 24-bpp pixels as baseline JPEG at an EXPLICIT quality (0.9):
+    * the writer's default quality is JVM-implementation specific, and the
+    * downstream oracle asserts a reconstruction-error bound — pinning the
+    * quality keeps that bound under the repo's control across JDK upgrades.
+    */
   def encodeJpeg(width: Int, height: Int, pixels: Array[(Int, Int, Int)]): Array[Byte] = {
     require(pixels.length == width * height)
     val img = new java.awt.image.BufferedImage(width, height,
@@ -223,8 +227,21 @@ object MediaCodec {
       img.setRGB(i % width, i / width, (r << 16) | (g << 8) | b)
       i += 1
     }
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    require(writers.hasNext, "no JPEG writer")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
     val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
   }
 
