@@ -111,6 +111,28 @@ object EcsStreamIngest {
     */
   final case class LiveFrame(user_id: Long, total: Double, n_events: Long)
 
+  /** O(live entities) on-demand live view: scan the bridge's OWN keyed
+    * state store (Spark's state data source) instead of re-resolving
+    * the world's sparse history. The mapGroupsWithState store already
+    * IS a compacted latest-wins frame — one row per live entity,
+    * maintained incrementally at O(delta) per batch — so the dashboard
+    * read is a flat scan of exactly that state, with no window over the
+    * history, no parquet scan, and no second foreachBatch-maintained
+    * copy (which would double the write amplification just to serve
+    * reads). Requires [[attach]] to have been started with an explicit
+    * `checkpointLocation`; reads the latest COMMITTED batch's state,
+    * which is exactly the snapshot semantics a poller wants.
+    */
+  def liveSnapshot(s: org.apache.spark.sql.SparkSession,
+      checkpointLocation: String): DataFrame =
+    s.read.format("statestore").load(checkpointLocation)
+      // (flat)mapGroupsWithState state rows carry the user object under
+      // value.groupState; the grouping key (a bare long) under key.value
+      .select(col("key.value").as("entity_id"),
+        col("value.groupState.user_id").as("user_id"),
+        col("value.groupState.total").as("total"),
+        col("value.groupState.n_events").as("n_events"))
+
   /** Attach the bridge to a streaming events DataFrame; every
     * micro-batch becomes one world step.
     *
@@ -121,10 +143,13 @@ object EcsStreamIngest {
     * keys on disk) and emits exactly those keys' refreshed frames,
     * which append to the world as one sparse step. Nothing re-reads
     * the world's history during ingestion — [[liveState]] remains the
-    * on-demand read for queries and re-attached durable stores.
+    * on-demand read for queries and re-attached durable stores, and
+    * [[liveSnapshot]] serves O(live entities) polling reads straight
+    * off the state store when a `checkpointLocation` is supplied.
     */
   def attach(world: World, events: DataFrame,
-      queryName: String = "ecs_ingest"): StreamingQuery = {
+      queryName: String = "ecs_ingest",
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     val s = events.sparkSession
     import s.implicits._
     val typed = events
@@ -142,7 +167,7 @@ object EcsStreamIngest {
           state.update(next)
           next
         })
-    updates.writeStream
+    val writer = updates.writeStream
       .queryName(queryName)
       .outputMode("update")
       .foreachBatch { (frames: Dataset[LiveFrame], _: Long) =>
@@ -151,6 +176,7 @@ object EcsStreamIngest {
         // lazily re-run the stateful streaming plan out of band
         appendFrames(world, frames.toDF().localCheckpoint(true))
       }
-      .start()
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 }

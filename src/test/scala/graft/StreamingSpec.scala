@@ -285,6 +285,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_ecs_ingest: liveSnapshot reads O(live entities) off the state store") {
+    import graft.ecs.{EcsStreamIngest, World}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val all = sampleEvents(240)
+    val (first, second) = all.splitAt(all.length / 2)
+    val world = World.make(spark, simulation = "stream_snap", run = "r1",
+      optimizeInterval = 0)
+    val ckpt = TmpDir.scratch("snapckpt")
+    val q = EcsStreamIngest.attach(world, input.toDF(), "ecs_ingest_snap",
+      checkpointLocation = Some(ckpt))
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+
+      // the snapshot equals the history-resolved live view value-for-value
+      val snap = EcsStreamIngest.liveSnapshot(spark, ckpt)
+      val got = snap
+        .select(col("user_id"), round(col("total"), 2).as("t"), col("n_events"))
+        .orderBy("user_id").collect().toSeq
+      val viaHistory = EcsStreamIngest.liveState(world).get
+        .select(col("user_id"), round(col("total"), 2).as("t"), col("n_events"))
+        .orderBy("user_id").collect().toSeq
+      assert(got == viaHistory && got.nonEmpty)
+
+      // O(live entities) READ contract, asserted on the plan: the read
+      // is a flat scan of the keyed state store — no window/row_number
+      // over history, no parquet scan of the world's sparse frames, no
+      // shuffle. One output row per live entity.
+      val plan = snap.queryExecution.executedPlan.toString
+      assert(plan.contains("StateScan"),
+        s"live snapshot must scan the state store, got:\n$plan")
+      assert(!plan.contains("Window"), "snapshot read must not re-window history")
+      assert(!plan.contains("Parquet"), "snapshot read must not scan history files")
+      assert(snap.count() == all.map(_.user_id).distinct.size.toLong)
+    } finally q.stop()
+  }
+
   test("stream_sketch: HLL registers maintained across micro-batches equal batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
