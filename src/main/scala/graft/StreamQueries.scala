@@ -365,6 +365,19 @@ object StreamQueries {
         })
   }
 
+  /** Shared TTL surface for the transformWithState sketch maintainers
+    * (G7/G10/G11/G12): with a `ttl` the processors run in
+    * ProcessingTime mode and each key's sketch expires that long after
+    * its last update — the bounded-state contract for unbounded key
+    * cardinality (a 100 TB stream churns keys forever; idle keys must
+    * leave the store). A returning key restarts from an empty sketch —
+    * the documented trade, spec-asserted in StreamingSpec.
+    */
+  private def twsTimeMode(ttl: Option[java.time.Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+  private def twsTtl(ttl: Option[java.time.Duration]): TTLConfig =
+    ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+
   /** The same HLL maintenance through `transformWithState` — the
     * consolidation path for the whole sketch-maintainer family (G7,
     * G10-G12 share this shape): the register buffer becomes a named
@@ -373,14 +386,15 @@ object StreamQueries {
     * are the SAME HllSketch algebra, so the output is byte-equal to
     * [[hllMaintainStream]] and to the batch aggregate (spec-asserted).
     */
-  class HllStatefulProcessor(precision: Int)
+  class HllStatefulProcessor(precision: Int,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, SketchRow, SketchEstimate] {
     import graft.functions.HllSketch
     @transient private var state: ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[Array[Byte]]("hll",
-        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.BINARY, twsTtl(ttl))
 
     override def handleInputRows(key: Long, rows: Iterator[SketchRow],
         timers: TimerValues): Iterator[SketchEstimate] = {
@@ -393,12 +407,135 @@ object StreamQueries {
     }
   }
 
-  def hllMaintainTws(rows: Dataset[SketchRow],
-      precision: Int = 12): Dataset[SketchEstimate] = {
+  def hllMaintainTws(rows: Dataset[SketchRow], precision: Int = 12,
+      ttl: Option[java.time.Duration] = None): Dataset[SketchEstimate] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.shard)
-      .transformWithState(new HllStatefulProcessor(precision),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new HllStatefulProcessor(precision, ttl),
+        twsTimeMode(ttl), OutputMode.Update())
+  }
+
+  /** G10's KLL maintainer on transformWithState: the serialized
+    * compactor hierarchy is a named binary ValueState — same
+    * [[graft.functions.KllOps]] algebra as [[kllMaintainStream]], so
+    * fold order (and therefore the estimate) is identical for the same
+    * batch sequence (spec-asserted value-equal).
+    */
+  class KllStatefulProcessor(k: Int, ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, QuantRow, QuantEstimate] {
+    import graft.functions.KllOps
+    @transient private var state: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("kll",
+        org.apache.spark.sql.Encoders.BINARY, twsTtl(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[QuantRow],
+        timers: TimerValues): Iterator[QuantEstimate] = {
+      val buf = if (state.exists()) KllOps.deserialize(state.get())
+        else KllOps.empty()
+      rows.foreach(r => KllOps.update(buf, k, r.value))
+      state.update(KllOps.serialize(buf))
+      Iterator.single(QuantEstimate(key, buf.n, KllOps.quantile(buf, 0.5)))
+    }
+  }
+
+  def kllMaintainTws(rows: Dataset[QuantRow], k: Int = 400,
+      ttl: Option[java.time.Duration] = None): Dataset[QuantEstimate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.shard)
+      .transformWithState(new KllStatefulProcessor(k, ttl),
+        twsTimeMode(ttl), OutputMode.Update())
+  }
+
+  /** Counter-array state for [[CmsStatefulProcessor]] (product wrapper
+    * so the depth×width longs ride a struct encoder).
+    */
+  final case class CmsState(counters: Array[Long])
+
+  /** G11's Count-Min maintainer on transformWithState: the fixed
+    * depth×width counter array as a named ValueState, same
+    * [[graft.functions.CmsSketch]] hashing as [[cmsMaintainStream]] —
+    * counter addition commutes, so the maintained estimate is
+    * value-equal to the batch aggregate (spec-asserted).
+    */
+  class CmsStatefulProcessor(probe: Long, depth: Int, width: Int,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, SketchRow, FreqEstimate] {
+    import graft.functions.CmsSketch
+    @transient private var state: ValueState[CmsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CmsState]("cms",
+        org.apache.spark.sql.Encoders.product[CmsState], twsTtl(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[SketchRow],
+        timers: TimerValues): Iterator[FreqEstimate] = {
+      val buf = if (state.exists()) state.get().counters
+        else CmsSketch.empty(depth, width)
+      rows.foreach(r => CmsSketch.updateLong(buf, depth, width, r.item))
+      state.update(CmsState(buf))
+      Iterator.single(FreqEstimate(key,
+        CmsSketch.estimateLong(buf, depth, width, probe)))
+    }
+  }
+
+  def cmsMaintainTws(rows: Dataset[SketchRow], probe: Long,
+      depth: Int = 5, width: Int = 2048,
+      ttl: Option[java.time.Duration] = None): Dataset[FreqEstimate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.shard)
+      .transformWithState(new CmsStatefulProcessor(probe, depth, width, ttl),
+        twsTimeMode(ttl), OutputMode.Update())
+  }
+
+  /** G12's Misra-Gries maintainer on transformWithState, with the
+    * summary as a RocksDB-native MapState — one state ENTRY per
+    * retained counter rather than one serialized blob, so the store
+    * point-reads/writes only the counters a batch touches (the
+    * capacity is small here, but the shape is the one that scales:
+    * per-entry TTL and no whole-map deserialize per batch). Restored
+    * counters ARE an MG summary (same algebra as
+    * [[topkMaintainStream]]), so the bound holds across batches.
+    */
+  class TopkStatefulProcessor(capacity: Int,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, TokRow, TopkState] {
+    import graft.functions.MisraGries
+    import org.apache.spark.sql.streaming.MapState
+    @transient private var state: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getMapState[String, Long]("mg",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, twsTtl(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[TokRow],
+        timers: TimerValues): Iterator[TopkState] = {
+      val buf = MisraGries.empty(capacity)
+      val before = scala.collection.mutable.Set.empty[String]
+      state.iterator().foreach { kv =>
+        before += kv._1
+        buf.put(kv._1, java.lang.Long.valueOf(kv._2))
+      }
+      rows.foreach(r => MisraGries.update(buf, capacity, r.tok))
+      val b = Map.newBuilder[String, Long]
+      buf.forEach((k, v) => b += (k -> v.longValue()))
+      val m = b.result()
+      // write back as a DELTA: decremented-away counters are removed
+      // entry-wise, surviving ones point-updated
+      before.diff(m.keySet).foreach(state.removeKey)
+      m.foreach { case (k, v) => state.updateValue(k, v) }
+      Iterator.single(TopkState(key, m))
+    }
+  }
+
+  def topkMaintainTws(rows: Dataset[TokRow], capacity: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[TopkState] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.shard)
+      .transformWithState(new TopkStatefulProcessor(capacity, ttl),
+        twsTimeMode(ttl), OutputMode.Update())
   }
 
   // G7 batch equivalent — the same registers via the graft_hll

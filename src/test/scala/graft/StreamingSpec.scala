@@ -661,6 +661,171 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("KLL maintainer on transformWithState == mapGroupsWithState fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val rnd = new scala.util.Random(43)
+    val batch1 = (0 until 600).map(_ => QuantRow(rnd.nextInt(4).toLong, rnd.nextDouble() * 100))
+    val batch2 = (0 until 600).map(_ => QuantRow(rnd.nextInt(4).toLong, rnd.nextDouble() * 100))
+    val inTws = MemoryStream[QuantRow]
+    val inMgs = MemoryStream[QuantRow]
+    val qTws = StreamQueries.kllMaintainTws(inTws.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kll_tws_out").start()
+    val qMgs = StreamQueries.kllMaintainStream(inMgs.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kll_mgs_out").start()
+    try {
+      Seq((inTws, qTws), (inMgs, qMgs)).foreach { case (in, q) =>
+        in.addData(batch1); q.processAllAvailable()
+        in.addData(batch2); q.processAllAvailable()
+      }
+      // identical KllOps algebra + identical batch split ⇒ identical
+      // compactor state ⇒ identical (n, p50) per shard
+      def lastPerShard(table: String) = spark.table(table)
+        .groupBy(col("shard")).agg(max(col("n_seen")).as("n"),
+          max(struct(col("n_seen"), col("approx_p50"))).as("s"))
+        .select(col("shard"), col("n"), round(col("s.approx_p50"), 6).as("p50"))
+        .orderBy("shard").collect().toSeq
+      val tws = lastPerShard("kll_tws_out")
+      assert(tws == lastPerShard("kll_mgs_out") && tws.nonEmpty,
+        "tws KLL must fold identically to the mapGroupsWithState maintainer")
+    } finally {
+      qTws.stop(); qMgs.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("CMS maintainer on transformWithState == batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[SketchRow]
+    val batch1 = (0 until 500).map(i => SketchRow(i % 4, i.toLong % 64))
+    val batch2 = (0 until 500).map(i => SketchRow(i % 4, (i * 3).toLong % 64))
+    val q = StreamQueries.cmsMaintainTws(input.toDS(), probe = 7L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cms_tws_out").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("cms_tws_out")
+        .groupBy(col("shard")).agg(max(col("probe_est")).as("probe_est"))
+        .as[(Long, Long)].collect().toMap
+      // counter addition commutes ⇒ equals the batch aggregate estimate
+      val batch = (batch1 ++ batch2).toDS()
+        .groupBy(col("shard"))
+        .agg(graft.functions.SketchAggregates.cmsEstimate(
+          col("item"), lit(7L)).as("e"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        "transformWithState CMS must equal the batch aggregate")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("MG maintainer on transformWithState (MapState) == mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val words = Vector("alpha", "beta", "gamma", "delta", "heavy", "eps",
+      "zeta", "eta", "theta", "iota", "kappa", "lam")
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int) = (0 until n).map { _ =>
+      val tok = if (rnd.nextInt(3) == 0) "heavy" else words(rnd.nextInt(words.size))
+      TokRow(rnd.nextInt(2).toLong, tok)
+    }
+    val (batch1, batch2) = (mk(400), mk(400))
+    val inTws = MemoryStream[TokRow]
+    val inMgs = MemoryStream[TokRow]
+    val qTws = StreamQueries.topkMaintainTws(inTws.toDS(), capacity = 4)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mg_tws_out").start()
+    val qMgs = StreamQueries.topkMaintainStream(inMgs.toDS(), capacity = 4)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mg_mgs_out").start()
+    try {
+      Seq((inTws, qTws), (inMgs, qMgs)).foreach { case (in, q) =>
+        in.addData(batch1); q.processAllAvailable()
+        in.addData(batch2); q.processAllAvailable()
+      }
+      // same algebra + same batch split ⇒ identical final summaries,
+      // even though tws keeps them entry-wise in MapState
+      def lastMap(table: String): Map[Long, Map[String, Long]] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(monotonically_increasing_id().desc)
+        spark.table(table).withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).select(col("shard"), col("summary"))
+          .as[(Long, Map[String, Long])].collect().toMap
+      }
+      val a = lastMap("mg_tws_out")
+      val b = lastMap("mg_mgs_out")
+      assert(a == b && a.nonEmpty,
+        "tws MG summaries must equal the mapGroupsWithState maintainer")
+      // the heavy hitter survives in every shard's summary
+      assert(a.values.forall(_.contains("heavy")))
+    } finally {
+      qTws.stop(); qMgs.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("sketch maintainer TTL: idle keys evict, returning key restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[SketchRow]
+    // 100 distinct items for shard 0, then (after the TTL passes) 40
+    // DIFFERENT items: if the state survived, the estimate would be
+    // ~140 — eviction means the second batch restarts near 40.
+    // ProcessingTime mode keeps the query constructing batches forever
+    // (TTL advances with processing time, so shouldRunAnotherBatch
+    // never goes idle) — processAllAvailable/awaitTermination would
+    // hang. The test therefore POLLS the sink for each emission and
+    // stops the query explicitly; empty batches emit nothing (no input
+    // rows for the key ⇒ no handleInputRows call), so exactly two rows
+    // ever land.
+    val batch1 = (0 until 100).map(i => SketchRow(0L, i.toLong))
+    val batch2 = (1000 until 1040).map(i => SketchRow(0L, i.toLong))
+    val q = StreamQueries.hllMaintainTws(input.toDS(),
+      ttl = Some(java.time.Duration.ofMillis(400)))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hll_ttl_out").start()
+    def pollRows(atLeast: Int): Seq[Long] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = Seq.empty[Long]
+      while (rows.size < atLeast && System.nanoTime() < deadline) {
+        rows = spark.table("hll_ttl_out")
+          .select(col("approx_items")).as[Long].collect().toSeq
+        if (rows.size < atLeast) Thread.sleep(100)
+      }
+      rows
+    }
+    try {
+      input.addData(batch1)
+      val after1 = pollRows(1).head
+      assert(math.abs(after1 - 100L) <= 5L)
+      Thread.sleep(1500) // let the TTL lapse well past 400ms
+      input.addData(batch2)
+      val rows = pollRows(2)
+      assert(rows.size == 2, s"expected exactly two emissions, got $rows")
+      val after2 = rows.filterNot(_ == after1).headOption.getOrElse(rows.last)
+      assert(math.abs(after2 - 40L) <= 4L,
+        s"expired key must restart from an empty sketch, got $after2 " +
+          s"(~140 would mean the state survived the TTL)")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_tws: transformWithState running stats across micro-batches == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
