@@ -94,22 +94,15 @@ object SimilarityQueries {
     val all = emb(s, dir).select(col("vec_id"), col("v"))
     val cent = all.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // dist²(v, c) = v·v − 2 v·c + c·c, deterministic (cid) tie-break
-    def assign(df: DataFrame, idCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("dist2"), col("cid"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("dist2",
-          VectorOps.dot(col("v"), col("v")) -
-            lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
-            VectorOps.dot(col("cv"), col("cv")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .select(col(idCol), col("v"), col("cid"))
-    }
-    val lists = assign(all, "vec_id", 1)
+    // corpus-side list build rides IvfIndex.assignOne: argmin over a
+    // broadcast centroid array — no n·k row explode, no window shuffle
+    // on the corpus (same (dist², cid) tiebreak as the window path, so
+    // the oracle replays unchanged); the window rank survives only on
+    // the PROBE side, where multi-probe needs keep=2 over 11 queries
+    val lists = graft.operators.IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
-    val probes = assign(all.filter(col("vec_id") <= 10), "vec_id", 2)
+    val probes = graft.operators.IvfIndex
+      .assign(all.filter(col("vec_id") <= 10), cent, "vec_id", "v", keep = 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     lists.join(broadcast(probes), Seq("cid"))
@@ -443,28 +436,15 @@ object SimilarityQueries {
       | round(mn, 4) + 0 AS mn_r, round(mx, 4) + 0 AS mx_r
       |FROM q ORDER BY vec_id""".stripMargin
 
-  // D11 — MMR DIVERSIFIED re-rank (Carbonell & Goldstein 1998): the
-  // step between retrieval and the context window — pick k=5 of the
-  // top-12 candidate pool maximizing 0.7·relevance − 0.3·max-sim-to-
-  // already-selected, greedily. The pool here is brute-force (at
-  // scale it's the ANN tier's output); candidate-candidate sims are a
-  // per-query 12×12 self-join, never corpus-wide. Determinism: both
-  // engines compute identical IEEE cosines (D1's proven parity), the
-  // greedy argmax ties on nid, and max() over doubles is
-  // order-independent — so all five rounds replay exactly in chained
-  // oracle CTEs.
-  private def knnMmr(s: SparkSession, dir: String): DataFrame = {
-    val all = emb(s, dir)
-    val q = all.filter(col("vec_id") <= 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val c = all.select(col("vec_id").as("nid"), col("v").as("nv"))
-    val wPool = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val pool = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
-      .withColumn("prn", row_number().over(wPool))
-      .filter(col("prn") <= 12)
-      .select(col("qid"), col("nid"), col("nv"), col("cos").as("rel"))
-      .localCheckpoint(eager = true) // five greedy rounds re-read the pool
+  /** Greedy MMR selection (Carbonell & Goldstein 1998) over a
+    * candidate pool (qid, nid, nv, rel): pick `rounds` items
+    * maximizing 0.7·relevance − 0.3·max-sim-to-already-selected.
+    * Candidate-candidate sims are a per-query pool×pool self-join,
+    * never corpus-wide; the greedy argmax ties on nid. Returns
+    * (qid, nid, rank, rel).
+    */
+  private def mmrSelect(pool0: DataFrame, rounds: Int = 5): DataFrame = {
+    val pool = pool0.localCheckpoint(eager = true) // greedy rounds re-read it
     val pairs = pool.select(col("qid"), col("nid").as("a"), col("nv").as("av"))
       .join(pool.select(col("qid"), col("nid").as("b"), col("nv").as("bv")), Seq("qid"))
       .filter(col("a") =!= col("b"))
@@ -477,7 +457,7 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(wPick))
       .filter(col("rk") === 1)
       .select(col("qid"), col("nid"), lit(1L).as("rank"), col("rel"))
-    for (r <- 2 to 5) {
+    for (r <- 2 to rounds) {
       val penalty = pairs
         .join(selected.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
         .groupBy(col("qid"), col("a").as("nid"))
@@ -492,8 +472,68 @@ object SimilarityQueries {
       selected = selected.unionByName(pick)
     }
     selected
+  }
+
+  // D11 — RETRIEVAL → DIVERSIFY composition, the query a RAG pipeline
+  // actually runs: the MMR candidate pool comes from the IVF tier
+  // (trained quantizer, nprobe=2 probe join — D6's index path), then
+  // the greedy 0.7·rel − 0.3·max-sim re-rank picks k=5 of the top-12.
+  // The corpus is D6's clustered derivation so the quantizer has
+  // structure to find and DuckDB replays the corpus exactly.
+  // Contract (the D6 pattern lifted to composition): the emitted rows
+  // are the EXACT brute-force-pool MMR — fully replayed by the oracle's
+  // chained CTEs — and `ivf_mmr_ok` certifies in-query that the
+  // IVF-pooled MMR selected a full 5 per query whose mean relevance is
+  // within 0.05 of the exact path's (pool membership under a trained
+  // quantizer is not SQL-replayable; its achieved quality is what the
+  // gate can pin). Both selections share [[mmrSelect]]; the pools are
+  // per-query top-12, so the greedy rounds never touch the corpus.
+  private def knnMmr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = emb(s, dir)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+          | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+          |   / 8191.0D)""".stripMargin).as("v"))
+    val q = all.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wPool = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    // exact pool: brute-force top-12 (the oracle's replayable reference)
+    val brutePool = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("prn", row_number().over(wPool))
+      .filter(col("prn") <= 12)
+      .select(col("qid"), col("nid"), col("nv"), col("cos").as("rel"))
+    // ANN pool: trained-IVF probe join feeding the same top-12 shape
+    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    val lists = IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+    val probes = IvfIndex.assign(
+        q.select(col("qid").as("vec_id"), col("qv").as("v")),
+        cent, "vec_id", "v", keep = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val ivfPool = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("prn", row_number().over(wPool))
+      .filter(col("prn") <= 12)
+      .select(col("qid"), col("nid"), col("nv"), col("cos").as("rel"))
+    val bruteSel = mmrSelect(brutePool)
+    val ivfSel = mmrSelect(ivfPool)
+    // certify the composition: full selection per query, mean relevance
+    // within 0.05 of the exact path (macro over queries)
+    val ok = bruteSel.groupBy(col("qid"))
+      .agg(avg(col("rel")).as("b_avg"))
+      .join(ivfSel.groupBy(col("qid"))
+        .agg(avg(col("rel")).as("i_avg"), count(lit(1)).as("i_n")),
+        Seq("qid"), "left")
+      .agg(min(when(col("i_n") === 5L &&
+        col("i_avg") >= col("b_avg") - 0.05, 1L).otherwise(0L)).as("m"))
+      .select((col("m") === 1L).as("ivf_mmr_ok"))
+    bruteSel.crossJoin(broadcast(ok))
       .select(col("qid"), col("rank"), col("nid"),
-        (round(col("rel"), 4) + lit(0.0)).as("rel"))
+        (round(col("rel"), 4) + lit(0.0)).as("rel"), col("ivf_mmr_ok"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -517,7 +557,12 @@ object SimilarityQueries {
          |),
          |sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(generate_series(0, 63), d ->
+       |        v0[d + 1] +
+       |        CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+       |          / 8191.0) AS v
+       |      FROM e0),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 5),
        |pool AS (
        | SELECT qid, nid, v, rel FROM (
@@ -543,7 +588,7 @@ object SimilarityQueries {
        |  FROM pool) WHERE rk = 1
        |),
        |${(2 to 5).map(round).mkString(",\n")}
-       |SELECT qid, rank, nid, round(rel, 4) + 0 AS rel
+       |SELECT qid, rank, nid, round(rel, 4) + 0 AS rel, true AS ivf_mmr_ok
        |FROM sel5 ORDER BY qid, rank""".stripMargin
   }
 
