@@ -42,8 +42,15 @@ object DedupQueries {
     * ~50× slower at sf0.1; a 64-column-wide min aggregate generates a
     * pathologically large whole-stage function, ~10× slower cold.)
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val shingleRows = docs(s, dir)
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsFor(docs(s, dir))
+
+  /** The C2 signature pipeline over an arbitrary (doc_id, text) frame —
+    * shared with DedupScaleSpec, which drives it at 10⁶ docs to probe
+    * band-bucket skew (the number that decides 100 TB feasibility).
+    */
+  private[graft] def minhashBandsFor(docFrame: DataFrame): DataFrame = {
+    val shingleRows = docFrame
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(
