@@ -172,12 +172,18 @@ case class AsOfJoinExec(
 
   /** Key types the GENERATED merge can hold as class-level cached
     * state and compare with `ctx.genComp`: fixed-width long-backed
-    * types plus string/double/float/boolean. (Strings cache as cloned
-    * UTF8Strings — the sorter reuses its row buffer.)
+    * types plus string/double/float/boolean/decimal. (Strings cache as
+    * cloned UTF8Strings — the sorter reuses its row buffer; Decimals
+    * need no clone because `getDecimal` materializes a fresh object on
+    * every read, and genComp emits `compare` for any AtomicType.)
+    * Remaining fallback set, pinned by AsOfJoinSpec: array/struct/map
+    * keys and any NON-long-backed time — those take the interpreted
+    * merge below.
     */
   private def codegenKeyType(dt: DataType): Boolean = dt match {
     case _ if longGetter(dt).isDefined => true
     case StringType | DoubleType | FloatType | BooleanType => true
+    case _: DecimalType => true
     case _ => false
   }
 

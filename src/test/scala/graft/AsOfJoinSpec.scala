@@ -345,4 +345,54 @@ class AsOfJoinSpec extends SparkSpec {
         ("early", null), ("late", "q30"), ("nokey", null)))
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("decimal keys fuse into codegen; non-long time is the pinned fallback") {
+    val quotes = Seq((BigDecimal("1.50"), 10L, "q10"),
+      (BigDecimal("1.50"), 30L, "q30"), (BigDecimal("2.25"), 15L, "p15"))
+      .toDF("key", "t", "quote")
+    val trades = Seq((BigDecimal("1.50"), 5L, "early"),
+      (BigDecimal("1.50"), 35L, "late"), (BigDecimal("2.25"), 14L, "before"),
+      (BigDecimal("3.75"), 50L, "nokey"))
+      .toDF("key", "t", "trade")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      def run(tol: Option[Long]) = AsOfJoin.join(
+        trades, quotes, "key", "t", "key", "t", tolerance = tol)
+        .select(col("trade"), col("quote")).orderBy(col("trade"))
+      Seq(None, Some(5L)).foreach { tol =>
+        val df = run(tol)
+        val rows = df.collect().toSeq
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+          s"decimal keys must fuse (tol=$tol):\n${plan.take(1200)}")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val interp = run(tol).collect().toSeq
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        assert(rows == interp, s"decimal codegen diverged (tol=$tol)")
+      }
+      val base = run(None).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(base == Seq(("before", null), ("early", null),
+        ("late", "q30"), ("nokey", null)))
+
+      // POLICY PIN: a decimal (non-long-backed) TIME must NOT silently
+      // fuse — it takes the interpreted merge, and still answers right.
+      // (codegen.fallback=false stays set: if this shape ever tried to
+      // generate and failed, the test would throw instead of masking.)
+      val qt = Seq((1L, BigDecimal("10.0"), "q10"), (1L, BigDecimal("30.0"), "q30"))
+        .toDF("key", "t", "quote")
+      val tr = Seq((1L, BigDecimal("5.0"), "early"), (1L, BigDecimal("35.0"), "late"))
+        .toDF("key", "t", "trade")
+      val df2 = AsOfJoin.join(tr, qt, "key", "t", "key", "t")
+        .select(col("trade"), col("quote")).orderBy(col("trade"))
+      val rows2 = df2.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val plan2 = df2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan2).isEmpty &&
+        plan2.contains("AsOfJoin"),
+        s"decimal time must take the interpreted AsOfJoin:\n${plan2.take(1200)}")
+      assert(rows2 == Seq(("early", null), ("late", "q30")))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
