@@ -469,7 +469,11 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(wPick))
         .filter(col("rk") === 1)
         .select(col("qid"), col("nid"), lit(r.toLong).as("rank"), col("rel"))
-      selected = selected.unionByName(pick)
+      // pin each round: `selected` feeds THREE plan branches per round
+      // (penalty, anti-join, union), so an unpinned chain re-executes
+      // every earlier round ~3^r times — the selection is ≤ 5·|queries|
+      // rows, one tiny job per round
+      selected = selected.unionByName(pick).localCheckpoint(eager = true)
     }
     selected
   }
@@ -505,8 +509,13 @@ object SimilarityQueries {
       .withColumn("prn", row_number().over(wPool))
       .filter(col("prn") <= 12)
       .select(col("qid"), col("nid"), col("nv"), col("cos").as("rel"))
-    // ANN pool: trained-IVF probe join feeding the same top-12 shape
-    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    // ANN pool: trained-IVF probe join feeding the same top-12 shape.
+    // The quantizer trains on a 5k hash-spread SAMPLE — the 100 TB
+    // recipe (AnnScaleSpec proves it at 10⁶ vectors); training is not
+    // oracle-replayed, and at the correctness-gate scales the sample
+    // covers the whole corpus, so sampling changes nothing there.
+    val sample = all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(5000)
+    val cent = IvfIndex.trainCentroids(sample, "vec_id", "v", k = 12, iters = 4)
     val lists = IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
     val probes = IvfIndex.assign(
@@ -519,8 +528,15 @@ object SimilarityQueries {
       .withColumn("prn", row_number().over(wPool))
       .filter(col("prn") <= 12)
       .select(col("qid"), col("nid"), col("nv"), col("cos").as("rel"))
-    val bruteSel = mmrSelect(brutePool)
-    val ivfSel = mmrSelect(ivfPool)
+    // the two greedy chains are independent job sequences — run them
+    // CONCURRENTLY (each round is a tiny checkpointed job, so the wall
+    // cost is scheduler latency, which overlapping halves)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val (bruteSel, ivfSel) = Await.result(
+      Future(mmrSelect(brutePool)).zip(Future(mmrSelect(ivfPool))),
+      Duration.Inf)
     // certify the composition: full selection per query, mean relevance
     // within 0.05 of the exact path (macro over queries)
     val ok = bruteSel.groupBy(col("qid"))
