@@ -257,6 +257,50 @@ object TextQueries {
       |FROM docw JOIN w$BpeMerges USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // E16 — ENCODE-ONLY BPE through the session ARTIFACT cache
+  // (BpeTrainer.Artifacts): the merge table trains at most once per
+  // (corpus, rounds) per session and every later run is pure encode —
+  // the real tokenizer deployment shape (a vocabulary is a build
+  // artifact, not a per-query computation). Output is a vocabulary
+  // usage report: the top 20 encoded pieces by corpus occurrence, with
+  // the distinct word types each appears in. The oracle replays
+  // training + encoding as the same CTE chain (DuckDB has no session
+  // cache — the VALUES must match whether or not the Spark side
+  // retrained, which is exactly what makes the cache safe to use).
+  // TextSpec asserts the skip-training behavior directly.
+  private def textBpeArtifact(s: SparkSession, dir: String): DataFrame = {
+    val docWords = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) >= 2)"))
+        .as("word"))
+    val wordCounts = docWords.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = graft.operators.BpeTrainer.Artifacts
+      .mergesFor(wordCounts, s"bpe:$dir", BpeMerges)
+    val enc = graft.operators.BpeTrainer.encodeTokens(
+      wordCounts.select(col("word")), merges)
+    docWords.join(enc, Seq("word"))
+      .select(col("word"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("word")).as("n_types"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val textBpeArtifactSql: String =
+    bpeSqlChain(includeFinalWords = true) + s""",
+      |docw AS (
+      | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '' AND length(x) >= 2)) AS word
+      | FROM documents),
+      |pieces AS (
+      | SELECT d.word AS word, unnest(w.toks) AS tok
+      | FROM docw d JOIN w$BpeMerges w USING (word))
+      |SELECT tok, count(*) AS n_occurrences,
+      | CAST(count(DISTINCT word) AS BIGINT) AS n_types
+      |FROM pieces GROUP BY tok
+      |ORDER BY n_occurrences DESC, tok LIMIT 20""".stripMargin
+
   // E15 — HASH-TRICK FEATURE VECTORIZER (the "hashing vectorizer" of
   // scikit/Vowpal lineage): tokens map to a fixed 64-bucket feature
   // space through the repo's portable polynomial hash (base 31 mod
@@ -753,6 +797,7 @@ object TextQueries {
     "text_tfidf" -> (textTfidf _),
     "text_bpe" -> (textBpe _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_artifact" -> (textBpeArtifact _),
     "text_bpe_perlang" -> (textBpePerLang _),
     "text_hash_features" -> (textHashFeatures _),
     "text_pii_scrub" -> (textPiiScrub _))
@@ -769,6 +814,7 @@ object TextQueries {
     "text_tfidf" -> textTfidfSql,
     "text_bpe" -> textBpeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_artifact" -> textBpeArtifactSql,
     "text_bpe_perlang" -> textBpePerLangSql,
     "text_hash_features" -> textHashFeaturesSql,
     "text_pii_scrub" -> textPiiScrubSql)

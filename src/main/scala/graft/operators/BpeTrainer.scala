@@ -79,11 +79,51 @@ object BpeTrainer {
     * (word, n_toks) — the per-type BPE token count; joining it back
     * to occurrences is the caller's (cheap, type-keyed) join.
     */
-  def encode(wordTypes: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encode(wordTypes: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    encodeTokens(wordTypes, merges)
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+
+  /** Like [[encode]] but keeps the token ARRAYS — (word, toks) — for
+    * callers that inspect the encoded pieces (vocabulary usage reports)
+    * rather than just counting them.
+    */
+  def encodeTokens(wordTypes: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     var t = wordTypes.withColumn("toks",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     merges.foreach { case (pa, pb) => t = t.withColumn("toks", mergeFold(pa, pb)) }
-    t.select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    t.select(col("word"), col("toks"))
+  }
+
+  /** Session-level tokenizer-artifact cache: a merge table is trained
+    * ONCE per (corpus key, rounds) and reused by every later
+    * encode-only query — the real tokenizer deployment shape (a
+    * vocabulary is a build artifact; production encodes with it, it
+    * does not retrain per query). The cached value is the O(rounds)
+    * driver-side merge list, exactly what a tokenizer file holds.
+    */
+  object Artifacts {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+    private val trainings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** How many trainings have actually run (spec hook: an encode-only
+      * query hitting a warm cache must not move this).
+      */
+    def trainCount: Long = trainings.get()
+
+    def clear(): Unit = cache.clear()
+
+    /** The merge table for `key`, training over `wordCounts` only on
+      * the first request.
+      */
+    def mergesFor(wordCounts: => DataFrame, key: String,
+        nMerges: Int): Seq[(String, String)] =
+      cache.computeIfAbsent(s"$key#$nMerges", _ => {
+        trainings.incrementAndGet()
+        train(wordCounts, nMerges).orderBy(col("merge_rank"))
+          .select(col("pa"), col("pb"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      })
   }
 
   private def mergesToDf(spark: org.apache.spark.sql.SparkSession,
