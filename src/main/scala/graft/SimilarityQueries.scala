@@ -478,6 +478,65 @@ object SimilarityQueries {
     selected
   }
 
+  // D12 — HNSW-lite, the FOURTH ANN tier (graft.operators.HnswLite):
+  // a deterministic layered-pivot hierarchy searched by beam descent —
+  // the navigable-hierarchy idea of HNSW re-expressed as two
+  // shuffle-free assignment passes + two broadcast equi-joins, next to
+  // brute force (D1), LSH (D2) and IVF (D5-D9). Same clustered corpus
+  // and same oracle contract as D6: exact DuckDB-replayable reference
+  // values beside a recall boolean the row hash only matches when the
+  // index actually works. HnswLiteSpec drives planted clusters at 50k
+  // and pins recall + the touched-fraction bound.
+  private def knnHnsw(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HnswLite
+    val all = emb(s, dir)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+          | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+          |   / 8191.0D)""".stripMargin).as("v"))
+    val q = all.filter(col("vec_id") <= 10)
+    val hnsw = HnswLite.search(all, q, "vec_id", "v", k = 3)
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+    val hits = bf.select(col("qid"), col("nid")).join(hnsw, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("cos"))).as("top1_cos"))
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(avg(col("top1_cos")), 4) + lit(0.0)).as("avg_top1_cos"),
+        (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("hnsw_recall_ok"))
+  }
+
+  private val knnHnswSql =
+    """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(generate_series(0, 63), d ->
+      |        v0[d + 1] +
+      |        CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+      |          / 8191.0) AS v
+      |      FROM e0),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 10),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |        list_dot_product(qv, v) /
+      |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |      FROM q JOIN e ON e.vec_id <> qid),
+      |r AS (SELECT qid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |      FROM s),
+      |t AS (SELECT qid, max(CASE WHEN rn = 1 THEN cos END) AS top1_cos
+      |      FROM r WHERE rn <= 3 GROUP BY qid)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(avg(top1_cos), 4) + 0 AS avg_top1_cos,
+      |  true AS hnsw_recall_ok
+      |FROM t""".stripMargin
+
   // D11 — RETRIEVAL → DIVERSIFY composition, the query a RAG pipeline
   // actually runs: the MMR candidate pool comes from the IVF tier
   // (trained quantizer, nprobe=2 probe join — D6's index path), then
@@ -610,6 +669,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_mmr" -> (knnMmr _),
+    "knn_hnsw" -> (knnHnsw _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -623,6 +683,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_mmr" -> knnMmrSql,
+    "knn_hnsw" -> knnHnswSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
