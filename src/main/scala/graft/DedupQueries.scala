@@ -453,10 +453,21 @@ object DedupQueries {
   // stop-listed before the join, J2-style.
   private def dedupWinnowing(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
+    // Near-dup runs on CONTENT REPRESENTATIVES (min doc_id per exact
+    // text): exact families are C1's job, and they are the degenerate
+    // case of the fp self-join below — candidate pairs grow with the
+    // SQUARE of family size, so a corpus where every doc has ten exact
+    // clones pays 100× the join (measured: the sf1 replica probe put
+    // the un-collapsed query at 184× for 10× data; collapsed it is the
+    // near-linear fp-bucket join again). Collapsing first is also the
+    // 100 TB pipeline order — fingerprints compute once per distinct
+    // content, not once per copy.
+    val reps = docs(s, dir).groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
     val fpCol = GraftBridge.column(graft.functions.WinnowFingerprintExpr(
       GraftBridge.expression(lower(col("text"))), 8, 4))
-    val fps = docs(s, dir).select(col("doc_id"), explode(fpCol).as("fp"))
-    val nDocs = docs(s, dir).select(count(lit(1)).as("n"))
+    val fps = reps.select(col("doc_id"), explode(fpCol).as("fp"))
+    val nDocs = reps.select(count(lit(1)).as("n"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 20 <= col("n"))
@@ -476,7 +487,8 @@ object DedupQueries {
       val pow = (0 until (7 - j)).foldLeft(1L)((a, _) => a * 131L)
       s"CAST(CASE WHEN i + $j <= length(t) THEN ord(substring(t, i + $j, 1)) ELSE 0 END AS BIGINT) * CAST($pow AS BIGINT)"
     }.mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    s"""WITH d AS (SELECT min(doc_id) AS doc_id, lower(text) AS t
+       |           FROM documents GROUP BY text),
        |g AS (SELECT doc_id, list_transform(
        |        generate_series(1, greatest(length(t) - 7, 1)),
        |        i -> $terms) AS codes FROM d),
@@ -484,7 +496,7 @@ object DedupQueries {
        |        generate_series(1, greatest(len(codes) - 3, 1)),
        |        i -> list_min(codes[i:i+3])))) AS fp FROM g),
        |rare AS (SELECT fp FROM f GROUP BY fp
-       |         HAVING count(*) * 20 <= (SELECT count(*) FROM documents)),
+       |         HAVING count(*) * 20 <= (SELECT count(*) FROM d)),
        |ff AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
        |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
