@@ -734,8 +734,62 @@ object MultimodalQueries {
       | true AS decode_within_bound
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // F13 — JPEG decode through the HAND-ROLLED baseline decoder
+  // (graft.operators.JpegCodec: markers, canonical Huffman, dequant,
+  // IDCT, fancy-equivalent upsampling — the full T.81 baseline path
+  // with nothing but the JVM). Same synthesized-gradient roundtrip and
+  // ±4 channel-mean contract as F12, but the boolean ALSO demands
+  // per-pixel agreement with the JDK decoder (mean |Δ| ≤ 2) — the two
+  // independent implementations must reconstruct the same image, which
+  // is the strongest correctness statement available for a lossy
+  // format.
+  private def mmJpegNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{JpegCodec, MediaCodec}
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 8).toInt
+          val h = (12 + id % 5).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            ((x * 255) / (w - 1), (y * 255) / (h - 1),
+              ((x + y) * 255) / (w + h - 2))
+          }
+          val jpeg = MediaCodec.encodeJpeg(w, h, px)
+          val own = JpegCodec.decodeBaseline(jpeg)
+          val jdk = MediaCodec.decodeJpeg(jpeg)
+          def mean(f: ((Int, Int, Int)) => Int, ps: Array[(Int, Int, Int)]) =
+            ps.foldLeft(0L)((a, p) => a + f(p)).toDouble / ps.length
+          val (or, og, ob) = (mean(_._1, px), mean(_._2, px), mean(_._3, px))
+          val (dr, dg, db) = (mean(_._1, own.pixels), mean(_._2, own.pixels),
+            mean(_._3, own.pixels))
+          val jdkDiff = own.pixels.zip(jdk.pixels).foldLeft(0L) {
+            case (a, ((r1, g1, b1), (r2, g2, b2))) =>
+              a + math.abs(r1 - r2) + math.abs(g1 - g2) + math.abs(b1 - b2)
+          }.toDouble / (3.0 * own.pixels.length)
+          MmJpegRow(id, own.width.toLong, own.height.toLong,
+            or, og, ob,
+            math.abs(dr - or) <= 4.0 && math.abs(dg - og) <= 4.0 &&
+              math.abs(db - ob) <= 4.0 && jdkDiff <= 2.0)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"),
+        col("decode_within_bound").as("native_within_bound"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmJpegNativeSql =
+    mmJpegDecodeSql.replace("true AS decode_within_bound",
+      "true AS native_within_bound")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_jpeg_decode" -> (mmJpegDecode _),
+    "mm_jpeg_native" -> (mmJpegNative _),
     "mm_video_keyframes" -> (mmVideoKeyframes _),
     "mm_phash_groups" -> (mmPhashGroups _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
@@ -760,7 +814,8 @@ object MultimodalQueries {
     "mm_image_features" -> mmImageFeaturesSql,
     "mm_png_decode" -> mmPngDecodeSql,
     "mm_video_keyframes" -> mmVideoKeyframesSql,
-    "mm_jpeg_decode" -> mmJpegDecodeSql)
+    "mm_jpeg_decode" -> mmJpegDecodeSql,
+    "mm_jpeg_native" -> mmJpegNativeSql)
 }
 
 /** Output rows for the decode queries (top-level for Encoders). */

@@ -123,6 +123,42 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.decodeGvid(good.take(good.length - 10)))
   }
 
+  test("JPEG (hand-rolled): baseline decode agrees with the JDK decoder") {
+    import graft.operators.JpegCodec
+    // sizes straddling MCU boundaries (16x16 multiples, remainders both
+    // directions) — gradient content like the F12/F13 queries
+    for ((w, h) <- Seq((16, 16), (16, 12), (23, 17), (40, 25), (8, 8), (64, 48))) {
+      val px = Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        ((x * 255) / math.max(w - 1, 1), (y * 255) / math.max(h - 1, 1),
+          ((x + y) * 255) / math.max(w + h - 2, 1))
+      }
+      val jpeg = MediaCodec.encodeJpeg(w, h, px)
+      val jdk = MediaCodec.decodeJpeg(jpeg)
+      val own = JpegCodec.decodeBaseline(jpeg)
+      assert(own.width == w && own.height == h)
+      assert(jdk.width == w && jdk.height == h)
+      // per-pixel agreement with the JDK decoder: same Huffman/DCT math,
+      // upsampling policy may differ (ours is box, libjpeg's is fancy)
+      val diffs = own.pixels.zip(jdk.pixels).map { case ((a, b, c), (d, e, f)) =>
+        (math.abs(a - d) + math.abs(b - e) + math.abs(c - f)) / 3.0
+      }
+      val meanDiff = diffs.sum / diffs.length
+      assert(meanDiff <= 2.0,
+        f"$w x $h: mean |own-jdk| $meanDiff%.2f > 2")
+      // and the honest-reconstruction bound vs the ORIGINAL pixels —
+      // the same +-4 channel-mean contract the F12 query enforces
+      def mean(f: ((Int, Int, Int)) => Int, ps: Array[(Int, Int, Int)]) =
+        ps.foldLeft(0L)((s, t) => s + f(t)).toDouble / ps.length
+      for (ch <- Seq[((Int, Int, Int)) => Int](_._1, _._2, _._3))
+        assert(math.abs(mean(ch, own.pixels) - mean(ch, px)) <= 4.0,
+          s"$w x $h: hand-decoded channel mean off the original by > 4")
+    }
+    // non-JPEG input fails loudly
+    assertThrows[IllegalArgumentException](
+      JpegCodec.decodeBaseline("not a jpeg at all".getBytes))
+  }
+
   test("PNG: malformed input fails loudly") {
     val good = MediaCodec.encodePng(3, 3,
       Array.fill(9)((1, 2, 3)), filterOf = _ => 0)
