@@ -133,7 +133,14 @@ object DedupQueries {
          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
          |  CAST($init AS BIGINT),
          |  (acc, c) -> (acc * $mult + c) % $mod)""".stripMargin)
+    // signatures over exact-content REPRESENTATIVES (min doc_id per
+    // text) — C7's r5 lesson applied family-wide: the block self-join
+    // below is quadratic in duplicate-family size (the sf1 replica
+    // probe put the un-collapsed query at 13.8× for 10× data), exact
+    // families are C1's output, and a signature computes once per
+    // distinct content
     val tok = docs(s, dir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", shiftleft(poly(31, 1000000007L, 7), 31) + poly(37, 998244353L, 11))
@@ -180,10 +187,12 @@ object DedupQueries {
     val simhashExpr = (0 until 64).map(i =>
       s"(CASE WHEN b$i > 0 THEN 1::BIGINT << $i ELSE 0::BIGINT END)")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""WITH reps AS (
+       | SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+       |), toks AS (
        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |   x -> x <> '')) AS tok
-       | FROM documents
+       | FROM reps
        |), th AS (
        | SELECT doc_id, (${polySql(31, 1000000007L, 7)} << 31)
        |   + ${polySql(37, 998244353L, 11)} AS h
