@@ -29,4 +29,19 @@ class BpeArtifactSpec extends SparkSpec {
     assert(Artifacts.trainCount == afterFirst + 1,
       "a new corpus key must train its own vocabulary")
   }
+
+  test("per-language encode trains each language once; reruns skip all four") {
+    Artifacts.clear()
+    val before = Artifacts.trainCount
+    val q = SparkEntry.queries("text_bpe_perlang_artifact")
+    val first = q(spark, sfDir).collect().toSeq
+    val afterFirst = Artifacts.trainCount
+    assert(afterFirst == before + 4,
+      "first run must train one vocabulary per language")
+    val second = q(spark, sfDir).collect().toSeq
+    assert(Artifacts.trainCount == afterFirst,
+      "reruns must encode every language with its cached artifact")
+    assert(second == first,
+      "cached-artifact encode must reproduce the trained-run report")
+  }
 }
