@@ -119,16 +119,28 @@ object ProductQuantizer {
     book
   }
 
+  /** Nearest code per (id, sub) with NO shuffle and NO row
+    * amplification — the IvfIndex.assignOne treatment applied to the
+    * PQ encode: the whole M×K codebook rides along as one broadcast
+    * array row and each sub-vector row argmins over its own
+    * subspace's entries (filter + transform + array_min; struct
+    * ordering IS the (dist², cid) tiebreak the previous window path
+    * used, so codes — and the D8/D9 oracles that replay them — are
+    * bit-identical). The corpus·K-row broadcast-join + window shuffle
+    * per encode/Lloyd iteration disappears.
+    */
   private def assignFull(subRows: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("dist2"), col("cid"))
-    subRows.join(broadcast(codebook), Seq("sub"))
-      .withColumn("dist2",
-        VectorOps.dot(col("sv"), col("sv")) -
-          lit(2.0) * VectorOps.dot(col("sv"), col("cv")) +
-          VectorOps.dot(col("cv"), col("cv")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+    val book = codebook
+      .agg(collect_list(struct(col("sub"), col("cid"), col("cv"))).as("book"))
+    subRows.crossJoin(broadcast(book))
+      .withColumn("cid",
+        array_min(transform(
+          filter(col("book"), c => c("sub") === col("sub")),
+          c => struct(
+            (VectorOps.dot(col("sv"), col("sv")) -
+              lit(2.0) * VectorOps.dot(col("sv"), c("cv")) +
+              VectorOps.dot(c("cv"), c("cv"))).as("d2"),
+            c("cid").as("cid"))))("cid"))
       .select(col("id"), col("sub"), col("sv"), col("cid"))
   }
 
