@@ -538,6 +538,63 @@ object StreamQueries {
         twsTimeMode(ttl), OutputMode.Update())
   }
 
+  /** Dashboard-poll snapshots for the tws sketch maintainers — the
+    * sketch-tier twin of [[graft.ecs.EcsStreamIngest.liveSnapshot]]:
+    * read the maintainer's OWN keyed state through Spark's state data
+    * source (scoped to the processor's named state variable) and
+    * recompute the estimate from the stored sketch with the SAME
+    * algebra object the processor used, so the snapshot equals the
+    * last emitted estimate per shard without touching the query's
+    * output stream. O(shards) rows off the latest committed batch;
+    * no window, no history scan, no output-sink dependency — the
+    * read a monitoring poller makes while the maintainer keeps
+    * running.
+    */
+  def hllSnapshot(s: SparkSession, checkpoint: String): Dataset[SketchEstimate] = {
+    import s.implicits._
+    s.read.format("statestore").option("stateVarName", "hll").load(checkpoint)
+      .select(col("key.value").as("_1"), col("value.value").as("_2"))
+      .as[(Long, Array[Byte])]
+      .map { case (shard, buf) =>
+        SketchEstimate(shard, graft.functions.HllSketch.estimate(buf)) }
+  }
+
+  def kllSnapshot(s: SparkSession, checkpoint: String): Dataset[QuantEstimate] = {
+    import s.implicits._
+    s.read.format("statestore").option("stateVarName", "kll").load(checkpoint)
+      .select(col("key.value").as("_1"), col("value.value").as("_2"))
+      .as[(Long, Array[Byte])]
+      .map { case (shard, bytes) =>
+        val buf = graft.functions.KllOps.deserialize(bytes)
+        QuantEstimate(shard, buf.n, graft.functions.KllOps.quantile(buf, 0.5)) }
+  }
+
+  def cmsSnapshot(s: SparkSession, checkpoint: String, probe: Long,
+      depth: Int = 5, width: Int = 2048): Dataset[FreqEstimate] = {
+    import s.implicits._
+    s.read.format("statestore").option("stateVarName", "cms").load(checkpoint)
+      .select(col("key.value").as("_1"), col("value.counters").as("_2"))
+      .as[(Long, Array[Long])]
+      .map { case (shard, counters) =>
+        FreqEstimate(shard,
+          graft.functions.CmsSketch.estimateLong(counters, depth, width, probe)) }
+  }
+
+  /** MapState reads come back one row per retained counter entry;
+    * regrouping them rebuilds each shard's MG summary — the same rows
+    * [[TopkStatefulProcessor]] would emit.
+    */
+  def topkSnapshot(s: SparkSession, checkpoint: String): Dataset[TopkState] = {
+    import s.implicits._
+    s.read.format("statestore").option("stateVarName", "mg").load(checkpoint)
+      .select(col("key.value").as("shard"),
+        col("user_map_key.value").as("tok"), col("user_map_value.value").as("cnt"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        TopkState(shard, it.map(e => e._2 -> e._3).toMap) }
+  }
+
   // G7 batch equivalent — the same registers via the graft_hll
   // aggregate (register max-merge is order-insensitive, so the
   // incrementally-maintained stream estimate equals the one-shot batch

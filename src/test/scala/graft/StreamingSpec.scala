@@ -826,6 +826,100 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sketch maintainers: state-source snapshots equal the last emitted estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    try {
+      // HLL — two batches; registers only grow, so last estimate = max
+      val inH = MemoryStream[SketchRow]
+      val ckH = TmpDir.scratch("hllsnapckpt")
+      val qH = StreamQueries.hllMaintainTws(inH.toDS())
+        .writeStream.outputMode("update").option("checkpointLocation", ckH)
+        .format("memory").queryName("hll_snap_out").start()
+      try {
+        inH.addData((0 until 400).map(i => SketchRow(i % 4, i.toLong)))
+        qH.processAllAvailable()
+        inH.addData((200 until 600).map(i => SketchRow(i % 4, i.toLong)))
+        qH.processAllAvailable()
+        val last = spark.table("hll_snap_out")
+          .groupBy(col("shard")).agg(max(col("approx_items")).as("e"))
+          .as[(Long, Long)].collect().toMap
+        val snap = StreamQueries.hllSnapshot(spark, ckH)
+        val got = snap.collect().map(e => e.shard -> e.approx_items).toMap
+        assert(got == last && got.size == 4,
+          s"HLL snapshot $got must equal last emissions $last")
+        // the poll is a state-store scan, not a history or sink read
+        val plan = snap.queryExecution.executedPlan.toString
+        assert(plan.contains("StateScan"), s"expected a state scan:\n$plan")
+        assert(!plan.contains("Window") && !plan.contains("Parquet"))
+      } finally qH.stop()
+
+      // KLL — (n, p50) of the last emission per shard via max-struct
+      val inK = MemoryStream[QuantRow]
+      val ckK = TmpDir.scratch("kllsnapckpt")
+      val rnd = new scala.util.Random(47)
+      val qK = StreamQueries.kllMaintainTws(inK.toDS())
+        .writeStream.outputMode("update").option("checkpointLocation", ckK)
+        .format("memory").queryName("kll_snap_out").start()
+      try {
+        inK.addData((0 until 600).map(_ => QuantRow(rnd.nextInt(4).toLong, rnd.nextDouble() * 100)))
+        qK.processAllAvailable()
+        inK.addData((0 until 600).map(_ => QuantRow(rnd.nextInt(4).toLong, rnd.nextDouble() * 100)))
+        qK.processAllAvailable()
+        val last = spark.table("kll_snap_out")
+          .groupBy(col("shard"))
+          .agg(max(struct(col("n_seen"), col("approx_p50"))).as("s"))
+          .select(col("shard"), col("s.n_seen"), col("s.approx_p50"))
+          .as[(Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val got = StreamQueries.kllSnapshot(spark, ckK).collect()
+          .map(e => e.shard -> ((e.n_seen, e.approx_p50))).toMap
+        assert(got == last && got.size == 4,
+          s"KLL snapshot $got must equal last emissions $last")
+      } finally qK.stop()
+
+      // CMS — probe estimate of the last emission (counters only grow)
+      val inC = MemoryStream[SketchRow]
+      val ckC = TmpDir.scratch("cmssnapckpt")
+      val qC = StreamQueries.cmsMaintainTws(inC.toDS(), probe = 7L)
+        .writeStream.outputMode("update").option("checkpointLocation", ckC)
+        .format("memory").queryName("cms_snap_out").start()
+      try {
+        inC.addData((0 until 500).map(i => SketchRow(i % 4, (i % 40).toLong)))
+        qC.processAllAvailable()
+        inC.addData((0 until 500).map(i => SketchRow(i % 4, (i % 25).toLong)))
+        qC.processAllAvailable()
+        val last = spark.table("cms_snap_out")
+          .groupBy(col("shard")).agg(max(col("probe_est")).as("e"))
+          .as[(Long, Long)].collect().toMap
+        val got = StreamQueries.cmsSnapshot(spark, ckC, probe = 7L).collect()
+          .map(e => e.shard -> e.probe_est).toMap
+        assert(got == last && got.size == 4,
+          s"CMS snapshot $got must equal last emissions $last")
+      } finally qC.stop()
+
+      // MG — map-state entries regroup into the emitted summary (one
+      // batch: cross-batch maintenance is the G12 test's job)
+      val inM = MemoryStream[TokRow]
+      val ckM = TmpDir.scratch("mgsnapckpt")
+      val qM = StreamQueries.topkMaintainTws(inM.toDS(), capacity = 8)
+        .writeStream.outputMode("update").option("checkpointLocation", ckM)
+        .format("memory").queryName("mg_snap_out").start()
+      try {
+        inM.addData((0 until 600).map(i => TokRow(i % 2, s"t${i % (10 + (i % 2) * 5)}")))
+        qM.processAllAvailable()
+        val last = spark.table("mg_snap_out")
+          .as[TopkState].collect().map(t => t.shard -> t.summary).toMap
+        val got = StreamQueries.topkSnapshot(spark, ckM).collect()
+          .map(t => t.shard -> t.summary).toMap
+        assert(got == last && got.size == 2,
+          s"MG snapshot $got must equal emitted summaries $last")
+      } finally qM.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream_tws: transformWithState running stats across micro-batches == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
