@@ -513,8 +513,75 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // C9 — corpus-level duplicated n-gram MASS per document (the
+  // C4/Dolma duplicate-text accounting that complements pairwise
+  // near-dup detection): a word-5-gram is "corpus-duplicated" when it
+  // occurs in ≥ 2 distinct documents; each doc reports the fraction
+  // of its gram POSITIONS covered by such grams plus a keep flag.
+  // Shape at 100 TB: explode grams once, hash-aggregate by gram for
+  // the distinct-doc count (shuffle key = gram — never all-pairs),
+  // equi-join the dup set back, re-aggregate by doc. Fractions are
+  // exact-integer ratios; short docs (< 5 tokens) pin to 0.0 rather
+  // than divide by zero.
+  private def dedupCorpusNgram(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("toks", tokensCol)
+      .select(col("doc_id"), explode(expr(
+        """if(size(toks) >= 5,
+          |  transform(sequence(1, size(toks) - 4),
+          |    i -> concat_ws(' ', slice(toks, i, 5))),
+          |  array())""".stripMargin)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2L)
+      .select(col("gram"), lit(1L).as("dup"))
+    val perDoc = grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+    val out = docs(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", when(col("n_grams") <= 0L, lit(0.0))
+        .otherwise(round(col("n_dup") / col("n_grams"), 4) + lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= 0.8)
+      .orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    grams.unpersist(false)
+    out
+  }
+
+  private val dedupCorpusNgramSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+      |   THEN list_transform(range(1, len(toks) - 3),
+      |          i -> array_to_string(toks[i:i+4], ' '))
+      |   ELSE [] END) AS gram FROM t),
+      |dg AS (
+      | SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      | GROUP BY gram HAVING count(*) >= 2),
+      |pd AS (
+      | SELECT g.doc_id, count(*) AS n_grams,
+      |   CAST(sum(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      | FROM g LEFT JOIN dg ON g.gram = dg.gram GROUP BY g.doc_id),
+      |scored AS (
+      | SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+      |   coalesce(pd.n_dup, 0) AS n_dup,
+      |   CASE WHEN coalesce(pd.n_grams, 0) <= 0 THEN 0.0
+      |        ELSE round(pd.n_dup / pd.n_grams, 4) + 0 END AS dup_frac
+      | FROM documents d LEFT JOIN pd USING (doc_id))
+      |SELECT doc_id, n_grams, n_dup, dup_frac, (dup_frac <= 0.8) AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> (dedupContainment _),
+    "dedup_corpus_ngram" -> (dedupCorpusNgram _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -525,6 +592,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_corpus_ngram" -> dedupCorpusNgramSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -850,6 +850,85 @@ object TextQueries {
       |   / len(toks), 4) AS long_ratio
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // E18 — within-document REPETITION signals (the Gopher/Dolma
+  // repetition filters — the quality rule family that removes
+  // boilerplate and degenerate generations): duplicate-token
+  // fraction (1 - type/token), top-unigram mass, top-bigram mass.
+  // Counts come from explode + two hash aggregates per granularity —
+  // linear in text length and fully distributed (NOT per-row
+  // quadratic array HOFs: a 100 KB doc has ~20k tokens and
+  // O(n·distinct) per row would melt at 100 TB). All scores are
+  // exact-integer ratios (one IEEE division + 4dp round), so the
+  // oracle replays bit-identically. Degenerate docs (0/1 tokens)
+  // pin their fractions to 0.0 on both sides instead of dividing by
+  // zero — the q53 lesson.
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), expr(
+      "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_uni"))
+    val bi = toks.select(col("doc_id"), explode(expr(
+        """if(size(toks) >= 2,
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),
+          |  array())""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    val frac = (num: Column, den: Column) =>
+      when(den <= 0L, lit(0.0)).otherwise(round(num / den, 4) + lit(0.0))
+    val out = base
+      .join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+      .withColumn("dup_frac", frac(col("n_toks") - col("n_distinct"), col("n_toks")))
+      .withColumn("top_uni_frac", frac(coalesce(col("top_uni"), lit(0L)), col("n_toks")))
+      .withColumn("top_bi_frac", frac(coalesce(col("top_bi"), lit(0L)), col("n_toks") - 1L))
+      .withColumn("gopher_ok",
+        col("dup_frac") <= 0.6 && col("top_uni_frac") <= 0.3 && col("top_bi_frac") <= 0.25)
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        col("dup_frac"), col("top_uni_frac"), col("top_bi_frac"), col("gopher_ok"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    toks.unpersist(false)
+    out
+  }
+
+  private val textRepetitionSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS toks
+      | FROM documents),
+      |base AS (
+      | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+      |uni AS (
+      | SELECT doc_id, max(c) AS top_uni FROM (
+      |   SELECT doc_id, tok, count(*) AS c
+      |   FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+      | GROUP BY doc_id),
+      |bi AS (
+      | SELECT doc_id, max(c) AS top_bi FROM (
+      |   SELECT doc_id, bg, count(*) AS c
+      |   FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |     THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      |     ELSE [] END) AS bg FROM t) GROUP BY doc_id, bg)
+      | GROUP BY doc_id),
+      |scored AS (
+      | SELECT b.doc_id, b.n_toks, b.n_distinct,
+      |  CASE WHEN b.n_toks <= 0 THEN 0.0
+      |       ELSE round((b.n_toks - b.n_distinct) / b.n_toks, 4) + 0 END AS dup_frac,
+      |  CASE WHEN b.n_toks <= 0 THEN 0.0
+      |       ELSE round(coalesce(u.top_uni, 0) / b.n_toks, 4) + 0 END AS top_uni_frac,
+      |  CASE WHEN b.n_toks - 1 <= 0 THEN 0.0
+      |       ELSE round(coalesce(i.top_bi, 0) / (b.n_toks - 1), 4) + 0 END AS top_bi_frac
+      | FROM base b LEFT JOIN uni u USING (doc_id) LEFT JOIN bi i USING (doc_id))
+      |SELECT doc_id, n_toks, n_distinct, dup_frac, top_uni_frac, top_bi_frac,
+      | (dup_frac <= 0.6 AND top_uni_frac <= 0.3 AND top_bi_frac <= 0.25) AS gopher_ok
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lexical_stats" -> (textLexicalStats _),
     "text_lm_score" -> (textLmScore _),
@@ -866,6 +945,7 @@ object TextQueries {
     "text_bpe_perlang" -> (textBpePerLang _),
     "text_bpe_perlang_artifact" -> (textBpePerLangArtifact _),
     "text_hash_features" -> (textHashFeatures _),
+    "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -884,5 +964,6 @@ object TextQueries {
     "text_bpe_perlang" -> textBpePerLangSql,
     "text_bpe_perlang_artifact" -> textBpePerLangArtifactSql,
     "text_hash_features" -> textHashFeaturesSql,
+    "text_repetition" -> textRepetitionSql,
     "text_pii_scrub" -> textPiiScrubSql)
 }
