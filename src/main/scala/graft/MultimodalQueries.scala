@@ -787,7 +787,89 @@ object MultimodalQueries {
     mmJpegDecodeSql.replace("true AS decode_within_bound",
       "true AS native_within_bound")
 
+  // F14 — BILINEAR resize on the decoded image (the training-pipeline
+  // preprocessing kernel beyond F4/F7's nearest-neighbor): decode the
+  // deterministic BMP and upsample to a fixed 16×12 with
+  // MediaCodec.resizeBilinearScaled — corner-aligned bilinear in EXACT
+  // fixed-point (all weights integers scaled by D = 15·11), fused in
+  // the same task as the decode (no second pass over pixels). Because
+  // the kernel is exact-integer, the DuckDB oracle replays every
+  // interpolated pixel bit-for-bit via four coordinate joins; the only
+  // float op is the final mean's single IEEE division. Output: exact
+  // scaled gray total, one probed target pixel, and the rounded mean.
+  private def mmImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    val (tw, th) = (16, 12)
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            (((id + x * 7 + y * 13) % 256).toInt,
+              ((id * 3 + x * 5 + y * 11) % 256).toInt,
+              ((id * 5 + x * 3 + y * 17) % 256).toInt)
+          }
+          val d = MediaCodec.decodeBmp(MediaCodec.encodeBmp24(w, h, px))
+          val res = MediaCodec.resizeBilinearScaled(d, tw, th)
+          val graySum = res.foldLeft(0L)((a, p) => a + p._1 + p._2 + p._3)
+          val probe = res(5 * tw + 7)
+          MmResizeRow(id, w.toLong, h.toLong, graySum,
+            probe._1 + probe._2 + probe._3,
+            graySum.toDouble / (tw * th * 3 * (tw - 1) * (th - 1)))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("gray_scaled_sum"), col("probe_scaled"),
+        round(col("mean_gray"), 4).as("mean_gray"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmImageResizeSql =
+    """WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      |             FROM documents),
+      |px AS (
+      | SELECT doc_id, x, y, (doc_id + x * 7 + y * 13) % 256 AS r,
+      |   (doc_id * 3 + x * 5 + y * 11) % 256 AS g,
+      |   (doc_id * 5 + x * 3 + y * 17) % 256 AS b
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+      |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+      |tgt AS (
+      | SELECT doc_id, w, h, tx, ty,
+      |   (tx * (w - 1)) // 15 AS qx, (tx * (w - 1)) % 15 AS rx,
+      |   (ty * (h - 1)) // 11 AS qy, (ty * (h - 1)) % 11 AS ry
+      | FROM dims,
+      |  LATERAL (SELECT unnest(generate_series(0, 15)) AS tx) txs,
+      |  LATERAL (SELECT unnest(generate_series(0, 11)) AS ty) tys),
+      |interp AS (
+      | SELECT t.doc_id, t.tx, t.ty,
+      |   (15 - t.rx) * (11 - t.ry) * (p00.r + p00.g + p00.b) +
+      |   t.rx * (11 - t.ry) * (p10.r + p10.g + p10.b) +
+      |   (15 - t.rx) * t.ry * (p01.r + p01.g + p01.b) +
+      |   t.rx * t.ry * (p11.r + p11.g + p11.b) AS gray_scaled
+      | FROM tgt t
+      | JOIN px p00 ON p00.doc_id = t.doc_id AND p00.x = t.qx AND p00.y = t.qy
+      | JOIN px p10 ON p10.doc_id = t.doc_id
+      |   AND p10.x = least(t.qx + 1, t.w - 1) AND p10.y = t.qy
+      | JOIN px p01 ON p01.doc_id = t.doc_id AND p01.x = t.qx
+      |   AND p01.y = least(t.qy + 1, t.h - 1)
+      | JOIN px p11 ON p11.doc_id = t.doc_id
+      |   AND p11.x = least(t.qx + 1, t.w - 1) AND p11.y = least(t.qy + 1, t.h - 1))
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+      | CAST(sum(i.gray_scaled) AS BIGINT) AS gray_scaled_sum,
+      | CAST(sum(CASE WHEN i.tx = 7 AND i.ty = 5 THEN i.gray_scaled ELSE 0 END)
+      |   AS BIGINT) AS probe_scaled,
+      | round(CAST(sum(i.gray_scaled) AS DOUBLE) / 95040, 4) AS mean_gray
+      |FROM dims d JOIN interp i ON i.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.w, d.h
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_resize" -> (mmImageResize _),
     "mm_jpeg_decode" -> (mmJpegDecode _),
     "mm_jpeg_native" -> (mmJpegNative _),
     "mm_video_keyframes" -> (mmVideoKeyframes _),
@@ -803,6 +885,7 @@ object MultimodalQueries {
     "mm_png_decode" -> (mmPngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm_image_resize" -> mmImageResizeSql,
     "mm_phash_groups" -> mmPhashGroupsSql,
     "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_image_phash" -> mmImagePhashSql,
@@ -823,6 +906,8 @@ case class MmAudioRow(doc_id: Long, sample_rate: Long, n_samples: Long,
     mean_amp: Double, rms: Double)
 case class MmAudioFeatRow(doc_id: Long, n_frames: Long, peak_frame: Long,
     peak_rms: Double, min_rms: Double)
+case class MmResizeRow(doc_id: Long, width: Long, height: Long,
+  gray_scaled_sum: Long, probe_scaled: Long, mean_gray: Double)
 case class MmImageRow(doc_id: Long, width: Long, height: Long,
     mean_r: Double, thumb_gray: Double)
 case class MmImageFeatRow(doc_id: Long, q_tl: Double, q_tr: Double,

@@ -157,6 +157,34 @@ object MediaCodec {
     BmpData(width, height, pixels)
   }
 
+  /** Bilinear resize to `tw × th` in EXACT fixed-point arithmetic:
+    * target pixel (tx,ty) samples source coordinate
+    * (tx·(sw-1)/(tw-1), ty·(sh-1)/(th-1)) (corner-aligned), and the
+    * returned RGB values are scaled by D = (tw-1)·(th-1) so every
+    * weight is an integer and the result is exact — no float weights,
+    * so an SQL oracle replays the kernel bit-for-bit and a mean needs
+    * only one IEEE division at the end. Index clamps cover the rx=0 /
+    * ry=0 edge where the right/bottom neighbor's weight is zero.
+    */
+  def resizeBilinearScaled(img: BmpData, tw: Int, th: Int): Array[(Long, Long, Long)] = {
+    val (sw, sh) = (img.width, img.height)
+    Array.tabulate(tw * th) { i =>
+      val (tx, ty) = (i % tw, i / tw)
+      val nx = tx * (sw - 1); val ny = ty * (sh - 1)
+      val qx = nx / (tw - 1); val rx = nx % (tw - 1)
+      val qy = ny / (th - 1); val ry = ny % (th - 1)
+      val qx1 = math.min(qx + 1, sw - 1); val qy1 = math.min(qy + 1, sh - 1)
+      val p00 = img.pixels(qy * sw + qx); val p10 = img.pixels(qy * sw + qx1)
+      val p01 = img.pixels(qy1 * sw + qx); val p11 = img.pixels(qy1 * sw + qx1)
+      def mix(c00: Int, c10: Int, c01: Int, c11: Int): Long =
+        (tw - 1L - rx) * (th - 1L - ry) * c00 + rx.toLong * (th - 1L - ry) * c10 +
+          (tw - 1L - rx) * ry.toLong * c01 + rx.toLong * ry.toLong * c11
+      (mix(p00._1, p10._1, p01._1, p11._1),
+        mix(p00._2, p10._2, p01._2, p11._2),
+        mix(p00._3, p10._3, p01._3, p11._3))
+    }
+  }
+
   /** Nearest-neighbor downsample to `tw × th` (a real resize kernel —
     * the op a training pipeline runs per image).
     */
