@@ -15,7 +15,7 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   /** Lowercased word tokens as an array column. */
-  private val tokensCol = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+  private[graft] val tokensCol = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
 
   // C1 — exact dedup by content hash, keep lowest doc_id.
   private def dedupExact(s: SparkSession, dir: String): DataFrame =

@@ -405,8 +405,125 @@ object PipelineQueries {
        |SELECT doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin
   }
 
+  // J9 — the FULL curation chain, one query: exact dedup → quality
+  // gate (J3's length/punctuation thresholds) → repetition gate
+  // (E18's Gopher signals) → corpus-duplicated-ngram gate (C9's
+  // C4/Dolma accounting, recomputed over the gated survivors so the
+  // dup statistics reflect the corpus actually being kept) →
+  // per-source curated stats. This is the query a training-data run
+  // executes end-to-end; every stage is keyed aggregation/join (md5,
+  // doc_id, gram, source — never all-pairs), fractions are
+  // exact-integer ratios, and the whole chain replays in one oracle.
+  private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keep = d.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val len = length(col("text")).cast("long")
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val base = d.join(keep, Seq("doc_id"), "leftsemi")
+      .filter(len >= 100 && punct / len <= 0.1)
+      .select(col("doc_id"), col("source"), DedupQueries.tokensCol.as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // repetition gate (E18): one agg pass yields totals + top unigram
+    val uni = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_toks"),
+        count(lit(1)).as("n_distinct"), max(col("c")).as("top_uni"))
+    val bi = base.select(col("doc_id"), explode(expr(
+        """if(size(toks) >= 2,
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),
+          |  array())""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    val repOk = uni.join(bi, Seq("doc_id"), "left")
+      .filter(
+        round((col("n_toks") - col("n_distinct")) / col("n_toks"), 4) <= 0.6 &&
+        round(col("top_uni") / col("n_toks"), 4) <= 0.3 &&
+        (col("n_toks") <= 1L ||
+          round(coalesce(col("top_bi"), lit(0L)) / (col("n_toks") - 1L), 4) <= 0.25))
+      .select(col("doc_id"), col("n_toks"))
+    val gated = base.join(repOk, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus-duplicated-ngram gate (C9) over the gated survivors
+    val grams = gated.select(col("doc_id"), explode(expr(
+        """if(size(toks) >= 5,
+          |  transform(sequence(1, size(toks) - 4),
+          |    i -> concat_ws(' ', slice(toks, i, 5))),
+          |  array())""".stripMargin)).as("gram"))
+    val dupGrams = grams.distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2L).select(col("gram"), lit(1L).as("dup"))
+    val ngramOk = grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .filter(round(col("n_dup") / col("n_grams"), 4) <= 0.8)
+      .select(col("doc_id"))
+    val out = gated.join(ngramOk, Seq("doc_id"), "leftsemi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+      .localCheckpoint(eager = true)
+    base.unpersist(false); gated.unpersist(false)
+    out
+  }
+
+  private val pipelineCurateSql =
+    """WITH keep AS (
+      | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |base AS (
+      | SELECT d.doc_id, d.source,
+      |   list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+      |     x -> x <> '') AS toks
+      | FROM documents d JOIN keep USING (doc_id)
+      | WHERE length(d.text) >= 100
+      |   AND length(regexp_replace(d.text, '[^.,!?;:]', '', 'g')) / length(d.text) <= 0.1),
+      |uni AS (
+      | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+      |   count(*) AS n_distinct, max(c) AS top_uni FROM (
+      |   SELECT doc_id, tok, count(*) AS c
+      |   FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY doc_id, tok)
+      | GROUP BY doc_id),
+      |bi AS (
+      | SELECT doc_id, max(c) AS top_bi FROM (
+      |   SELECT doc_id, bg, count(*) AS c
+      |   FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |     THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      |     ELSE [] END) AS bg FROM base) GROUP BY doc_id, bg)
+      | GROUP BY doc_id),
+      |repok AS (
+      | SELECT u.doc_id, u.n_toks
+      | FROM uni u LEFT JOIN bi b USING (doc_id)
+      | WHERE round((u.n_toks - u.n_distinct) / u.n_toks, 4) <= 0.6
+      |   AND round(u.top_uni / u.n_toks, 4) <= 0.3
+      |   AND (u.n_toks <= 1
+      |        OR round(coalesce(b.top_bi, 0) / (u.n_toks - 1), 4) <= 0.25)),
+      |gated AS (
+      | SELECT base.doc_id, base.source, base.toks, repok.n_toks
+      | FROM base JOIN repok USING (doc_id)),
+      |g AS (
+      | SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+      |   THEN list_transform(range(1, len(toks) - 3),
+      |          i -> array_to_string(toks[i:i+4], ' '))
+      |   ELSE [] END) AS gram FROM gated),
+      |dg AS (
+      | SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      | GROUP BY gram HAVING count(*) >= 2),
+      |ngramok AS (
+      | SELECT g.doc_id
+      | FROM g LEFT JOIN dg ON g.gram = dg.gram
+      | GROUP BY g.doc_id
+      | HAVING round(CAST(sum(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   / count(*), 4) <= 0.8)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      | min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM gated JOIN ngramok USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pagerank" -> (pipelinePagerank _),
+    "pipeline_curate" -> (pipelineCurate _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_neardup_select" -> (pipelineNeardupSelect _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
@@ -417,6 +534,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_pagerank" -> pipelinePagerankSql,
+    "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_neardup_select" -> pipelineNeardupSelectSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
