@@ -1511,7 +1511,61 @@ object RelationalQueries {
       | round(CAST(count(p_event_id) AS DOUBLE) / count(*), 4) AS conv_rate
       |FROM j GROUP BY 1 ORDER BY click_day""".stripMargin
 
+  // B58 — EXACT DECIMAL money arithmetic (TPC-H Q1's measures without
+  // float error): at 100 TB a float sum of prices drifts with
+  // partition count and merge order; decimals are exact and
+  // order-independent, so the distributed sum equals the oracle's
+  // single-threaded one bit-for-bit with NO rounding trick. Every
+  // intermediate carries an explicit cast so both engines walk the
+  // same scale ladder: 2dp inputs → 4dp discounted price (exact
+  // product) → 6dp charge (exact product) → wide exact sums. The only
+  // double→decimal conversions happen on the 2-decimal-valued source
+  // columns where nearest-2dp rounding is unambiguous.
+  private def q58DecimalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(l_quantity AS DECIMAL(18,2))").as("qty"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("price"),
+        expr("CAST(l_discount AS DECIMAL(18,2))").as("disc"),
+        expr("CAST(l_tax AS DECIMAL(18,2))").as("tax"))
+      .withColumn("disc_price",
+        expr("CAST(price * (CAST(1 AS DECIMAL(18,2)) - disc) AS DECIMAL(18,4))"))
+      .withColumn("charge",
+        expr("CAST(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax) AS DECIMAL(18,6))"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(sum(qty) AS DECIMAL(38,2))").as("sum_qty"),
+        expr("CAST(sum(price) AS DECIMAL(38,2))").as("sum_base_price"),
+        expr("CAST(sum(disc_price) AS DECIMAL(38,4))").as("sum_disc_price"),
+        expr("CAST(sum(charge) AS DECIMAL(38,6))").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q58Sql =
+    """WITH d AS (
+      | SELECT l_returnflag, l_linestatus,
+      |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |  CAST(l_discount AS DECIMAL(18,2)) AS disc,
+      |  CAST(l_tax AS DECIMAL(18,2)) AS tax
+      | FROM lineitem),
+      |e AS (
+      | SELECT *, CAST(price * (CAST(1 AS DECIMAL(18,2)) - disc) AS DECIMAL(18,4)) AS disc_price
+      | FROM d),
+      |f AS (
+      | SELECT *, CAST(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax) AS DECIMAL(18,6)) AS charge
+      | FROM e)
+      |SELECT l_returnflag, l_linestatus,
+      | CAST(sum(qty) AS DECIMAL(38,2)) AS sum_qty,
+      | CAST(sum(price) AS DECIMAL(38,2)) AS sum_base_price,
+      | CAST(sum(disc_price) AS DECIMAL(38,4)) AS sum_disc_price,
+      | CAST(sum(charge) AS DECIMAL(38,6)) AS sum_charge,
+      | count(*) AS count_order
+      |FROM f GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_decimal_agg" -> (q58DecimalAgg _),
     "q52_approx_percentile" -> (q52ApproxPercentile _),
     "q53_interpolate" -> (q53Interpolate _),
     "q54_scd2" -> (q54Scd2 _),
@@ -1577,6 +1631,7 @@ object RelationalQueries {
     "q55_funnel" -> q55Sql,
     "q56_cube" -> q56Sql,
     "q57_json_schema" -> q57Sql,
+    "q58_decimal_agg" -> q58Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,
