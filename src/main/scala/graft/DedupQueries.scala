@@ -523,8 +523,14 @@ object DedupQueries {
   // equi-join the dup set back, re-aggregate by doc. Fractions are
   // exact-integer ratios; short docs (< 5 tokens) pin to 0.0 rather
   // than divide by zero.
-  private def dedupCorpusNgram(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+  /** The C9 gram-accounting core over an arbitrary (doc_id, text)
+    * frame — shared with CurateScaleSpec, which drives it at 10⁶ docs
+    * to probe gram-key skew and the dup-set size (the numbers that
+    * decide whether the join-back broadcasts at 100 TB). Returns one
+    * row per doc that HAS grams: (doc_id, n_grams, n_dup).
+    */
+  private[graft] def corpusNgramStatsFor(docFrame: DataFrame): DataFrame = {
+    val grams = docFrame
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), explode(expr(
         """if(size(toks) >= 5,
@@ -539,6 +545,13 @@ object DedupQueries {
     val perDoc = grams.join(dupGrams, Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .localCheckpoint(eager = true)
+    grams.unpersist(false)
+    perDoc
+  }
+
+  private def dedupCorpusNgram(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = corpusNgramStatsFor(docs(s, dir))
     val out = docs(s, dir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -548,8 +561,6 @@ object DedupQueries {
         .otherwise(round(col("n_dup") / col("n_grams"), 4) + lit(0.0)))
       .withColumn("keep", col("dup_frac") <= 0.8)
       .orderBy(col("doc_id"))
-      .localCheckpoint(eager = true)
-    grams.unpersist(false)
     out
   }
 
