@@ -139,6 +139,90 @@ object SimilarityQueries {
       |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin
 
+  // D13 — FILTERED ANN (hybrid search): the metadata-predicate +
+  // vector query every vector store serves ("top-k within my
+  // tenant/language/domain"). The label predicate applies INSIDE the
+  // probed list scan — candidates must already satisfy
+  // nlabel = qlabel before ranking, so filtered search costs
+  // nprobe/K · selectivity of the corpus (a post-filter over an
+  // unfiltered top-k can come back EMPTY when the filter is
+  // selective; pre-filtering the whole corpus re-scans everything —
+  // in-list filtering is the shape vector stores actually ship). At
+  // scale the lists are bucketed tables and the predicate is a pushed
+  // parquet filter on the list scan. Seeded centroids (D5's contract)
+  // keep both the IVF path AND the filtered brute-force reference
+  // fully replayable in the oracle; in_bf marks each probed hit
+  // against the exact filtered top-3.
+  private def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val lists = graft.operators.IvfIndex.assign(
+        all.select(col("vec_id"), col("v")), cent, "vec_id", "v", keep = 1)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+      .join(all.select(col("vec_id").as("nid"), col("label").as("nlabel")), Seq("nid"))
+    val probes = graft.operators.IvfIndex.assign(
+        all.filter(col("vec_id") <= 10).select(col("vec_id"), col("v")),
+        cent, "vec_id", "v", keep = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+      .join(all.select(col("vec_id").as("qid"), col("label").as("qlabel")), Seq("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val ivf = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid") && col("nlabel") === col("qlabel"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+    val q = all.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("qlabel"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"), col("label").as("nlabel"))
+      .join(broadcast(q), col("nid") =!= col("qid") && col("nlabel") === col("qlabel"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid").as("bqid"), col("nid").as("bnid"), lit(1L).as("hit"))
+    ivf.join(bf, col("qid") === col("bqid") && col("nid") === col("bnid"), "left")
+      .withColumn("in_bf", col("hit").isNotNull)
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"), col("in_bf"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnFilteredSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |ad AS (SELECT e.vec_id, e.v, e.label, cent.cid,
+      |         list_dot_product(e.v, e.v)
+      |         - 2 * list_dot_product(e.v, cent.cv)
+      |         + list_dot_product(cent.cv, cent.cv) AS dist2
+      |       FROM e CROSS JOIN cent),
+      |ar AS (SELECT vec_id, v, label, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crn
+      |       FROM ad),
+      |lists AS (SELECT vec_id AS nid, v AS nv, label AS nlabel, cid FROM ar WHERE crn = 1),
+      |probes AS (SELECT vec_id AS qid, v AS qv, label AS qlabel, cid FROM ar
+      |           WHERE crn <= 2 AND vec_id <= 10),
+      |si AS (SELECT p.qid, l.nid,
+      |        list_dot_product(p.qv, l.nv) /
+      |        (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))) AS cos
+      |      FROM lists l JOIN probes p USING (cid)
+      |      WHERE l.nid <> p.qid AND l.nlabel = p.qlabel),
+      |ri AS (SELECT qid, nid, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM si),
+      |ivf AS (SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM ri WHERE rn <= 3),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id <= 10),
+      |sb AS (SELECT q.qid, e.vec_id AS nid,
+      |        list_dot_product(q.qv, e.v) /
+      |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |      FROM q JOIN e ON e.vec_id <> q.qid AND e.label = q.qlabel),
+      |rb AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sb),
+      |bf AS (SELECT qid, nid FROM rb WHERE rn <= 3)
+      |SELECT i.qid, i.rn, i.nid, i.cos_sim, (bf.nid IS NOT NULL) AS in_bf
+      |FROM ivf i LEFT JOIN bf ON bf.qid = i.qid AND bf.nid = i.nid
+      |ORDER BY i.qid, i.rn""".stripMargin
+
   // D6 — IVF with a TRAINED coarse quantizer: deterministic seeded
   // k-means (fixed Lloyd iterations, spread init by xxhash64(id),
   // centroid sync O(k·dim) per iteration) replaces D5's seeded
@@ -671,6 +755,7 @@ object SimilarityQueries {
     "knn_mmr" -> (knnMmr _),
     "knn_hnsw" -> (knnHnsw _),
     "knn_bruteforce" -> (knnBruteforce _),
+    "knn_filtered" -> (knnFiltered _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
@@ -685,6 +770,7 @@ object SimilarityQueries {
     "knn_mmr" -> knnMmrSql,
     "knn_hnsw" -> knnHnswSql,
     "knn_bruteforce" -> knnBruteforceSql,
+    "knn_filtered" -> knnFilteredSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
