@@ -223,6 +223,80 @@ object SimilarityQueries {
       |FROM ivf i LEFT JOIN bf ON bf.qid = i.qid AND bf.nid = i.nid
       |ORDER BY i.qid, i.rn""".stripMargin
 
+  // D14 — MATRYOSHKA retrieval (prefix-dimension coarse rank + full-
+  // dimension re-rank): embeddings trained with matryoshka loss carry
+  // their information front-loaded, so the first 16 of 64 dims rank a
+  // shortlist at 1/4 the distance cost and only the shortlist pays
+  // full-dimension scoring — the two-pass serving shape MRL deployments
+  // use (and it composes with any of the D5-D12 index tiers, which
+  // would produce the candidate stream instead of the scan here). Both
+  // passes are deterministic dot products, so the oracle replays
+  // coarse AND fine rankings exactly; in_full marks each returned hit
+  // against the full-dimension brute-force top-5.
+  private def knnMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        expr("slice(v, 1, 16)").as("qp"))
+    val cand = all
+      .select(col("vec_id").as("nid"), col("v").as("nv"),
+        expr("slice(v, 1, 16)").as("np"))
+      .join(broadcast(q), col("nid") =!= col("qid"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cos16").desc, col("nid"))
+    val shortlist = cand
+      .withColumn("cos16", VectorOps.cosine(col("qp"), col("np")))
+      .withColumn("crn", row_number().over(wc).cast("long"))
+      .filter(col("crn") <= 20)
+    val wf = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val reranked = shortlist
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wf).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wf).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid").as("bqid"), col("nid").as("bnid"), lit(1L).as("hit"))
+    reranked
+      .join(bf, col("qid") === col("bqid") && col("nid") === col("bnid"), "left")
+      .withColumn("in_full", col("hit").isNotNull)
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"), col("in_full"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnMatryoshkaSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, v[1:16] AS qp FROM e WHERE vec_id <= 10),
+      |sc AS (SELECT q.qid, e.vec_id AS nid, e.v AS nv, q.qv,
+      |        list_dot_product(q.qp, e.v[1:16]) /
+      |        (sqrt(list_dot_product(q.qp, q.qp)) *
+      |         sqrt(list_dot_product(e.v[1:16], e.v[1:16]))) AS cos16
+      |      FROM q JOIN e ON e.vec_id <> q.qid),
+      |sl AS (SELECT qid, nid, nv, qv, cos16,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos16 DESC, nid) AS crn
+      |      FROM sc),
+      |fr AS (SELECT qid, nid,
+      |        list_dot_product(qv, nv) /
+      |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+      |      FROM sl WHERE crn <= 20),
+      |rr AS (SELECT qid, nid, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM fr),
+      |res AS (SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM rr WHERE rn <= 5),
+      |sb AS (SELECT q.qid, e.vec_id AS nid,
+      |        list_dot_product(q.qv, e.v) /
+      |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |      FROM q JOIN e ON e.vec_id <> q.qid),
+      |rb AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sb),
+      |bf AS (SELECT qid, nid FROM rb WHERE rn <= 5)
+      |SELECT r.qid, r.rn, r.nid, r.cos_sim, (bf.nid IS NOT NULL) AS in_full
+      |FROM res r LEFT JOIN bf ON bf.qid = r.qid AND bf.nid = r.nid
+      |ORDER BY r.qid, r.rn""".stripMargin
+
   // D6 — IVF with a TRAINED coarse quantizer: deterministic seeded
   // k-means (fixed Lloyd iterations, spread init by xxhash64(id),
   // centroid sync O(k·dim) per iteration) replaces D5's seeded
@@ -756,6 +830,7 @@ object SimilarityQueries {
     "knn_hnsw" -> (knnHnsw _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_filtered" -> (knnFiltered _),
+    "knn_matryoshka" -> (knnMatryoshka _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
@@ -771,6 +846,7 @@ object SimilarityQueries {
     "knn_hnsw" -> knnHnswSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_filtered" -> knnFilteredSql,
+    "knn_matryoshka" -> knnMatryoshkaSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
