@@ -182,7 +182,7 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("qid").as("bqid"), col("nid").as("bnid"), lit(1L).as("hit"))
-    ivf.join(bf, col("qid") === col("bqid") && col("nid") === col("bnid"), "left")
+    ivf.join(broadcast(bf), col("qid") === col("bqid") && col("nid") === col("bnid"), "left")
       .withColumn("in_bf", col("hit").isNotNull)
       .select(col("qid"), col("rn"), col("nid"), col("cos_sim"), col("in_bf"))
       .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
@@ -261,7 +261,7 @@ object SimilarityQueries {
       .filter(col("rn") <= 5)
       .select(col("qid").as("bqid"), col("nid").as("bnid"), lit(1L).as("hit"))
     reranked
-      .join(bf, col("qid") === col("bqid") && col("nid") === col("bnid"), "left")
+      .join(broadcast(bf), col("qid") === col("bqid") && col("nid") === col("bnid"), "left")
       .withColumn("in_full", col("hit").isNotNull)
       .select(col("qid"), col("rn"), col("nid"), col("cos_sim"), col("in_full"))
       .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
