@@ -203,6 +203,62 @@ object MultimodalQueries {
       |ORDER BY d.doc_id""".stripMargin
 
 
+  // F15 — linear-interpolation RESAMPLE of the decoded PCM (sample-
+  // rate conversion — the audio preprocessing twin of F14's bilinear
+  // resize): decode the deterministic WAV, resample the variable-
+  // length channel (100-149 samples) to a fixed 160 with
+  // MediaCodec.resampleLinearScaled — corner-aligned linear interp in
+  // EXACT fixed-point (integer weights scaled by m-1 = 159), fused in
+  // the decode task. The oracle replays every resampled value through
+  // two coordinate joins; the single IEEE division is the final mean.
+  private def mmAudioResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    val m = 160
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (100 + id % 50).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 201) - 100).toInt)
+          val d = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(rate, samples))
+          val res = MediaCodec.resampleLinearScaled(d.samples, m)
+          val sum = res.sum
+          MmResampleRow(id, d.samples.length.toLong, m.toLong, sum, res(100),
+            sum.toDouble / (m.toLong * (m - 1)))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_in"), col("n_out"),
+        col("sum_scaled"), col("probe_scaled"),
+        (round(col("mean_amp"), 4) + lit(0.0)).as("mean_amp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioResampleSql =
+    """WITH src AS (
+      | SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n, i,
+      |   ((doc_id * 31 + i * 7) % 201) - 100 AS v
+      | FROM documents, LATERAL (
+      |   SELECT unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i) t),
+      |tgt AS (
+      | SELECT d.doc_id, CAST(100 + d.doc_id % 50 AS BIGINT) AS n, tt,
+      |   (tt * (100 + d.doc_id % 50 - 1)) // 159 AS q,
+      |   (tt * (100 + d.doc_id % 50 - 1)) % 159 AS r
+      | FROM documents d, LATERAL (
+      |   SELECT unnest(generate_series(0, 159)) AS tt) ts),
+      |interp AS (
+      | SELECT t.doc_id, t.n, t.tt,
+      |   (159 - t.r) * s0.v + t.r * s1.v AS val_scaled
+      | FROM tgt t
+      | JOIN src s0 ON s0.doc_id = t.doc_id AND s0.i = t.q
+      | JOIN src s1 ON s1.doc_id = t.doc_id AND s1.i = least(t.q + 1, t.n - 1))
+      |SELECT doc_id, max(n) AS n_in, CAST(160 AS BIGINT) AS n_out,
+      | CAST(sum(val_scaled) AS BIGINT) AS sum_scaled,
+      | CAST(sum(CASE WHEN tt = 100 THEN val_scaled ELSE 0 END) AS BIGINT) AS probe_scaled,
+      | round(CAST(sum(val_scaled) AS DOUBLE) / 25440, 4) + 0 AS mean_amp
+      |FROM interp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // F5 — framed audio FEATURES on the decoded PCM: the real
   // feature-extraction step after decode (VAD/energy analysis shape) —
   // 32-sample frames, per-frame RMS, peak/quietest frame per doc. The
@@ -870,6 +926,7 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_resize" -> (mmImageResize _),
+    "mm_audio_resample" -> (mmAudioResample _),
     "mm_jpeg_decode" -> (mmJpegDecode _),
     "mm_jpeg_native" -> (mmJpegNative _),
     "mm_video_keyframes" -> (mmVideoKeyframes _),
@@ -886,6 +943,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_image_resize" -> mmImageResizeSql,
+    "mm_audio_resample" -> mmAudioResampleSql,
     "mm_phash_groups" -> mmPhashGroupsSql,
     "mm_audio_fingerprint" -> mmAudioFingerprintSql,
     "mm_image_phash" -> mmImagePhashSql,
@@ -906,6 +964,8 @@ case class MmAudioRow(doc_id: Long, sample_rate: Long, n_samples: Long,
     mean_amp: Double, rms: Double)
 case class MmAudioFeatRow(doc_id: Long, n_frames: Long, peak_frame: Long,
     peak_rms: Double, min_rms: Double)
+case class MmResampleRow(doc_id: Long, n_in: Long, n_out: Long,
+  sum_scaled: Long, probe_scaled: Long, mean_amp: Double)
 case class MmResizeRow(doc_id: Long, width: Long, height: Long,
   gray_scaled_sum: Long, probe_scaled: Long, mean_gray: Double)
 case class MmImageRow(doc_id: Long, width: Long, height: Long,

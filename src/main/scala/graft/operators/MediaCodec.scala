@@ -157,6 +157,23 @@ object MediaCodec {
     BmpData(width, height, pixels)
   }
 
+  /** Linear-interpolation resample of a PCM channel to `m` samples in
+    * EXACT fixed-point (the 1-D twin of [[resizeBilinearScaled]]):
+    * target index t samples source position t·(n-1)/(m-1)
+    * (corner-aligned) and returned values are scaled by (m-1), so
+    * every weight is an integer — sample-rate conversion whose output
+    * an SQL oracle replays exactly.
+    */
+  def resampleLinearScaled(samples: Array[Int], m: Int): Array[Long] = {
+    val n = samples.length
+    Array.tabulate(m) { t =>
+      val num = t.toLong * (n - 1)
+      val q = (num / (m - 1)).toInt; val r = num % (m - 1)
+      val q1 = math.min(q + 1, n - 1)
+      (m - 1L - r) * samples(q) + r * samples(q1)
+    }
+  }
+
   /** Bilinear resize to `tw × th` in EXACT fixed-point arithmetic:
     * target pixel (tx,ty) samples source coordinate
     * (tx·(sw-1)/(tw-1), ty·(sh-1)/(th-1)) (corner-aligned), and the
