@@ -521,9 +521,55 @@ object PipelineQueries {
       |FROM gated JOIN ngramok USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // J10 — mixture EPOCH planning (the up-sampling step of data
+  // mixing): given per-source target token masses, compute how many
+  // full epochs of each source a run repeats and how many tokens of
+  // the final partial epoch it samples — the "web ×1, code ×3.2"
+  // multipliers every training mixture publishes. Targets derive
+  // deterministically from the source id (share4 = id%4+1 quarters of
+  // the corpus total, J5's convention standing in for the external
+  // mixture table). Everything is integer arithmetic (ceil via
+  // (a+b-1) DIV b), so the plan replays exactly; one token-count agg +
+  // one broadcast of the corpus total — the planning query costs one
+  // scan regardless of corpus size.
+  private def pipelineMixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long")).as("n_tokens"))
+      .withColumn("share4", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+    val total = perSrc.agg(sum(col("n_tokens")).as("total_tokens"))
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("target_tokens", expr("(total_tokens * share4) DIV 16"))
+      .withColumn("full_epochs", expr("target_tokens DIV n_tokens"))
+      .withColumn("partial_tokens", col("target_tokens") % col("n_tokens"))
+      .withColumn("epochs_ceil",
+        expr("(target_tokens + n_tokens - 1) DIV n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("full_epochs"), col("partial_tokens"),
+        col("epochs_ceil"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineMixtureEpochsSql =
+    """WITH ps AS (
+      | SELECT source, count(*) AS n_docs,
+      |   CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+      |   CAST(substring(source, 4, 10) AS BIGINT) % 4 + 1 AS share4
+      | FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps)
+      |SELECT source, n_docs, n_tokens,
+      | CAST((total_tokens * share4) // 16 AS BIGINT) AS target_tokens,
+      | (total_tokens * share4) // 16 // n_tokens AS full_epochs,
+      | (total_tokens * share4) // 16 % n_tokens AS partial_tokens,
+      | ((total_tokens * share4) // 16 + n_tokens - 1) // n_tokens AS epochs_ceil
+      |FROM ps, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pagerank" -> (pipelinePagerank _),
     "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_mixture_epochs" -> (pipelineMixtureEpochs _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_neardup_select" -> (pipelineNeardupSelect _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
@@ -535,6 +581,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_pagerank" -> pipelinePagerankSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_mixture_epochs" -> pipelineMixtureEpochsSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_neardup_select" -> pipelineNeardupSelectSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
