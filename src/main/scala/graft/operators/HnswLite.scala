@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,72 +10,169 @@ import graft.VectorOps
   * idea of HNSW (Malkov & Yashunin 2016) re-expressed in joins instead
   * of a sequentially-built graph (greedy graph insertion is inherently
   * one-at-a-time; a hierarchy of pivot layers with beam descent keeps
-  * the logarithmic-ish search structure while building in two
-  * shuffle-free assignment passes).
+  * the logarithmic-ish search structure while building in parallel
+  * passes).
   *
   * Layers: L1 = the ceil(n/fanout) lowest-xxhash corpus nodes, L2 = the
-  * ceil(n/fanout²) lowest of those — nested like HNSW levels (a level-2
-  * node is in every lower level), deterministic (hash order, id
-  * tiebreak), no RNG state. Every L1 node points to its nearest L2
-  * pivot and every corpus node to its nearest L1 pivot — both via
-  * IvfIndex.assignOne (broadcast-argmin, no shuffle, no row
-  * amplification).
+  * ceil(n/fanout²) lowest of those, … — nested like HNSW levels (a
+  * level-j node is in every lower level), deterministic (hash order, id
+  * tiebreak), no RNG state. Depth is ADAPTIVE: levels keep shrinking by
+  * `fanout` until the top is ≤ fanout², so the top stays exhaustively
+  * scorable (and broadcastable) no matter how big the corpus gets.
   *
-  * Search descends with a beam: score ALL L2 pivots exactly (tiny,
-  * broadcast), keep beamTop; expand to L1 nodes under those pivots
-  * (equi-join on parent), keep beamMid; expand to corpus nodes under
-  * THOSE (equi-join), exact-cosine re-rank, top k. Per query the
-  * candidate volume is ~beamMid·fanout bottom-layer nodes — the
-  * fraction-of-corpus-touched contract HnswLiteSpec asserts.
+  * Edges are built ROUTED, exactly like HNSW inserts: a node finds its
+  * parent by descending the already-built upper hierarchy with a small
+  * beam (score the whole top, then only the children of the current
+  * beam at each level), NOT by brute argmin over the whole parent
+  * level. That bounds build cost at O(n·(top + depth·beam·fanout))
+  * distance evaluations — linear in corpus — where a flat assignment
+  * against L1 is O(n²/fanout), the quadratic term the sf1 probe caught
+  * at 27× for a 10× corpus. Routing is greedy-approximate (a node
+  * whose true nearest L1 pivot hides under an unprobed L2 branch gets
+  * a near-best parent instead); the recall contracts in HnswLiteSpec /
+  * HnswSweepSpec gate the approximation.
   *
-  * At 100 TB: layers are corpus-fraction tables (build = two argmin
-  * passes over one scan each), search is two broadcast equi-joins —
-  * the same scale shape as the IVF tier with one more level of
-  * indirection, which is what keeps the TOP of the hierarchy small
-  * enough to broadcast no matter how big the corpus gets.
+  * Search descends the same way: score ALL top pivots exactly (tiny,
+  * broadcast), keep beamTop; expand through the child edges level by
+  * level keeping beamMid; exact-cosine re-rank the bottom expansion,
+  * top k. Per query the candidate volume is ~beamMid·fanout bottom
+  * nodes — the fraction-of-corpus-touched contract HnswLiteSpec
+  * asserts.
   */
 object HnswLite {
+
+  private def d2(v: Column, c: Column): Column =
+    VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, c) + VectorOps.dot(c, c)
+
+  /** Nearest-`b` parents from a SMALL candidate set, shuffle-free:
+    * candidates ride along as one broadcast array row, each node sorts
+    * (dist², pid) structs and explodes its best `b` — the
+    * IvfIndex.assignOne trick generalized to a beam.
+    * nodes: (nid, nv); cand: (pid, pv). Returns (nid, nv, pid).
+    */
+  private def beamFromSmall(nodes: DataFrame, cand: DataFrame, b: Int): DataFrame = {
+    val packed = cand.agg(collect_list(struct(col("pid"), col("pv"))).as("cands"))
+    nodes.crossJoin(broadcast(packed))
+      .withColumn("best", slice(array_sort(transform(col("cands"),
+        c => struct(d2(col("nv"), c("pv")).as("dd"), c("pid").as("pid")))), 1, b))
+      .select(col("nid"), col("nv"), explode(col("best")).as("bb"))
+      .select(col("nid"), col("nv"), col("bb.pid").as("pid"))
+  }
+
+  /** One routed descent step: parents at level j+1 → best `b` children
+    * at level j per node. beam: (nid, nv, pid); edges: (cid, cv,
+    * parent) of level j. Returns (nid, nv, pid ∈ level j).
+    */
+  private def descend(beam: DataFrame, edges: DataFrame, b: Int): DataFrame = {
+    val w = Window.partitionBy(col("nid")).orderBy(col("dd"), col("ccid"))
+    beam.join(edges.select(col("parent").as("pid"), col("cid").as("ccid"),
+        col("cv").as("ccv")), Seq("pid"))
+      .withColumn("dd", d2(col("nv"), col("ccv")))
+      // drop the candidate vector BEFORE the rank shuffle — it is only
+      // needed for dd, and carrying it doubles the sorted row width
+      .select(col("nid"), col("nv"), col("ccid"), col("dd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= b)
+      .select(col("nid"), col("nv"), col("ccid").as("pid"))
+  }
 
   /** (qid, rn, nid, cos) top-k by beam-searched exact cosine. */
   def search(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       fanout: Int = 16, beamTop: Int = 4, beamMid: Int = 8): DataFrame = {
     val n = corpus.count()
-    def ceilDiv(a: Long, b: Long) = ((a + b - 1) / b).toInt
-    // nested deterministic levels: the hash order is the "level draw"
-    val l1 = corpus.orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(math.max(ceilDiv(n, fanout), 1))
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .localCheckpoint(eager = true) // reused as centroids AND as nodes
-    val l2 = l1.orderBy(xxhash64(col("cid")), col("cid"))
-      .limit(math.max(ceilDiv(n, fanout.toLong * fanout), 1))
+    val routeBeam = 4
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    val maxTop = fanout.toLong * fanout
+    // nested level sizes n/f, n/f², … until the top is ≤ fanout²
+    val sizes = {
+      val b = scala.collection.mutable.ListBuffer[Long](
+        math.max(ceilDiv(n, fanout), 1L))
+      while (b.last > maxTop) b += ceilDiv(b.last, fanout)
+      b.toList
+    }
+    val base = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    var prev = base
+    // levels(0) = L1 … levels(m-1) = top; nested by hash order (the
+    // deterministic "level draw")
+    val levels = sizes.map { sz =>
+      prev = prev.orderBy(xxhash64(col("cid")), col("cid"))
+        .limit(sz.toInt).localCheckpoint(eager = true)
+      prev
+    }.toArray
+    val m = levels.length
+    val topCand = levels(m - 1).select(col("cid").as("pid"), col("cv").as("pv"))
+
+    /** Route `nodes` (nid, nv) to their parent at `target` level.
+      * Cost-based: when nodeCount·|target| distance evaluations fit a
+      * fixed budget, the flat broadcast argmin is cheaper than
+      * routing's extra shuffles (it is shuffle-free); past the budget
+      * the quadratic flat term dominates and the HNSW-style routed
+      * descent (score the top, then only children of the beam) takes
+      * over — linear in nodes. Routed nodes whose whole beam lands on
+      * childless branches (rare) get a brute fallback.
+      */
+    val bruteBudget = 1L << 27
+    def route(nodes: DataFrame, nodeCount: Long, target: Int,
+        edges: Array[DataFrame]): DataFrame = {
+      if (nodeCount * sizes(target) <= bruteBudget || target == m - 1)
+        return IvfIndex.assignOne(nodes,
+          levels(target).select(col("cid"), col("cv")), "nid", "nv")
+          .toDF("nid", "nv", "pid")
+      // materialize the entry beam before the descent joins: fused,
+      // the per-row top-scoring expression re-evaluates inside the
+      // descent shuffle and the whole route re-runs wherever the edge
+      // frame is consumed unmaterialized (measured 3× on the sf1 probe)
+      var beam = beamFromSmall(nodes, topCand, routeBeam)
+        .localCheckpoint(eager = true)
+      for (jj <- m - 2 to target by -1)
+        beam = descend(beam, edges(jj), if (jj == target) 1 else routeBeam)
+      val assigned = beam.select(col("nid"), col("nv"), col("pid"))
+        .localCheckpoint(eager = true)
+      val stranded = nodes.join(assigned.select(col("nid")), Seq("nid"), "leftanti")
+      val rescued = IvfIndex.assignOne(stranded, levels(target)
+          .select(col("cid"), col("cv")), "nid", "nv")
+        .toDF("nid", "nv", "pid")
+      assigned.unionByName(rescued)
+    }
+
+    // edges(j): levels(j) node → parent in levels(j+1), built top-down
+    // so each level routes through the edges above it
+    val edges = new Array[DataFrame](math.max(m - 1, 0))
+    for (j <- m - 2 to 0 by -1) {
+      val child = levels(j).select(col("cid").as("nid"), col("cv").as("nv"))
+      edges(j) = route(child, sizes(j), j + 1, edges)
+        .toDF("cid", "cv", "parent")
+        .localCheckpoint(eager = true)
+    }
+    val corpusEdges = route(
+        base.select(col("cid").as("nid"), col("cv").as("nv")), n, 0, edges)
+      .toDF("nid", "nv", "parent1")
       .localCheckpoint(eager = true)
 
-    // graph edges: child -> nearest upper-level pivot (shuffle-free)
-    val l1Edges = IvfIndex.assignOne(
-        l1.select(col("cid").as("l1id"), col("cv").as("l1v")), l2, "l1id", "l1v")
-      .select(col("l1id"), col("l1v"), col("cid").as("parent2"))
-    val corpusEdges = IvfIndex.assignOne(corpus, l1, idCol, vecCol)
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid").as("parent1"))
-
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    // level 2: score every pivot (tiny) — the hierarchy's entry points
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val beam2 = q.crossJoin(broadcast(l2))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    // top: score every pivot (tiny) — the hierarchy's entry points
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("pid"))
+    var beam = q.crossJoin(broadcast(topCand))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("pv")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= beamTop)
-      .select(col("qid"), col("qv"), col("cid").as("parent2"))
-    // level 1: expand the beam through the L2->L1 edges
-    val wMid = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("l1id"))
-    val beam1 = broadcast(beam2).join(l1Edges, Seq("parent2"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("l1v")))
-      .withColumn("rk", row_number().over(wMid))
-      .filter(col("rk") <= beamMid)
-      .select(col("qid"), col("qv"), col("l1id").as("parent1"))
+      .select(col("qid"), col("qv"), col("pid"))
+    // middle levels: expand the beam through the child edges
+    for (j <- m - 2 to 0 by -1) {
+      val wMid = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ccid"))
+      beam = broadcast(beam)
+        .join(edges(j).select(col("parent").as("pid"), col("cid").as("ccid"),
+          col("cv").as("ccv")), Seq("pid"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("ccv")))
+        .withColumn("rk", row_number().over(wMid))
+        .filter(col("rk") <= beamMid)
+        .select(col("qid"), col("qv"), col("ccid").as("pid"))
+    }
     // bottom: expand to corpus nodes under the beam, exact re-rank
     val wK = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    broadcast(beam1).join(corpusEdges, Seq("parent1"))
+    broadcast(beam.select(col("qid"), col("qv"), col("pid").as("parent1")))
+      .join(corpusEdges, Seq("parent1"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
       .withColumn("rn", row_number().over(wK).cast("long"))
