@@ -566,7 +566,132 @@ object PipelineQueries {
       | ((total_tokens * share4) // 16 + n_tokens - 1) // n_tokens AS epochs_ceil
       |FROM ps, tot ORDER BY source""".stripMargin
 
+  // J11 — sequence PACKING (concat-and-chunk): the step that turns a
+  // curated corpus into fixed-length training sequences. Documents are
+  // concatenated in doc_id order and cut every L=256 tokens; a doc
+  // whose token span crosses a boundary lands in every window it
+  // touches (the standard pretraining packing — no padding waste, docs
+  // split at window edges). Global token offsets come from
+  // DistributedPrefixSum (no single-partition window); each doc then
+  // EXPLODES only into the windows it overlaps (⌈n/L⌉ rows, almost
+  // always 1-2 — never a corpus-wide explode), and per-window stats
+  // are one hash agg on seq_id. All integer arithmetic, so the layout
+  // replays bit-for-bit in the oracle. At 100 TB this is exactly the
+  // shape: prefix-sum (2 tiny shuffles) + explode-by-overlap + one
+  // keyed agg; every window's fill is provably L except the last.
+  private def pipelinePackSequences(s: SparkSession, dir: String): DataFrame = {
+    val L = 256L
+    val scored = docs(s, dir).select(col("doc_id"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long").as("n_tokens"))
+    val spans = graft.operators.DistributedPrefixSum
+      .withRunningTotal(scored, col("n_tokens"), "cum", col("doc_id"))
+      .withColumn("off", col("cum") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"off DIV $L"))
+      .withColumn("last_seq", expr(s"(off + n_tokens - 1) DIV $L"))
+    spans
+      .select(col("doc_id"), col("n_tokens"), col("off"), col("first_seq"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_doc_starts"),
+        sum(least((col("seq_id") + 1) * L, col("off") + col("n_tokens"))
+          - greatest(col("seq_id") * L, col("off"))).as("fill_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  private val pipelinePackSequencesSql =
+    """WITH sc AS (
+      | SELECT doc_id,
+      |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, n_tokens,
+      |   CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |     - n_tokens AS BIGINT) AS off
+      | FROM sc),
+      |x AS (
+      | SELECT doc_id, n_tokens, off, off // 256 AS first_seq,
+      |   unnest(generate_series(off // 256, (off + n_tokens - 1) // 256)) AS seq_id
+      | FROM r)
+      |SELECT seq_id, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_doc_starts,
+      | CAST(sum(least((seq_id + 1) * 256, off + n_tokens)
+      |        - greatest(seq_id * 256, off)) AS BIGINT) AS fill_tokens
+      |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // J12 — SemDeDup (semantic dedup, the embedding-space analogue of
+  // C1→C5; arXiv:2303.09540's shape): cluster the embedding space
+  // with a coarse quantizer, then drop within-CLUSTER near-duplicates
+  // (cos ≥ τ keeps the lowest id) — pairwise work is bounded by
+  // cluster size, never corpus². Exact-duplicate vectors collapse to
+  // a min-id representative FIRST (the same family-collapse that
+  // fixed dedup_simhash's sf1 blowup: exact families grow the pair
+  // join quadratically and are C1's job), so the within-cluster join
+  // is quadratic only in DISTINCT content per cluster. Seeded
+  // centroids (D5's contract) + the shuffle-free assignOne argmin
+  // keep every step replayable in the oracle. At 100 TB: K grows with
+  // the corpus so clusters stay bounded, assignment stays one
+  // broadcast + map, and the pair join shuffles once on cid.
+  private def pipelineSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val reps = e.groupBy(col("v"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n_exact"))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val m = graft.operators.IvfIndex
+      .assign(reps.select(col("rep_id"), col("v")), cent, "rep_id", "v", keep = 1)
+      .join(reps.select(col("rep_id"), col("n_exact")), Seq("rep_id"))
+    val dup = m.select(col("rep_id"), col("v"), col("cid")).as("a")
+      .join(m.select(col("rep_id"), col("v"), col("cid")).as("b"),
+        col("a.cid") === col("b.cid") && col("a.rep_id") < col("b.rep_id"))
+      .filter(round(VectorOps.cosine(col("a.v"), col("b.v")), 4) >= 0.3)
+      .select(col("b.rep_id").as("rep_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    m.join(dup, Seq("rep_id"), "left")
+      .groupBy(col("cid"))
+      .agg(sum(col("n_exact")).as("n_vectors"),
+        count(lit(1)).as("n_reps"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L))
+          .as("n_neardup_dropped"),
+        (count(lit(1)) - sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)))
+          .as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
+  private val pipelineSemdedupSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |reps AS (SELECT v, min(vec_id) AS rep_id, count(*) AS n_exact
+      |         FROM e GROUP BY v),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |ad AS (SELECT r.rep_id, r.v, r.n_exact, cent.cid,
+      |         list_dot_product(r.v, r.v) - 2 * list_dot_product(r.v, cent.cv)
+      |         + list_dot_product(cent.cv, cent.cv) AS dist2
+      |       FROM reps r CROSS JOIN cent),
+      |m AS (SELECT rep_id, v, n_exact, cid FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY rep_id
+      |          ORDER BY dist2, cid) AS crn FROM ad)
+      |      WHERE crn = 1),
+      |dup AS (SELECT DISTINCT b.rep_id
+      |        FROM m a JOIN m b ON a.cid = b.cid AND a.rep_id < b.rep_id
+      |        WHERE round(list_dot_product(a.v, b.v) /
+      |          (sqrt(list_dot_product(a.v, a.v)) *
+      |           sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
+      |SELECT m.cid, CAST(sum(m.n_exact) AS BIGINT) AS n_vectors,
+      | count(*) AS n_reps,
+      | CAST(sum(CASE WHEN dup.rep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_neardup_dropped,
+      | count(*) - CAST(sum(CASE WHEN dup.rep_id IS NOT NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_kept
+      |FROM m LEFT JOIN dup ON m.rep_id = dup.rep_id
+      |GROUP BY m.cid ORDER BY m.cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_sequences" -> (pipelinePackSequences _),
+    "pipeline_semdedup" -> (pipelineSemdedup _),
     "pipeline_pagerank" -> (pipelinePagerank _),
     "pipeline_curate" -> (pipelineCurate _),
     "pipeline_mixture_epochs" -> (pipelineMixtureEpochs _),
@@ -579,6 +704,8 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_sequences" -> pipelinePackSequencesSql,
+    "pipeline_semdedup" -> pipelineSemdedupSql,
     "pipeline_pagerank" -> pipelinePagerankSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_mixture_epochs" -> pipelineMixtureEpochsSql,
