@@ -27,6 +27,11 @@ case class FreqEstimate(shard: Long, probe_est: Long)
 case class TokRow(shard: Long, tok: String)
 case class TopkState(shard: Long, summary: Map[String, Long])
 
+/** Rows/outputs for the streaming text-gate maintainer (G18). */
+case class GateDoc(source: String, doc_id: Long, text: String)
+case class GateSummary(source: String, n_docs: Long, n_kept: Long,
+    kept_tokens: Long)
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -191,6 +196,156 @@ object StreamQueries {
     """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total,
       | round(min(value), 2) AS vmin, round(max(value), 2) AS vmax
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** G18 — per-doc Gopher repetition signals computed doc-locally
+    * (linear in doc length — a token/bigram hashmap per document, the
+    * in-task twin of E18's explode + hash aggs). Returns
+    * (passes_gate, n_tokens). Rounding is `scala.BigDecimal(double)`
+    * = `java.math.BigDecimal.valueOf` = the exact path Spark's
+    * `round()` takes, so the flag matches the column-expression gate
+    * bit-for-bit (spec-asserted against [[textGateBatch]]).
+    */
+  private[graft] def gateSignals(text: String): (Boolean, Long) = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    val n = toks.length.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val uni = new scala.collection.mutable.HashMap[String, Long]
+    toks.foreach(t => uni.update(t, uni.getOrElse(t, 0L) + 1L))
+    val topUni = if (uni.isEmpty) 0L else uni.valuesIterator.max
+    val bi = new scala.collection.mutable.HashMap[String, Long]
+    var i = 0
+    while (i + 1 < toks.length) {
+      val k = toks(i) + " " + toks(i + 1)
+      bi.update(k, bi.getOrElse(k, 0L) + 1L)
+      i += 1
+    }
+    val topBi = if (bi.isEmpty) 0L else bi.valuesIterator.max
+    val dupFrac = if (n <= 0) 0.0 else r4((n - uni.size.toLong).toDouble / n)
+    val topUniFrac = if (n <= 0) 0.0 else r4(topUni.toDouble / n)
+    val topBiFrac = if (n - 1 <= 0) 0.0 else r4(topBi.toDouble / (n - 1))
+    (dupFrac <= 0.6 && topUniFrac <= 0.3 && topBiFrac <= 0.25, n)
+  }
+
+  /** G18 streaming side: a per-source curation-gate maintainer on
+    * `transformWithState` — the streaming twin of the E18/J9 batch
+    * gates. Signals are doc-local (stateless within the task); the
+    * only state is one counter row per SOURCE (docs seen, docs kept,
+    * kept token mass), so state size is O(sources) regardless of
+    * stream volume, with the sketch family's TTL surface for key
+    * churn. This is the live "how much of today's crawl survived the
+    * filters" dashboard every ingestion pipeline keeps.
+    */
+  class TextGateProcessor(ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[String, GateDoc, GateSummary] {
+    @transient private var state: ValueState[GateSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GateSummary]("gate",
+        org.apache.spark.sql.Encoders.product[GateSummary], twsTtl(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[GateDoc],
+        timers: TimerValues): Iterator[GateSummary] = {
+      var s = if (state.exists()) state.get() else GateSummary(key, 0L, 0L, 0L)
+      rows.foreach { d =>
+        val (ok, n) = gateSignals(d.text)
+        s = GateSummary(key, s.n_docs + 1,
+          s.n_kept + (if (ok) 1L else 0L),
+          s.kept_tokens + (if (ok) n else 0L))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  def textGateMaintain(docs: Dataset[GateDoc],
+      ttl: Option[java.time.Duration] = None): Dataset[GateSummary] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new TextGateProcessor(ttl),
+        twsTimeMode(ttl), OutputMode.Update())
+  }
+
+  /** G18 batch equivalent over a `(source, doc_id, text)` frame:
+    * E18's exact column-expression signals (explode + two hash aggs
+    * per granularity — linear, distributed), then one per-source
+    * rollup. Shared by the oracle query and the streaming spec.
+    */
+  private[graft] def textGateBatch(d: DataFrame): DataFrame = {
+    val toks = d.select(col("source"), col("doc_id"), expr(
+      "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = toks.select(col("source"), col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_uni"))
+    val bi = toks.select(col("doc_id"), explode(expr(
+        """if(size(toks) >= 2,
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),
+          |  array())""".stripMargin)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    val frac = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
+      when(den <= 0L, lit(0.0)).otherwise(round(num / den, 4) + lit(0.0))
+    val ok = frac(col("n_toks") - col("n_distinct"), col("n_toks")) <= 0.6 &&
+      frac(coalesce(col("top_uni"), lit(0L)), col("n_toks")) <= 0.3 &&
+      frac(coalesce(col("top_bi"), lit(0L)), col("n_toks") - 1L) <= 0.25
+    val out = base
+      .join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+      .withColumn("ok", ok)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ok"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+      .localCheckpoint(eager = true)
+    toks.unpersist(false)
+    out
+  }
+
+  // G18 batch equivalent on the documents table.
+  private def streamTextGate(s: SparkSession, dir: String): DataFrame =
+    textGateBatch(Tables.load(s, dir, "documents"))
+
+  private val streamTextGateSql =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |     x -> x <> '') AS toks
+      | FROM documents),
+      |base AS (
+      | SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+      |   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+      |uni AS (
+      | SELECT doc_id, max(c) AS top_uni FROM (
+      |   SELECT doc_id, tok, count(*) AS c
+      |   FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+      | GROUP BY doc_id),
+      |bi AS (
+      | SELECT doc_id, max(c) AS top_bi FROM (
+      |   SELECT doc_id, bg, count(*) AS c
+      |   FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |     THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      |     ELSE [] END) AS bg FROM t) GROUP BY doc_id, bg)
+      | GROUP BY doc_id),
+      |g AS (
+      | SELECT b.source, b.n_toks,
+      |  (CASE WHEN b.n_toks <= 0 THEN 0.0
+      |        ELSE round((b.n_toks - b.n_distinct) / b.n_toks, 4) + 0 END <= 0.6
+      |   AND CASE WHEN b.n_toks <= 0 THEN 0.0
+      |        ELSE round(coalesce(u.top_uni, 0) / b.n_toks, 4) + 0 END <= 0.3
+      |   AND CASE WHEN b.n_toks - 1 <= 0 THEN 0.0
+      |        ELSE round(coalesce(i.top_bi, 0) / (b.n_toks - 1), 4) + 0 END <= 0.25)
+      |   AS ok
+      | FROM base b LEFT JOIN uni u USING (doc_id) LEFT JOIN bi i USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(sum(CASE WHEN ok THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   // G2 batch equivalent — deterministic "first" via window rank
   // (batch dropDuplicates keeps an arbitrary row; the streaming path
@@ -1025,6 +1180,7 @@ object StreamQueries {
     "stream_exactly_once" -> (streamExactlyOnce _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_tws" -> (streamTws _),
+    "stream_text_gate" -> (streamTextGate _),
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
@@ -1044,5 +1200,6 @@ object StreamQueries {
     "stream_exactly_once" -> streamExactlyOnceSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
     "stream_tws" -> streamTwsSql,
+    "stream_text_gate" -> streamTextGateSql,
     "stream_file_ingest" -> streamFileIngestSql)
 }

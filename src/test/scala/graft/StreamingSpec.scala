@@ -661,6 +661,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("text-gate maintainer on transformWithState == batch column gates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val batch1 = Seq(
+      GateDoc("web", 1L, "the quick brown fox jumps over the lazy dog"),
+      GateDoc("web", 2L, "spam spam spam spam spam"),
+      GateDoc("code", 3L, ""), // degenerate: zero tokens
+      GateDoc("code", 4L, "x")) // single token: top-unigram mass = 1.0
+    val batch2 = Seq(
+      GateDoc("web", 5L, "a b a b a b a b"), // bigram-dominated
+      GateDoc("code", 6L, "def f of x returns x plus one with unique words"))
+    val input = MemoryStream[GateDoc]
+    val q = StreamQueries.textGateMaintain(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gate_tws_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // counters are monotone, so max across update rows = final state
+      val streamed = spark.table("gate_tws_out")
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("n_kept")).as("n_kept"),
+          max(col("kept_tokens")).as("kept_tokens"))
+        .as[GateSummary].collect().map(g => g.source -> g).toMap
+      val batch = StreamQueries.textGateBatch((batch1 ++ batch2).toDF())
+        .as[GateSummary].collect().map(g => g.source -> g).toMap
+      assert(streamed == batch,
+        "streaming gate counters must equal the batch column gates")
+      // state is one row per source regardless of doc volume
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("KLL maintainer on transformWithState == mapGroupsWithState fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
