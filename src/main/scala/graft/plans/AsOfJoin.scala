@@ -172,18 +172,22 @@ case class AsOfJoinExec(
 
   /** Key types the GENERATED merge can hold as class-level cached
     * state and compare with `ctx.genComp`: fixed-width long-backed
-    * types plus string/double/float/boolean/decimal. (Strings cache as
-    * cloned UTF8Strings — the sorter reuses its row buffer; Decimals
-    * need no clone because `getDecimal` materializes a fresh object on
-    * every read, and genComp emits `compare` for any AtomicType.)
-    * Remaining fallback set, pinned by AsOfJoinSpec: array/struct/map
-    * keys and any NON-long-backed time — those take the interpreted
-    * merge below.
+    * types plus string/double/float/boolean/decimal, and orderable
+    * ARRAY/STRUCT keys. (Strings cache as cloned UTF8Strings and
+    * arrays/structs as `.copy()`s — the sorter reuses its row buffer,
+    * so a cached view must be detached; Decimals need no clone
+    * because `getDecimal` materializes a fresh object on every read.
+    * genComp emits `compare` for atomics and a generated element/
+    * field-wise comparator for arrays/structs.) Remaining fallback,
+    * pinned by AsOfJoinSpec: any NON-long-backed time — that takes
+    * the interpreted merge below. (Map keys are not orderable in
+    * Spark at all: the required child sort rejects them upstream.)
     */
   private def codegenKeyType(dt: DataType): Boolean = dt match {
     case _ if longGetter(dt).isDefined => true
     case StringType | DoubleType | FloatType | BooleanType => true
     case _: DecimalType => true
+    case _: ArrayType | _: StructType => RowOrdering.isOrderable(dt)
     case _ => false
   }
 
@@ -194,12 +198,12 @@ case class AsOfJoinExec(
   // the last consumed match live as class-level state, and output
   // columns flow to the parent as vars (no per-row UnsafeProjection
   // materialization, no iterator hop into the downstream operator).
-  // Covers any key list of codegen-safe types (single long key is
-  // just the one-field case; composite/string keys compare through
-  // per-type ctx.genComp chains) with a long-backed time. Other
-  // orderable types (decimal, arrays…) keep the interpreted doExecute
-  // below (supportCodegen=false → Spark plans the children as their
-  // own codegen stages, exactly the pre-codegen behavior).
+  // Covers any key list of orderable types (single long key is
+  // just the one-field case; composite/string/decimal/array/struct
+  // keys compare through per-type ctx.genComp chains) with a
+  // long-backed time. A non-long-backed time keeps the interpreted
+  // doExecute below (supportCodegen=false → Spark plans the children
+  // as their own codegen stages, exactly the pre-codegen behavior).
   // ------------------------------------------------------------------
 
   private lazy val codegenPath: Boolean =
@@ -238,8 +242,10 @@ case class AsOfJoinExec(
     val haveMatch = ctx.addMutableState("boolean", "asofHaveMatch")
 
     // a cached key must not alias the sorter's reused row buffer
+    // (arrays/structs read as views over it — detach with copy())
     def retained(dt: DataType, v: String): String = dt match {
       case StringType => s"$v.clone()"
+      case _: ArrayType | _: StructType => s"$v.copy()"
       case _ => v
     }
     def keysEqual(as: Seq[String], bs: Seq[String]): String =

@@ -346,6 +346,54 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("array and struct keys fuse into whole-stage codegen") {
+    // array keys: the cached head/match keys are copy()-detached from
+    // the sorter's reused buffer — a stale view would corrupt matches
+    val quotes = Seq((Seq(1L, 2L), 10L, "q10"), (Seq(1L, 2L), 30L, "q30"),
+      (Seq(2L, 1L), 15L, "p15"))
+      .toDF("key", "t", "quote")
+    val trades = Seq((Seq(1L, 2L), 5L, "early"), (Seq(1L, 2L), 35L, "late"),
+      (Seq(2L, 1L), 16L, "after"), (Seq(3L, 3L), 50L, "nokey"))
+      .toDF("key", "t", "trade")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      def run(tol: Option[Long]) = AsOfJoin.join(
+        trades, quotes, "key", "t", "key", "t", tolerance = tol)
+        .select(col("trade"), col("quote")).orderBy(col("trade"))
+      Seq(None, Some(5L)).foreach { tol =>
+        val df = run(tol)
+        val rows = df.collect().toSeq
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+          s"array keys must fuse (tol=$tol):\n${plan.take(1200)}")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val interp = run(tol).collect().toSeq
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        assert(rows == interp, s"array-key codegen diverged (tol=$tol)")
+      }
+      val base = run(None).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(base == Seq(("after", "p15"), ("early", null),
+        ("late", "q30"), ("nokey", null)))
+
+      // struct keys take the same generated comparator path
+      val qs = Seq((("a", 1L), 10L, "s10"), (("a", 1L), 30L, "s30"),
+        (("b", 2L), 15L, "s15"))
+        .toDF("key", "t", "quote")
+      val ts = Seq((("a", 1L), 12L, "mid"), (("b", 2L), 14L, "before"))
+        .toDF("key", "t", "trade")
+      val df2 = AsOfJoin.join(ts, qs, "key", "t", "key", "t")
+        .select(col("trade"), col("quote")).orderBy(col("trade"))
+      val rows2 = df2.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val plan2 = df2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan2).isDefined,
+        s"struct keys must fuse:\n${plan2.take(1200)}")
+      assert(rows2 == Seq(("before", null), ("mid", "s10")))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("decimal keys fuse into codegen; non-long time is the pinned fallback") {
     val quotes = Seq((BigDecimal("1.50"), 10L, "q10"),
       (BigDecimal("1.50"), 30L, "q30"), (BigDecimal("2.25"), 15L, "p15"))
