@@ -689,7 +689,80 @@ object PipelineQueries {
       |FROM m LEFT JOIN dup ON m.rep_id = dup.rep_id
       |GROUP BY m.cid ORDER BY m.cid""".stripMargin
 
+  // J13 — TRIANGLE counting + local clustering coefficient over the
+  // near-dup graph (C4's jaccard ≥ 0.7 edges): how CLIQUE-like each
+  // duplicate neighborhood is — a triangle-dense neighborhood is one
+  // boilerplate family (safe to keep one representative); a star is a
+  // hub document quoted by many unrelated docs (each leaf may deserve
+  // to survive). The classic distributed shape: canonical a<b edges,
+  // wedge join (e1.b = e2.a keeps each wedge once), closing-edge
+  // equi-join — never an all-pairs product; triangle work is bounded
+  // by wedge count, the quantity degree-ordering bounds at 100 TB.
+  // Per-node counts come from exploding each triangle's 3 corners
+  // into one hash agg; closure = 2T/d(d−1) rounded 4dp (one IEEE
+  // division on exact integers, both engines identical). Threshold
+  // 0.6 (vs C6/J8's 0.7): the 0.7 graph is isolated PAIRS only on
+  // this corpus — triangle structure needs the looser band, and the
+  // band is the operator's point (how clique-like is a family BELOW
+  // the hard-dup bar).
+  private def pipelineTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.dedupNgramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint(eager = true) // three self-joins re-read the edges
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+      .join(pairs.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .filter(col("degree") >= 2)
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 4) + lit(0.0)).as("closure"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelineTrianglesSql =
+    """WITH g AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 2, 1)),
+      |   i -> ascii(substring(text, i, 1)) * 17161
+      |      + ascii(substring(text, i + 1, 1)) * 131
+      |      + ascii(substring(text, i + 2, 1)))) AS gr
+      | FROM documents
+      |), p AS (
+      | SELECT a.doc_id AS a, b.doc_id AS b
+      | FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      | WHERE round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.gr, b.gr))), 4) >= 0.6
+      |), tri AS (
+      | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      | FROM p e1 JOIN p e2 ON e1.b = e2.a
+      |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), tn AS (
+      | SELECT doc_id, count(*) AS n_triangles FROM (
+      |   SELECT unnest([x, y, z]) AS doc_id FROM tri) GROUP BY doc_id
+      |), deg AS (
+      | SELECT doc_id, count(*) AS degree FROM (
+      |   SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p) GROUP BY doc_id)
+      |SELECT d.doc_id, d.degree,
+      | CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+      | round(2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)), 4)
+      |   + 0 AS closure
+      |FROM deg d LEFT JOIN tn t ON d.doc_id = t.doc_id
+      |WHERE d.degree >= 2
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_triangles" -> (pipelineTriangles _),
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
     "pipeline_semdedup" -> (pipelineSemdedup _),
     "pipeline_pagerank" -> (pipelinePagerank _),
@@ -704,6 +777,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_triangles" -> pipelineTrianglesSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_semdedup" -> pipelineSemdedupSql,
     "pipeline_pagerank" -> pipelinePagerankSql,
