@@ -41,11 +41,8 @@ object DedupQueries {
     * j -> array_min(...))` computes the same thing but is interpreted,
     * ~50× slower at sf0.1; a 64-column-wide min aggregate generates a
     * pathologically large whole-stage function, ~10× slower cold.)
-    */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame =
-    minhashBandsFor(docs(s, dir))
-
-  /** The C2 signature pipeline over an arbitrary (doc_id, text) frame —
+    *
+    * The pipeline runs over an arbitrary (doc_id, text) frame —
     * shared with DedupScaleSpec, which drives it at 10⁶ docs to probe
     * band-bucket skew (the number that decides 100 TB feasibility).
     */
@@ -72,11 +69,19 @@ object DedupQueries {
   }
 
   // C2 — MinHash+LSH candidate pairs: same (band_id, band_hash) bucket.
+  // Signatures compute over exact-content REPRESENTATIVES (min doc_id
+  // per text — C7/C3's r5 collapse applied here too): identical texts
+  // share every band, so un-collapsed exact families inflate the
+  // bucket self-join quadratically in family size (the sf1 replica
+  // probe measured 13× for 10× data; collapsed simhash sat at 1.4× on
+  // the same data). Exact families are C1's output; near-dup
+  // candidacy is decided once per distinct content.
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // persist: the self-join would otherwise recompute the whole
     // signature pipeline for both sides (bands ≈ 8 rows/doc — tiny
     // next to the corpus, and the expensive part is above it)
-    val bands = minhashBands(s, dir)
+    val bands = minhashBandsFor(
+      docs(s, dir).groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
     val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
@@ -93,10 +98,12 @@ object DedupQueries {
   }
 
   private val dedupMinhashLshSql =
-    """WITH toks AS (
+    """WITH reps AS (
+      | SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+      |), toks AS (
       | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |   x -> x <> '') AS tk
-      | FROM documents
+      | FROM reps
       |), sh AS (
       | SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(
@@ -319,14 +326,23 @@ object DedupQueries {
   // planted-pair recall proof (cos ≥ 0.99 pairs at arbitrary id
   // distance) lives in LshRecallSpec.
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    // identical vectors collapse to a min-id representative first (the
+    // C2/C3 exact-family collapse in embedding space): exact-dup
+    // vectors share every LSH bucket, so un-collapsed families grow
+    // the bucket self-join quadratically (13.6× at the sf1 replica
+    // probe); near-dup candidacy is decided once per distinct vector
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("v"))
     graft.operators.RandomHyperplaneLsh
       .nearDupPairs(e, "vec_id", "v", threshold = 0.3, tables = 8, bits = 8, dim = 64)
   }
 
   private val dedupEmbeddingSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT min(vec_id) AS vec_id, v FROM (
+      |       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |     GROUP BY v),
       |pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
       |        CAST(((1103*(p*64+d)+12289) % 8191) - 4095 AS DOUBLE)) AS w
       |       FROM (SELECT unnest(generate_series(0, 63)) AS p) ps),
