@@ -32,6 +32,12 @@ case class GateDoc(source: String, doc_id: Long, text: String)
 case class GateSummary(source: String, n_docs: Long, n_kept: Long,
     kept_tokens: Long)
 
+/** Rows/state/outputs for the streaming sequence packer (G19). */
+case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+case class PackState(bin: Long, fill: Long)
+case class PackAssign(source: String, doc_id: Long, n_tokens: Long,
+    bin_id: Long)
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -310,6 +316,99 @@ object StreamQueries {
   // G18 batch equivalent on the documents table.
   private def streamTextGate(s: SparkSession, dir: String): DataFrame =
     textGateBatch(Tables.load(s, dir, "documents"))
+
+  /** G19 streaming side: NEXT-FIT sequence packing as a maintainer —
+    * the arrival-order twin of J11's concat-and-chunk (which needs a
+    * global prefix sum a stream can't have). Per source, state is one
+    * (open bin id, fill) pair; a doc that would overflow L=256 closes
+    * the bin and opens the next — whole docs never split, the padding
+    * trade next-fit makes. Each doc emits its bin assignment exactly
+    * once, so the output is an append-shaped assignment log while
+    * state stays O(sources). Within a micro-batch rows sort by doc_id
+    * (bounded by batch size); across batches arrival order IS the
+    * pack order — the streaming contract.
+    */
+  class PackProcessor(limit: Long)
+      extends StatefulProcessor[String, PackDoc, PackAssign] {
+    @transient private var state: ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PackState]("pack",
+        org.apache.spark.sql.Encoders.product[PackState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PackDoc],
+        timers: TimerValues): Iterator[PackAssign] = {
+      var st = if (state.exists()) state.get() else PackState(0L, 0L)
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        st =
+          if (st.fill > 0L && st.fill + d.n_tokens > limit)
+            PackState(st.bin + 1L, d.n_tokens)
+          else PackState(st.bin, st.fill + d.n_tokens)
+        PackAssign(key, d.doc_id, d.n_tokens, st.bin)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def packStream(docs: Dataset[PackDoc], limit: Long = 256L): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new PackProcessor(limit),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G19 batch equivalent over a `(source, doc_id, text)` frame: the
+    * same next-fit fold as one `aggregate` HOF over each source's
+    * doc_id-ordered (doc, tokens) list — per-source sequential by
+    * definition (bin state is a chain), but sources pack in parallel
+    * and the fold is linear; the STREAMING maintainer is the scale
+    * path for unbounded corpora.
+    */
+  private[graft] def packBatch(d: DataFrame, limit: Long = 256L): DataFrame =
+    d.select(col("source"), col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(col("source"), explode(expr(
+        s"""aggregate(ds,
+           |  named_struct('bin', 0L, 'fill', 0L,
+           |    'outs', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n: BIGINT, bin: BIGINT>>)),
+           |  (acc, d) -> CASE
+           |    WHEN acc.fill > 0L AND acc.fill + d.n > ${limit}L THEN named_struct(
+           |      'bin', acc.bin + 1L, 'fill', d.n,
+           |      'outs', array_append(acc.outs,
+           |        named_struct('doc_id', d.doc_id, 'n', d.n, 'bin', acc.bin + 1L)))
+           |    ELSE named_struct(
+           |      'bin', acc.bin, 'fill', acc.fill + d.n,
+           |      'outs', array_append(acc.outs,
+           |        named_struct('doc_id', d.doc_id, 'n', d.n, 'bin', acc.bin)))
+           |  END).outs""".stripMargin)).as("o"))
+      .select(col("source"), col("o.doc_id").as("doc_id"),
+        col("o.n").as("n_tokens"), col("o.bin").as("bin_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  // G19 batch equivalent on the documents table.
+  private def streamPack(s: SparkSession, dir: String): DataFrame =
+    packBatch(Tables.load(s, dir, "documents"))
+
+  private val streamPackSql =
+    """WITH RECURSIVE sc AS (
+      | SELECT source, doc_id,
+      |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n,
+      |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      | FROM documents
+      |), walk(source, rn, doc_id, n, bin, fill) AS (
+      | SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), n FROM sc WHERE rn = 1
+      | UNION ALL
+      | SELECT s.source, s.rn, s.doc_id, s.n,
+      |   CASE WHEN w.fill + s.n > 256 THEN w.bin + 1 ELSE w.bin END,
+      |   CASE WHEN w.fill + s.n > 256 THEN s.n ELSE w.fill + s.n END
+      | FROM walk w JOIN sc s ON s.source = w.source AND s.rn = w.rn + 1
+      |)
+      |SELECT source, doc_id, n AS n_tokens, CAST(bin AS BIGINT) AS bin_id
+      |FROM walk ORDER BY source, doc_id""".stripMargin
 
   private val streamTextGateSql =
     """WITH t AS (
@@ -1181,6 +1280,7 @@ object StreamQueries {
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_tws" -> (streamTws _),
     "stream_text_gate" -> (streamTextGate _),
+    "stream_pack" -> (streamPack _),
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
@@ -1201,5 +1301,6 @@ object StreamQueries {
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
     "stream_tws" -> streamTwsSql,
     "stream_text_gate" -> streamTextGateSql,
+    "stream_pack" -> streamPackSql,
     "stream_file_ingest" -> streamFileIngestSql)
 }

@@ -701,6 +701,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("next-fit packer on transformWithState == batch fold, bins continue across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    // limit 10: doc 3 (n=7) overflows the open bin (fill 4+5=9? no —
+    // 4, then 5 overflows? 4+5=9 <= 10 stays; +7 overflows → bin 1)
+    val batch1 = Seq(PackDoc("web", 1L, 4L), PackDoc("web", 2L, 5L),
+      PackDoc("code", 10L, 12L)) // oversized doc: own bin
+    val batch2 = Seq(PackDoc("web", 3L, 7L), PackDoc("web", 4L, 3L),
+      PackDoc("code", 11L, 1L))
+    val input = MemoryStream[PackDoc]
+    val q = StreamQueries.packStream(input.toDS(), limit = 10L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pack_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("pack_out")
+        .as[PackAssign].collect().map(a => (a.source, a.doc_id) -> a.bin_id).toMap
+      // batch fold over the SAME docs (text synthesized to the token
+      // count: n tokens = n-1 spaces + 1)
+      val docs = (batch1 ++ batch2)
+        .map(d => (d.source, d.doc_id, Seq.fill(d.n_tokens.toInt)("w").mkString(" ")))
+        .toDF("source", "doc_id", "text")
+      val batch = StreamQueries.packBatch(docs, limit = 10L)
+        .as[PackAssign].collect().map(a => (a.source, a.doc_id) -> a.bin_id).toMap
+      assert(streamed == batch,
+        "streaming next-fit assignments must equal the batch fold")
+      // the open-bin state carried across batches: web doc 3 landed in
+      // bin 1 (not a fresh bin 0), and state is one row per source
+      assert(streamed(("web", 3L)) == 1L)
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("KLL maintainer on transformWithState == mapGroupsWithState fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
