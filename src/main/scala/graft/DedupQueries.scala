@@ -46,7 +46,16 @@ object DedupQueries {
     * shared with DedupScaleSpec, which drives it at 10⁶ docs to probe
     * band-bucket skew (the number that decides 100 TB feasibility).
     */
-  private[graft] def minhashBandsFor(docFrame: DataFrame): DataFrame = {
+  private[graft] def minhashBandsFor(docFrame: DataFrame): DataFrame =
+    minhashValuesFor(docFrame)
+      .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
+      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+
+  /** The per-permutation minhash values (doc_id, j, m) the bands fold
+    * over — C10 compares them pairwise to estimate Jaccard.
+    */
+  private[graft] def minhashValuesFor(docFrame: DataFrame): DataFrame = {
     val shingleRows = docFrame
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), explode(expr(
@@ -63,9 +72,6 @@ object DedupQueries {
       .select(col("doc_id"), col("j"),
         ((col("p") * (col("j") * 2 + 1) + (col("j") * 7919 + 13)) % 1000000007L).as("h"))
       .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("m"))
-      .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
-      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
-      .select(col("doc_id"), col("band_id"), col("band_hash"))
   }
 
   // C2 — MinHash+LSH candidate pairs: same (band_id, band_hash) bucket.
@@ -128,6 +134,113 @@ object DedupQueries {
       |FROM bands a JOIN bands b USING (band_id, band_hash)
       |WHERE a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
+
+  // C10 — MinHash ESTIMATE vs EXACT Jaccard per candidate pair: the
+  // in-query quality audit of the C2 tier (est = fraction of the 64
+  // permutations agreeing — the unbiased MinHash estimator; exact =
+  // true 3-word-shingle Jaccard computed ONLY on the bucketed pairs,
+  // never all-pairs). The |est − exact| column is the number that
+  // justifies trusting band-bucket candidacy at 100 TB, measured by
+  // the engine itself on its own corpus rather than asserted offline.
+  // Same representative collapse as C2; pair-bounded joins throughout.
+  private def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val reps = docs(s, dir).groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val vals = minhashValuesFor(reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = vals
+      .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
+      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
+    val pairs = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val est = pairs
+      .join(vals.select(col("doc_id").as("id_a"), col("j"), col("m").as("ma")),
+        Seq("id_a"))
+      .join(vals.select(col("doc_id").as("id_b"), col("j"), col("m").as("mb")),
+        Seq("id_b", "j"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)) / lit(64.0)).as("est"))
+    val sh = reps.withColumn("toks", tokensCol)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(0, greatest(size(toks) - 3, 0)),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin)).as("shingle"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val itr = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    val estR = round(col("est"), 4) + lit(0.0)
+    val exactR = round(coalesce(col("i"), lit(0L)).cast("double") /
+      (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 4) + lit(0.0)
+    val out = est
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .join(itr, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        estR.as("est_jaccard"), exactR.as("exact_jaccard"),
+        (round(abs(estR - exactR), 4) + lit(0.0)).as("abs_err"))
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
+      .localCheckpoint(eager = true)
+    vals.unpersist(false)
+    out
+  }
+
+  private val dedupMinhashEstSql =
+    """WITH reps AS (
+      | SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+      |), toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS tk
+      | FROM reps
+      |), sh AS (
+      | SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(0, greatest(len(tk) - 3, 0)),
+      |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+      |  FROM toks)
+      |), ph AS (
+      | SELECT doc_id, list_reduce(
+      |   list_prepend(7::BIGINT, list_transform(generate_series(1, length(shingle)),
+      |     i -> ascii(substring(shingle, i, 1))::BIGINT)),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS p
+      | FROM sh
+      |), hj AS (
+      | SELECT doc_id, j, min((p * (2*j+1) + (7919*j+13)) % 1000000007) AS m
+      | FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+      | GROUP BY doc_id, j
+      |), bands AS (
+      | SELECT doc_id, j // 8 AS band_id, bit_xor((m * 131 + j) % 1000000007) AS band_hash
+      | FROM hj GROUP BY doc_id, j // 8
+      |), pairs AS (
+      | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM bands a JOIN bands b USING (band_id, band_hash)
+      | WHERE a.doc_id < b.doc_id
+      |), est AS (
+      | SELECT p.id_a, p.id_b,
+      |   sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 64.0 AS est
+      | FROM pairs p JOIN hj x ON x.doc_id = p.id_a
+      |  JOIN hj y ON y.doc_id = p.id_b AND y.j = x.j
+      | GROUP BY p.id_a, p.id_b
+      |), sz AS (
+      | SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), itr AS (
+      | SELECT p.id_a, p.id_b, count(*) AS i
+      | FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+      |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      | GROUP BY p.id_a, p.id_b)
+      |SELECT e.id_a, e.id_b,
+      | round(e.est, 4) + 0 AS est_jaccard,
+      | round(CAST(coalesce(i.i, 0) AS DOUBLE)
+      |   / (sa.n + sb.n - coalesce(i.i, 0)), 4) + 0 AS exact_jaccard,
+      | round(abs((round(e.est, 4) + 0) - (round(CAST(coalesce(i.i, 0) AS DOUBLE)
+      |   / (sa.n + sb.n - coalesce(i.i, 0)), 4) + 0)), 4) + 0 AS abs_err
+      |FROM est e JOIN sz sa ON sa.doc_id = e.id_a
+      | JOIN sz sb ON sb.doc_id = e.id_b
+      | LEFT JOIN itr i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin
 
   /** SimHash: sign-aggregated token hashes per doc. The 61-bit token
     * hash combines two modular polynomials (bases 31/37, distinct
@@ -610,6 +723,7 @@ object DedupQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_corpus_ngram" -> (dedupCorpusNgram _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -621,6 +735,7 @@ object DedupQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_corpus_ngram" -> dedupCorpusNgramSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
