@@ -761,7 +761,134 @@ object PipelineQueries {
       |WHERE d.degree >= 2
       |ORDER BY d.doc_id""".stripMargin
 
+  // J14 — deterministic train/val/test SPLIT (the assignment every
+  // training run needs, and the one step that must NEVER drift
+  // between runs or engines: a doc that migrates from train to test
+  // silently contaminates every eval): split = nonlinear hash of
+  // doc_id mod 100 → 90/5/5. The hash is jointly nonlinear and lives
+  // at a modulus above any realistic partition count (the
+  // DedupScaleSpec aliasing lesson — a LINEAR doc_id hash stripes
+  // residues across splits in lockstep with any modular synthetic
+  // attribute). One scan + one 3-group agg; n_total rides along so
+  // disjointness + completeness are part of the oracle row, not a
+  // side assertion.
+  private def pipelineSplit(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000003L
+    val d = docs(s, dir)
+      .withColumn("h",
+        (((col("doc_id") * col("doc_id")) % M) * 7919L
+          + col("doc_id") * 104729L + 12345L) % M)
+      .withColumn("split",
+        when(col("h") % 100L < 90, "train")
+          .when(col("h") % 100L < 95, "val")
+          .otherwise("test"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    d.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_mass"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / col("n_total"), 4) + lit(0.0))
+      .select(col("split"), col("n_docs"), col("char_mass"), col("share"),
+        col("min_id"), col("max_id"), col("n_total"))
+      .orderBy(col("split"))
+  }
+
+  private val pipelineSplitSql =
+    """WITH d AS (
+      | SELECT doc_id, n_chars,
+      |  (((doc_id * doc_id) % 1000003) * 7919 + doc_id * 104729 + 12345)
+      |    % 1000003 AS h
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, n_chars,
+      |  CASE WHEN h % 100 < 90 THEN 'train'
+      |       WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+      | FROM d)
+      |SELECT split, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS char_mass,
+      | round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 4)
+      |   + 0 AS share,
+      | min(doc_id) AS min_id, max(doc_id) AS max_id,
+      | (SELECT count(*) FROM documents) AS n_total
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // J15 — URL canonicalization + dedup (the CommonCrawl-style hygiene
+  // pass that runs even before content dedup: the same page arrives
+  // as http/https, with/without trailing slash, with tracking params
+  // and fragments). The corpus has no URL column, so the query
+  // derives a deterministically MESSY url per doc (the textNormalize
+  // twin trick): scheme/host case by doc_id parity, trailing slash by
+  // mod 3, utm tracking params by mod 5, fragment by mod 4.
+  // Canonicalize = lowercase → strip fragment → strip utm params →
+  // strip trailing slash (all codegen'd regexp_replace, no capture
+  // groups — Spark's $1 vs DuckDB's \1 replacement syntax differ).
+  // Dedup = one groupBy canonical per source. At 100 TB this is one
+  // scan + one hash agg on the canonical string.
+  private def pipelineUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+      when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM/p/"), (col("doc_id") % 97).cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("?ref="), (col("doc_id") % 4).cast("string"), lit("&utm_source=feed")))
+        .when(col("doc_id") % 5 === 1, "?utm_campaign=x").otherwise(""),
+      when(col("doc_id") % 4 === 0, "#top").otherwise(""))
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "#.*$", ""),
+            "[?&]utm_[a-z]+=[^&#]*", ""),
+          "/\\?", "?"),
+        "/$", "")
+    val fam = docs(s, dir).select(col("source"), canon.as("canonical"))
+      .groupBy(col("source"), col("canonical")).agg(count(lit(1)).as("fam"))
+    fam.groupBy(col("source"))
+      .agg(sum(col("fam")).as("n_urls"),
+        count(lit(1)).as("n_canonical"),
+        (sum(col("fam")) - count(lit(1))).as("n_collapsed"),
+        sum(when(col("fam") >= 2, 1L).otherwise(0L)).as("n_dup_families"),
+        max(col("fam")).as("max_family"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineUrlDedupSql =
+    """WITH u AS (
+      | SELECT source,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |  || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+      |  || '.Example.COM/p/' || CAST(doc_id % 97 AS VARCHAR)
+      |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      |  || (CASE WHEN doc_id % 5 = 0
+      |        THEN '?ref=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_source=feed'
+      |       WHEN doc_id % 5 = 1 THEN '?utm_campaign=x' ELSE '' END)
+      |  || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+      | FROM documents),
+      |c AS (
+      | SELECT source,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(lower(url), '#.*$', '', 'g'),
+      |        '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+      |      '/\?', '?', 'g'),
+      |    '/$', '', 'g') AS canonical
+      | FROM u),
+      |fam AS (SELECT source, canonical, count(*) AS fam
+      |        FROM c GROUP BY source, canonical)
+      |SELECT source, CAST(sum(fam) AS BIGINT) AS n_urls,
+      | count(*) AS n_canonical,
+      | CAST(sum(fam) - count(*) AS BIGINT) AS n_collapsed,
+      | CAST(sum(CASE WHEN fam >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_families,
+      | max(fam) AS max_family
+      |FROM fam GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (pipelineSplit _),
+    "pipeline_url_dedup" -> (pipelineUrlDedup _),
     "pipeline_triangles" -> (pipelineTriangles _),
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
     "pipeline_semdedup" -> (pipelineSemdedup _),
@@ -777,6 +904,8 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_split" -> pipelineSplitSql,
+    "pipeline_url_dedup" -> pipelineUrlDedupSql,
     "pipeline_triangles" -> pipelineTrianglesSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_semdedup" -> pipelineSemdedupSql,

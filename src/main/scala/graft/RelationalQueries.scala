@@ -1564,7 +1564,53 @@ object RelationalQueries {
       |FROM f GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // B59 — SKEW-SALTED join, surfaced as a first-class operator (the
+  // manual hot-key treatment when AQE's runtime split can't help —
+  // e.g. the dim side must shuffle too, or the skew is known ahead of
+  // time). The big side tags each row with salt = l_linenumber % 8 (a
+  // value already on the row — no rand(), bit-replayable); the small
+  // side replicates ×8 via explode so every (key, salt) pair still
+  // finds its match; the join key widens to (suppkey, salt), spreading
+  // any hot supplier over 8 shuffle partitions. The oracle is the
+  // PLAIN unsalted join — equality proves salting is semantics-free.
+  // Money sums ride B58's exact-decimal ladder so the distributed
+  // fold is order-independent. SkewJoinSpec drives the same idiom on
+  // a planted 85%-hot-key fact and proves the per-task balance.
+  private def q59SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val li = t(s, dir, "lineitem")
+      .withColumn("l_salt", (col("l_linenumber") % S).cast("int"))
+    val supp = t(s, dir, "supplier")
+      .withColumn("s_salt", explode(array((0 until S).map(lit): _*)))
+    li.join(supp,
+        col("l_suppkey") === col("s_suppkey") && col("l_salt") === col("s_salt"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("qty", expr("CAST(l_quantity AS DECIMAL(18,2))"))
+      .withColumn("rev", expr(
+        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          | (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          | AS DECIMAL(18,4))""".stripMargin))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(sum(qty) AS DECIMAL(38,2))").as("sum_qty"),
+        expr("CAST(sum(rev) AS DECIMAL(38,4))").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q59Sql =
+    """SELECT n_name, count(*) AS n_items,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |   AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_salted_join" -> (q59SaltedJoin _),
     "q58_decimal_agg" -> (q58DecimalAgg _),
     "q52_approx_percentile" -> (q52ApproxPercentile _),
     "q53_interpolate" -> (q53Interpolate _),
@@ -1632,6 +1678,7 @@ object RelationalQueries {
     "q56_cube" -> q56Sql,
     "q57_json_schema" -> q57Sql,
     "q58_decimal_agg" -> q58Sql,
+    "q59_salted_join" -> q59Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,

@@ -825,7 +825,96 @@ object SimilarityQueries {
        |FROM sel5 ORDER BY qid, rank""".stripMargin
   }
 
+  // D15 — HYBRID retrieval via reciprocal-rank fusion (the default
+  // composition of a lexical and a vector index in a RAG stack:
+  // neither ranking is trusted alone, ranks — not scores — fuse, so
+  // the two scales never need calibration). Queries are docs 0..5;
+  // the lexical arm ranks candidates by distinct-token overlap with
+  // the query doc (inverted-index equi-join on term — work ∝ shared
+  // postings, never corpus²), the vector arm by exact cosine over the
+  // id-aligned `embeddings` row. Each arm keeps its top-20 per query;
+  // RRF = Σ 1/(60+rank) over the arms a candidate appears in (the
+  // standard k=60), fused via full-outer join on (qid, nid) — two
+  // IEEE divisions added in a fixed order, so the fused score replays
+  // bit-identically. At 100 TB each arm is its own index scan (the
+  // lexical side a posting join, the vector side any D-tier index)
+  // and the fusion is an equi-join on (query, candidate) — nothing
+  // here is corpus-wide.
+  private def knnRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val tokens = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    val terms = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("term")).distinct()
+    val qTerms = terms.filter(col("doc_id") <= 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val wLex = Window.partitionBy(col("qid")).orderBy(col("overlap").desc, col("nid"))
+    val lex = terms.select(col("doc_id").as("nid"), col("term"))
+      .join(broadcast(qTerms), "term")
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("overlap"))
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .filter(col("r_lex") <= 20)
+      .select(col("qid"), col("nid"), col("r_lex"))
+    val all = emb(s, dir)
+    val qv = all.filter(col("vec_id") <= 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wVec = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val vec = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(qv), col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("r_vec", row_number().over(wVec).cast("long"))
+      .filter(col("r_vec") <= 20)
+      .select(col("qid"), col("nid"), col("r_vec"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    lex.join(vec, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("nid"),
+        (round(col("rrf"), 6) + lit(0.0)).as("rrf"),
+        col("r_lex"), col("r_vec"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rank")))
+  }
+
+  private val knnRrfFusionSql =
+    """WITH terms AS (
+      | SELECT DISTINCT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      | FROM documents),
+      |qt AS (SELECT doc_id AS qid, term FROM terms WHERE doc_id <= 5),
+      |lex AS (
+      | SELECT qid, nid, r_lex FROM (
+      |  SELECT qid, nid, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY overlap DESC, nid) AS BIGINT) AS r_lex
+      |  FROM (SELECT qt.qid, t.doc_id AS nid, count(*) AS overlap
+      |        FROM terms t JOIN qt USING (term) WHERE t.doc_id <> qt.qid
+      |        GROUP BY qt.qid, t.doc_id))
+      | WHERE r_lex <= 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 5),
+      |vec AS (
+      | SELECT qid, nid, r_vec FROM (
+      |  SELECT qid, nid, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS r_vec
+      |  FROM (SELECT qid, e.vec_id AS nid,
+      |          list_dot_product(qv, v) /
+      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      |        FROM q JOIN e ON e.vec_id <> qid))
+      | WHERE r_vec <= 20),
+      |fused AS (
+      | SELECT coalesce(lex.qid, vec.qid) AS qid, coalesce(lex.nid, vec.nid) AS nid,
+      |   lex.r_lex, vec.r_vec,
+      |   coalesce(1.0 / (60.0 + lex.r_lex), 0.0)
+      |   + coalesce(1.0 / (60.0 + vec.r_vec), 0.0) AS rrf
+      | FROM lex FULL OUTER JOIN vec ON lex.qid = vec.qid AND lex.nid = vec.nid)
+      |SELECT qid, rank, nid, round(rrf, 6) + 0 AS rrf, r_lex, r_vec FROM (
+      | SELECT qid, nid, r_lex, r_vec, rrf, CAST(row_number() OVER (
+      |   PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS rank
+      | FROM fused)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_rrf_fusion" -> (knnRrfFusion _),
     "knn_mmr" -> (knnMmr _),
     "knn_hnsw" -> (knnHnsw _),
     "knn_bruteforce" -> (knnBruteforce _),
@@ -842,6 +931,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_rrf_fusion" -> knnRrfFusionSql,
     "knn_mmr" -> knnMmrSql,
     "knn_hnsw" -> knnHnswSql,
     "knn_bruteforce" -> knnBruteforceSql,

@@ -240,7 +240,63 @@ object SketchQueries {
       | true AS hll_within_5pct
       |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin
 
+  // I8 — BOTTOM-K (KMV) distinct sample: the mergeable uniform sample
+  // over a distinct domain (the distributed replacement for reservoir
+  // sampling, whose per-partition RNG state neither merges cleanly
+  // nor replays): hash every key with a jointly-nonlinear modular
+  // polynomial (portable — no engine RNG), keep the k smallest
+  // hashes. The k-th smallest hash doubles as a KMV distinct-count
+  // estimator n̂ = (k−1)·M/h_k (Bar-Yossef et al.), degrading to the
+  // exact count when the domain has < k keys. The bottom-k itself is
+  // sort+limit — Spark plans TakeOrderedAndProject, per-partition
+  // top-k then a k-row merge, never a single-partition window — and
+  // unioning two corpora then re-taking bottom-k IS the merge rule,
+  // which is what makes this a sketch rather than a sample.
+  private def sketchBottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000003L
+    val k = 32
+    val u = Tables.load(s, dir, "events").select(col("user_id")).distinct()
+      .withColumn("h",
+        (((col("user_id") * col("user_id")) % M) * 104729L
+          + col("user_id") * 7919L + 977L) % M)
+    val bot = u.orderBy(col("h"), col("user_id")).limit(k)
+    val stats = bot.agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"),
+      min(col("user_id")).as("sample_min_user"),
+      max(col("user_id")).as("sample_max_user"))
+    val exact = u.agg(count(lit(1)).as("n_exact"))
+    stats.crossJoin(broadcast(exact))
+      .withColumn("est_raw",
+        when(col("k_used") < k, col("n_exact").cast("double"))
+          .otherwise(lit(31.0) * M / col("hk")))
+      .select(col("n_exact"), col("k_used"), col("hk"),
+        (round(col("est_raw"), 4) + lit(0.0)).as("est"),
+        (abs(col("est_raw") - col("n_exact")) <= col("n_exact") * 0.5)
+          .as("within_bound"),
+        col("sample_min_user"), col("sample_max_user"))
+  }
+
+  private val sketchBottomkSampleSql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |h AS (SELECT user_id,
+      |        (((user_id * user_id) % 1000003) * 104729 + user_id * 7919 + 977)
+      |          % 1000003 AS h
+      |      FROM u),
+      |bot AS (SELECT user_id, h FROM h ORDER BY h, user_id LIMIT 32),
+      |st AS (SELECT count(*) AS k_used, max(h) AS hk,
+      |         min(user_id) AS sample_min_user, max(user_id) AS sample_max_user
+      |       FROM bot),
+      |ex AS (SELECT count(*) AS n_exact FROM u),
+      |j AS (SELECT *,
+      |        CASE WHEN k_used < 32 THEN CAST(n_exact AS DOUBLE)
+      |             ELSE CAST(31 AS DOUBLE) * 1000003 / hk END AS est_raw
+      |      FROM st, ex)
+      |SELECT n_exact, k_used, hk, round(est_raw, 4) + 0 AS est,
+      | abs(est_raw - n_exact) <= n_exact * 0.5 AS within_bound,
+      | sample_min_user, sample_max_user
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bottomk_sample" -> (sketchBottomkSample _),
     "sketch_hll_rolling" -> (sketchHllRolling _),
     "sketch_set_ops" -> (sketchSetOps _),
     "sketch_topk_tokens" -> (sketchTopkTokens _),
@@ -250,6 +306,7 @@ object SketchQueries {
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_bottomk_sample" -> sketchBottomkSampleSql,
     "sketch_hll_rolling" -> sketchHllRollingSql,
     "sketch_set_ops" -> sketchSetOpsSql,
     "sketch_topk_tokens" -> sketchTopkTokensSql,

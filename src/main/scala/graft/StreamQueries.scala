@@ -38,6 +38,12 @@ case class PackState(bin: Long, fill: Long)
 case class PackAssign(source: String, doc_id: Long, n_tokens: Long,
     bin_id: Long)
 
+/** Rows/outputs for the streaming CDC-apply maintainer (G20). */
+case class CdcEvent(user_id: Long, event_id: Long, ts_us: Long, op: String,
+    value: Double)
+case class CdcSnap(user_id: Long, last_event_id: Long, last_ts_us: Long,
+    deleted: Boolean, value: Double, n_ops: Long)
+
 /** Structured Streaming suite (SURVEY §2.G). Each operator has (a) a
   * batch-equivalent DataFrame the driver verifies against the DuckDB
   * oracle, and (b) a genuine streaming builder applied to a streaming
@@ -445,6 +451,90 @@ object StreamQueries {
       | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       | CAST(sum(CASE WHEN ok THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** G20 — CDC APPLY (the lake-maintenance loop: a change feed of
+    * upserts and deletes folds into a queryable latest-state
+    * snapshot). Latest-wins by (ts, event_id); a delete tombstones
+    * the key (emitted with deleted=true so downstream sinks can drop
+    * it); n_ops counts every feed row ever applied to the key. State
+    * is ONE row per live key — O(keys), not O(feed) — on
+    * transformWithState, so the RocksDB store and TTL surface the
+    * sketch maintainers use apply here too.
+    */
+  class CdcProcessor extends StatefulProcessor[Long, CdcEvent, CdcSnap] {
+    @transient private var state: ValueState[CdcSnap] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CdcSnap]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcSnap], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcEvent],
+        timers: TimerValues): Iterator[CdcSnap] = {
+      var cur = if (state.exists()) state.get()
+        else CdcSnap(key, -1L, Long.MinValue, deleted = true, 0.0, 0L)
+      rows.foreach { e =>
+        val newer = e.ts_us > cur.last_ts_us ||
+          (e.ts_us == cur.last_ts_us && e.event_id > cur.last_event_id)
+        cur =
+          if (newer)
+            CdcSnap(key, e.event_id, e.ts_us, e.op == "delete",
+              if (e.op == "delete") 0.0 else e.value, cur.n_ops + 1)
+          else cur.copy(n_ops = cur.n_ops + 1)
+      }
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def cdcApplyStream(feed: Dataset[CdcEvent]): Dataset[CdcSnap] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.user_id)
+      .transformWithState(new CdcProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G20 batch equivalent over any (user_id, event_id, ts, op, value)
+    * frame: one window rank per key — the same latest-wins rule as
+    * the maintainer, replayable by the oracle.
+    */
+  private[graft] def cdcApplyBatch(feed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    feed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").cast("timestamp_ntz").as("last_ts"),
+        (col("op") === "delete").as("deleted"),
+        when(col("op") === "delete", 0.0).otherwise(col("value")).as("value"),
+        col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
+  // G20 batch equivalent on the events table: 'error' events are the
+  // delete markers, everything else upserts (user_id, value).
+  private def streamCdcApply(s: SparkSession, dir: String): DataFrame =
+    cdcApplyBatch(Tables.load(s, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "error", "delete").otherwise("upsert")))
+
+  private val streamCdcApplySql =
+    """WITH e AS (
+      | SELECT user_id, event_id, ts, value,
+      |   CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      | FROM events),
+      |r AS (
+      | SELECT *,
+      |   row_number() OVER (PARTITION BY user_id
+      |     ORDER BY ts DESC, event_id DESC) AS rn,
+      |   count(*) OVER (PARTITION BY user_id) AS n_ops
+      | FROM e)
+      |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      | op = 'delete' AS deleted,
+      | CASE WHEN op = 'delete' THEN 0.0 ELSE value END AS value, n_ops
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // G2 batch equivalent — deterministic "first" via window rank
   // (batch dropDuplicates keeps an arbitrary row; the streaming path
@@ -1281,6 +1371,7 @@ object StreamQueries {
     "stream_tws" -> (streamTws _),
     "stream_text_gate" -> (streamTextGate _),
     "stream_pack" -> (streamPack _),
+    "stream_cdc_apply" -> (streamCdcApply _),
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
@@ -1302,5 +1393,6 @@ object StreamQueries {
     "stream_tws" -> streamTwsSql,
     "stream_text_gate" -> streamTextGateSql,
     "stream_pack" -> streamPackSql,
+    "stream_cdc_apply" -> streamCdcApplySql,
     "stream_file_ingest" -> streamFileIngestSql)
 }

@@ -929,7 +929,76 @@ object TextQueries {
       | (dup_frac <= 0.6 AND top_uni_frac <= 0.3 AND top_bi_frac <= 0.25) AS gopher_ok
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // E19 — BM25 lexical retrieval (the ranking function behind every
+  // full-text search tier a RAG pipeline fronts with): score the
+  // corpus against a fixed query-term set with Robertson/Okapi BM25
+  // (k1=1.2, b=0.75) and return the top-20 documents. Shape: one
+  // explode → three hash aggs (tf, dl, df) → broadcast of the
+  // O(|query terms|) df table + the two corpus scalars — the corpus
+  // itself is touched once and never shuffled wider than (doc_id,
+  // term of the query set). Per-doc totals fold the ≤4 per-term
+  // scores in a FIXED syntactic order (one conditional sum per term)
+  // so the double addition replays bit-identically in the oracle —
+  // a hash-agg sum over terms would be merge-order-dependent.
+  private val Bm25Terms = Seq("spark", "join", "window", "vector")
+
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val tokens = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    val toks = docs(s, dir).select(col("doc_id"), explode(tokens).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("sc", col("idf") * (col("tf") * (lit(1.2) + lit(1.0))) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+    val total = Bm25Terms
+      .map(t => coalesce(sum(when(col("term") === t, col("sc"))), lit(0.0)))
+      .reduce(_ + _)
+    val top = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_hit"),
+        (round(col("score"), 4) + lit(0.0)).as("bm25"))
+      .orderBy(col("rank"))
+  }
+
+  private val textBm25Sql =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '')) AS term
+      | FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('spark', 'join', 'window', 'vector')
+      |       GROUP BY doc_id, term),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+      |         (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |         (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS sc
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term), stats),
+      |agg AS (SELECT doc_id, count(*) AS n_hit,
+      |         coalesce(sum(CASE WHEN term = 'spark' THEN sc END), 0.0)
+      |         + coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0)
+      |         + coalesce(sum(CASE WHEN term = 'window' THEN sc END), 0.0)
+      |         + coalesce(sum(CASE WHEN term = 'vector' THEN sc END), 0.0) AS score
+      |        FROM sc GROUP BY doc_id),
+      |top AS (SELECT doc_id, n_hit, score FROM agg
+      |        ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      | doc_id, n_hit, round(score, 4) + 0 AS bm25
+      |FROM top ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
     "text_lexical_stats" -> (textLexicalStats _),
     "text_lm_score" -> (textLmScore _),
     "text_normalize" -> (textNormalize _),
@@ -949,6 +1018,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
     "text_lexical_stats" -> textLexicalStatsSql,
     "text_lm_score" -> textLmScoreSql,
     "text_normalize" -> textNormalizeSql,

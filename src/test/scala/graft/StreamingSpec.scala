@@ -742,6 +742,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply on transformWithState == batch latest-wins, deletes tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    // user 1: upsert then delete (tombstone survives as deleted=true);
+    // user 2: upserts across batches, batch-2 event is LATE (older ts)
+    // so it must bump n_ops without overriding the value;
+    // user 3: appears only in batch 2.
+    val batch1 = Seq(
+      CdcEvent(1L, 10L, 1000L, "upsert", 5.0),
+      CdcEvent(2L, 11L, 1500L, "upsert", 7.0),
+      CdcEvent(2L, 12L, 2000L, "upsert", 9.0))
+    val batch2 = Seq(
+      CdcEvent(1L, 13L, 3000L, "delete", 0.0),
+      CdcEvent(2L, 14L, 1800L, "upsert", 99.0), // late: older than event 12
+      CdcEvent(3L, 15L, 2500L, "upsert", 4.0))
+    val input = MemoryStream[CdcEvent]
+    val q = StreamQueries.cdcApplyStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // latest emission per key = the maintained snapshot
+      val streamed = spark.table("cdc_out").as[CdcSnap].collect()
+        .groupBy(_.user_id).map { case (k, snaps) =>
+          k -> snaps.maxBy(_.n_ops)
+        }
+      val batch = StreamQueries.cdcApplyBatch(
+        (batch1 ++ batch2).toDF()
+          .withColumn(
+            "ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+          .drop("ts_us"))
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            ((r.getAs[Long]("last_event_id"), r.getAs[Boolean]("deleted"),
+              r.getAs[Double]("value"), r.getAs[Long]("n_ops")))
+        }.toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, s0) =>
+        assert((s0.last_event_id, s0.deleted, s0.value, s0.n_ops) == batch(k),
+          s"user $k: streaming snapshot must equal the batch latest-wins row")
+      }
+      // the late event bumped n_ops but did not override the value
+      assert(streamed(2L).value == 9.0 && streamed(2L).n_ops == 3L)
+      assert(streamed(1L).deleted, "delete must tombstone user 1")
+      // state is one row per key ever seen
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 3L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("KLL maintainer on transformWithState == mapGroupsWithState fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
