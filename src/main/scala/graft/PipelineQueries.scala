@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (SURVEY §2.J) beyond dedup/
@@ -886,7 +887,92 @@ object PipelineQueries {
       | max(fam) AS max_family
       |FROM fam GROUP BY source ORDER BY source""".stripMargin
 
+  // J16 — DSIR-shaped importance weighting (data selection via
+  // importance resampling, arXiv:2302.03169's deployment shape: score
+  // every raw document by how much its hashed-ngram profile looks
+  // like a small TARGET set, then keep the highest-weight docs). The
+  // feature space is E15's 64-bucket portable hash; the importance
+  // statistic is the exact-INTEGER rate difference Σ_b c_b·(t_rate_b
+  // − r_rate_b) with per-million rates via integer DIV — the log-ratio
+  // of the paper is monotone-equivalent for ranking but its per-doc
+  // float sum is merge-order-dependent, so the integer statistic is
+  // what a bit-replayable engine ships. Target = doc_id % 7 == 0 (a
+  // deterministic stand-in for "the trusted corpus"). Shape: one
+  // explode → per-doc bucket counts + two 64-row rate tables →
+  // broadcast join → exact per-doc fold; top-20 by (weight desc,
+  // doc_id) through sort+limit (TakeOrderedAndProject, never a
+  // single-partition window over the corpus).
+  private def pipelineDsir(s: SparkSession, dir: String): DataFrame = {
+    val S = 1000000L
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % 64)
+    val perDoc = tok.groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tTot = perDoc.filter(col("doc_id") % 7 === 0)
+      .agg(sum(col("c")).as("t_total"))
+    val rTot = perDoc.agg(sum(col("c")).as("r_total"))
+    val rates = perDoc
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("doc_id") % 7 === 0, col("c")).otherwise(0L)).as("tc"),
+        sum(col("c")).as("rc"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        expr(s"(tc * $S) DIV t_total").as("t_rate"),
+        expr(s"(rc * $S) DIV r_total").as("r_rate"))
+    val weighted = perDoc.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(rates), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (col("t_rate") - col("r_rate"))).as("weight"))
+    val top = weighted.orderBy(col("weight").desc, col("doc_id")).limit(20)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"),
+        col("n_tokens"), col("weight"))
+      .orderBy(col("rank"))
+  }
+
+  private val pipelineDsirSql =
+    """WITH tok AS (
+      | SELECT doc_id, source, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id, source,
+      |   list_reduce(
+      |     list_prepend(7::BIGINT, list_transform(generate_series(1, length(tok)),
+      |       i -> ascii(substring(tok, i, 1))::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket
+      | FROM tok),
+      |pd AS (SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS c
+      |       FROM b GROUP BY doc_id, source, bucket),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM pd WHERE doc_id % 7 = 0),
+      |rt AS (SELECT CAST(sum(c) AS BIGINT) AS r_total FROM pd),
+      |rates AS (
+      | SELECT bucket,
+      |   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN c ELSE 0 END) AS BIGINT)
+      |     * 1000000 // t_total AS t_rate,
+      |   CAST(sum(c) AS BIGINT) * 1000000 // r_total AS r_rate
+      | FROM pd, tt, rt GROUP BY bucket, t_total, r_total),
+      |wgt AS (
+      | SELECT doc_id, any_value(source) AS source,
+      |   CAST(sum(c) AS BIGINT) AS n_tokens,
+      |   CAST(sum(c * (t_rate - r_rate)) AS BIGINT) AS weight
+      | FROM pd JOIN rates USING (bucket) WHERE doc_id % 7 <> 0
+      | GROUP BY doc_id),
+      |top AS (SELECT * FROM wgt ORDER BY weight DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rank,
+      | doc_id, source, n_tokens, weight
+      |FROM top ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_url_dedup" -> (pipelineUrlDedup _),
     "pipeline_triangles" -> (pipelineTriangles _),
@@ -904,6 +990,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dsir" -> pipelineDsirSql,
     "pipeline_split" -> pipelineSplitSql,
     "pipeline_url_dedup" -> pipelineUrlDedupSql,
     "pipeline_triangles" -> pipelineTrianglesSql,

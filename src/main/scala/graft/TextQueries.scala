@@ -997,7 +997,69 @@ object TextQueries {
       | doc_id, n_hit, round(score, 4) + 0 AS bm25
       |FROM top ORDER BY rank""".stripMargin
 
+  // E20 — LINEAR QUALITY-CLASSIFIER inference (the fastText/DCLM
+  // filter shape: a trained model scores every document and a
+  // threshold keeps the top mass; here the model is a deterministic
+  // weight table over E15's 64-bucket hashed feature space, because
+  // the SERVING shape — not the training — is the 100 TB operator).
+  // Weights are INTEGERS in [-500, 500] derived from the bucket index
+  // by a jointly-nonlinear modular polynomial, so the per-doc margin
+  // Σ c_b·w_b is an exact integer sum — order-independent across any
+  // partitioning — and the only IEEE op is the final mean division.
+  // The weight table never materializes: w(b) inlines into the
+  // projection, so serving is one explode + two hash aggs, zero
+  // joins, zero driver state — the same economics as E15.
+  private def textClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 64
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % buckets)
+      .withColumn("w",
+        (((col("bucket") * col("bucket")) % 997L) * 7919L
+          + col("bucket") * 104729L + 65537L) % 1001L - 500L)
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w")).as("margin"))
+      .withColumn("mean_margin",
+        round(col("margin").cast("double") / col("n_tokens"), 4) + lit(0.0))
+      .withColumn("keep", col("margin") > 0L)
+      .select(col("doc_id"), col("n_tokens"), col("margin"),
+        col("mean_margin"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textClassifierScoreSql =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id,
+      |   list_reduce(
+      |     list_prepend(7::BIGINT, list_transform(generate_series(1, length(tok)),
+      |       i -> ascii(substring(tok, i, 1))::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket
+      | FROM tok),
+      |w AS (
+      | SELECT doc_id,
+      |   ((bucket * bucket % 997) * 7919 + bucket * 104729 + 65537) % 1001 - 500 AS w
+      | FROM b),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |   CAST(sum(w) AS BIGINT) AS margin
+      | FROM w GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, margin,
+      | round(CAST(margin AS DOUBLE) / n_tokens, 4) + 0 AS mean_margin,
+      | margin > 0 AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_score" -> (textClassifierScore _),
     "text_bm25" -> (textBm25 _),
     "text_lexical_stats" -> (textLexicalStats _),
     "text_lm_score" -> (textLmScore _),
@@ -1018,6 +1080,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_classifier_score" -> textClassifierScoreSql,
     "text_bm25" -> textBm25Sql,
     "text_lexical_stats" -> textLexicalStatsSql,
     "text_lm_score" -> textLmScoreSql,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
@@ -121,6 +121,36 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
           Project(neededR, a.right) else a.right
         p.copy(child = rebuild(child, a.copy(left = newLeft, right = newRight)))
       } else p
+  }
+}
+
+/** Optimizer rule: PREDICATE pushdown through the as-of node — the
+  * pruning rule's twin (Catalyst's PushPredicateThroughJoin only
+  * understands `Join`, so a filter above the custom node would
+  * otherwise run after the join's two shuffles and sorts). A
+  * deterministic conjunct referencing only LEFT columns commutes with
+  * the join: every output row extends exactly one left row (left
+  * outer, one best match), so filtering left input first is
+  * equivalent — and once below, FileSourceStrategy turns it into a
+  * parquet PushedFilter, shrinking the scan AND the shuffle. RIGHT
+  * predicates never push: a right row that fails the filter must
+  * still lose the "latest ≤ t" race (pushing would promote an older
+  * row to match), and unmatched-left null rows must survive — the
+  * same reason outer-join right predicates don't push. Idempotent:
+  * fires only while a pushable conjunct remains above the node.
+  */
+object PushAsOfJoinFilters extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val leftOut = AttributeSet(a.left.output)
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.nonEmpty &&
+          c.references.subsetOf(leftOut))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 
@@ -579,6 +609,13 @@ object AsOfJoin {
     if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+    }
+    // Pushdown must run BEFORE pruning in the extra-optimization batch
+    // so the pruning rule's Project/Filter-chain match still sees the
+    // (now smaller) filter chain it expects.
+    if (!spark.experimental.extraOptimizations.contains(PushAsOfJoinFilters)) {
+      spark.experimental.extraOptimizations =
+        PushAsOfJoinFilters +: spark.experimental.extraOptimizations
     }
   }
 

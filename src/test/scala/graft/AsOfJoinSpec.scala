@@ -94,6 +94,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("left-only predicates push below the as-of join to the scan") {
+    val right = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_time"))
+    val left = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val joined = AsOfJoin.join(left, right, "user_id", "ts", "o_custkey", "o_time")
+      .filter(col("event_type") === "click" && col("o_totalprice") > 0.0)
+    val explained = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the left-only conjunct reaches the events scan as a parquet filter
+    val eventsScan = explained.linesIterator
+      .filter(_.contains("PushedFilters")).find(_.contains("event_type")).orNull
+    assert(eventsScan != null && eventsScan.contains("EqualTo(event_type,click)"),
+      s"left-only predicate must reach the events scan's PushedFilters:\n$explained")
+    // the right-side conjunct must NOT be pushed into the orders scan —
+    // it would change which order is "latest" and kill unmatched nulls
+    val ordersScan = explained.linesIterator
+      .filter(_.contains("PushedFilters")).find(_.contains("o_totalprice"))
+    assert(!ordersScan.exists(_.contains("GreaterThan(o_totalprice")),
+      s"right predicate must stay above the join:\n$ordersScan")
+    // semantics unchanged: pushing left filters first gives the same rows
+    val expected = AsOfJoin.join(
+        left.filter(col("event_type") === "click"), right,
+        "user_id", "ts", "o_custkey", "o_time")
+      .filter(col("o_totalprice") > 0.0)
+      .select(col("event_id"), col("o_orderkey")).collect().toSet
+    val got = joined.select(col("event_id"), col("o_orderkey")).collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("null keys and times never match (left nulls emit null right)") {
     val quotes = Seq((Some(1L), Some(10L), "q10"), (None, Some(5L), "qnull"),
       (Some(1L), None, "tnull"))
