@@ -719,7 +719,86 @@ object DedupQueries {
       |SELECT doc_id, n_grams, n_dup, dup_frac, (dup_frac <= 0.8) AS keep
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // C11 — EXACT similarity join via PREFIX FILTERING (the
+  // AllPairs/SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et
+  // al. WWW'08): the deterministic complement to C2's MinHash-LSH.
+  // LSH completeness is probabilistic (a true pair can miss every
+  // band); the prefix filter's is ALGEBRAIC: order each doc's distinct
+  // 3-gram codes by global document frequency (rarest first — ties by
+  // code) and keep only the first n − ⌈t·n⌉ + 1 as its "prefix"; any
+  // pair with Jaccard ≥ t and compatible sizes (t·max ≤ min, itself
+  // implied by the threshold) MUST share a prefix gram, so the
+  // candidate set from the prefix equi-join provably contains every
+  // true pair. Candidate volume ∝ Σ df² over RARE grams — the join
+  // key is the rarest content, never the corpus². Verification is
+  // C4's codegen'd sorted-merge intersect on a narrow pair skeleton.
+  // The threshold test is pure integers (10·inter ≥ 7·union — exact
+  // arithmetic, no float boundary), and the ORACLE is the brute-force
+  // all-pairs join, so a green row literally proves the prefix filter
+  // dropped no true pair. Exact-content families collapse to min-id
+  // representatives first (C2/C3's trick — identical texts would
+  // inflate every prefix bucket quadratically for pairs C1 already
+  // owns).
+  private def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.expressions.Window
+    val gramCodes = GraftBridge.column(
+      graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))
+    val rep = docs(s, dir).groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val grams = rep.select(col("doc_id"), gramCodes.as("g"))
+      .withColumn("n", size(col("g")).cast("long"))
+    val toks = grams.select(col("doc_id"), col("n"), explode(col("g")).as("code"))
+    val freq = toks.groupBy(col("code")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("code"))
+    val prefix = toks.join(freq, "code")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+    val pa = prefix.select(col("code"), col("doc_id").as("id_a"), col("n").as("na"))
+    val pb = prefix.select(col("code"), col("doc_id").as("id_b"), col("n").as("nb"))
+    val cand = pa.join(pb, "code")
+      .filter(col("id_a") < col("id_b") &&
+        lit(10L) * least(col("na"), col("nb")) >=
+          lit(7L) * greatest(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = GraftBridge.column(graft.functions.SortedIntersectCountExpr(
+      GraftBridge.expression(col("ga")), GraftBridge.expression(col("gb"))))
+    cand
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .withColumn("inter", inter)
+      .withColumn("un",
+        (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
+      .filter(col("inter") * 10L >= col("un") * 7L)
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+        (round(col("inter").cast("double") / col("un"), 4) + lit(0.0))
+          .as("jaccard"))
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
+  }
+
+  // Oracle = BRUTE FORCE all-pairs over the collapsed representatives:
+  // equality with the Spark result proves prefix-filter completeness,
+  // not just agreement on a shared candidate set.
+  private val dedupPrefixFilterSql =
+    """WITH rep AS (SELECT text, min(doc_id) AS doc_id
+      |             FROM documents GROUP BY text),
+      |g AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |   generate_series(1, greatest(length(text) - 2, 1)),
+      |   i -> ascii(substring(text, i, 1)) * 17161
+      |      + ascii(substring(text, i + 1, 1)) * 131
+      |      + ascii(substring(text, i + 2, 1))))) AS gr
+      | FROM rep),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) AS inter,
+      |   CAST(len(a.gr) AS BIGINT) AS na, CAST(len(b.gr) AS BIGINT) AS nb
+      | FROM g a JOIN g b ON b.doc_id > a.doc_id)
+      |SELECT id_a, id_b, inter, na + nb - inter AS un,
+      | round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) + 0 AS jaccard
+      |FROM p WHERE inter * 10 >= (na + nb - inter) * 7
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_corpus_ngram" -> (dedupCorpusNgram _),
     "dedup_exact" -> (dedupExact _),
@@ -732,6 +811,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_prefix_filter" -> dedupPrefixFilterSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_corpus_ngram" -> dedupCorpusNgramSql,
     "dedup_exact" -> dedupExactSql,
