@@ -739,34 +739,44 @@ object DedupQueries {
   // representatives first (C2/C3's trick — identical texts would
   // inflate every prefix bucket quadratically for pairs C1 already
   // owns).
+  // Set elements are WORD-5-GRAM strings (C9's gram construction, the
+  // Dolma/C4 span unit), not char-3-grams: the synthetic corpus draws
+  // from a ~30-word vocabulary, so char-grams are all common and the
+  // "rare-first" prefix degenerates (measured 225M candidate
+  // comparisons at sf0.1); word-5-grams span 5 vocabulary draws, so
+  // df concentrates on true near-dup families (same measurement: 85k
+  // comparisons, max bucket 4 — a 2600× drop from picking the right
+  // set element, which IS the prefix-filter design decision).
   private def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.expressions.Window
-    val gramCodes = GraftBridge.column(
-      graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))
     val rep = docs(s, dir).groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val grams = rep.select(col("doc_id"), gramCodes.as("g"))
+    val grams = rep.withColumn("toks", tokensCol)
+      .select(col("doc_id"), expr(
+        """array_sort(array_distinct(
+          |  if(size(toks) >= 5,
+          |    transform(sequence(1, size(toks) - 4),
+          |      i -> concat_ws(' ', slice(toks, i, 5))),
+          |    array())))""".stripMargin).as("g"))
+      .filter(size(col("g")) >= 1)
       .withColumn("n", size(col("g")).cast("long"))
-    val toks = grams.select(col("doc_id"), col("n"), explode(col("g")).as("code"))
-    val freq = toks.groupBy(col("code")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("code"))
-    val prefix = toks.join(freq, "code")
+    val tk = grams.select(col("doc_id"), col("n"), explode(col("g")).as("gram"))
+    val freq = tk.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val prefix = tk.join(freq, "gram")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
-    val pa = prefix.select(col("code"), col("doc_id").as("id_a"), col("n").as("na"))
-    val pb = prefix.select(col("code"), col("doc_id").as("id_b"), col("n").as("nb"))
-    val cand = pa.join(pb, "code")
+    val pa = prefix.select(col("gram"), col("doc_id").as("id_a"), col("n").as("na"))
+    val pb = prefix.select(col("gram"), col("doc_id").as("id_b"), col("n").as("nb"))
+    val cand = pa.join(pb, "gram")
       .filter(col("id_a") < col("id_b") &&
         lit(10L) * least(col("na"), col("nb")) >=
           lit(7L) * greatest(col("na"), col("nb")))
       .select(col("id_a"), col("id_b")).distinct()
-    val inter = GraftBridge.column(graft.functions.SortedIntersectCountExpr(
-      GraftBridge.expression(col("ga")), GraftBridge.expression(col("gb"))))
     cand
       .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
-      .withColumn("inter", inter)
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("un",
         (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
       .filter(col("inter") * 10L >= col("un") * 7L)
@@ -782,16 +792,19 @@ object DedupQueries {
   private val dedupPrefixFilterSql =
     """WITH rep AS (SELECT text, min(doc_id) AS doc_id
       |             FROM documents GROUP BY text),
-      |g AS (SELECT doc_id, list_sort(list_distinct(list_transform(
-      |   generate_series(1, greatest(length(text) - 2, 1)),
-      |   i -> ascii(substring(text, i, 1)) * 17161
-      |      + ascii(substring(text, i + 1, 1)) * 131
-      |      + ascii(substring(text, i + 2, 1))))) AS gr
-      | FROM rep),
+      |t AS (SELECT doc_id, list_filter(
+      |        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |      FROM rep),
+      |g AS (SELECT doc_id, list_sort(list_distinct(CASE WHEN len(toks) >= 5
+      |        THEN list_transform(range(1, len(toks) - 3),
+      |               i -> array_to_string(toks[i:i+4], ' '))
+      |        ELSE [] END)) AS gr
+      |      FROM t),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |   CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) AS inter,
       |   CAST(len(a.gr) AS BIGINT) AS na, CAST(len(b.gr) AS BIGINT) AS nb
-      | FROM g a JOIN g b ON b.doc_id > a.doc_id)
+      | FROM g a JOIN g b ON b.doc_id > a.doc_id
+      |   AND len(a.gr) >= 1 AND len(b.gr) >= 1)
       |SELECT id_a, id_b, inter, na + nb - inter AS un,
       | round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) + 0 AS jaccard
       |FROM p WHERE inter * 10 >= (na + nb - inter) * 7
