@@ -971,7 +971,90 @@ object PipelineQueries {
       | doc_id, source, n_tokens, weight
       |FROM top ORDER BY rank""".stripMargin
 
+  // J17 — classifier CALIBRATION table (the deployment audit for E20:
+  // before a learned filter replaces a rule-based gate, you bucket its
+  // scores and measure agreement with the rules per bucket — the
+  // "calibration curve" every filter swap publishes). Margin deciles
+  // come from DistributedNtile (exact SQL-ntile semantics with no
+  // single-partition window — the corpus-wide ORDER BY is the trap
+  // this avoids at 100 TB); the gate is J3's length + punctuation
+  // rule in EXACT integer form (punct·10 ≤ len — no float boundary);
+  // per-decile mean margin is an exact integer sum with one terminal
+  // division. Docs with zero alphanumeric tokens have no margin and
+  // drop from both engines identically.
+  private def pipelineQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % 64)
+      .withColumn("w",
+        (((col("bucket") * col("bucket")) % 997L) * 7919L
+          + col("bucket") * 104729L + 65537L) % 1001L - 500L)
+    val margins = tok.groupBy(col("doc_id")).agg(sum(col("w")).as("margin"))
+    val gate = docs(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("punct"))
+    val scored = margins.join(gate, "doc_id")
+      .withColumn("gate_keep", col("len") >= 100L && col("punct") * 10L <= col("len"))
+      .withColumn("clf_keep", col("margin") > 0L)
+    val dec = graft.operators.DistributedNtile
+      .withNtile(scored, 10, "decile", col("margin").asc, col("doc_id").asc)
+    dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(sum(col("margin")).cast("double") / count(lit(1)), 4) + lit(0.0))
+          .as("mean_margin"),
+        sum(when(col("gate_keep"), 1L).otherwise(0L)).as("n_gate_keep"),
+        sum(when(col("clf_keep"), 1L).otherwise(0L)).as("n_clf_keep"),
+        sum(when(col("gate_keep") === col("clf_keep"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree").cast("double") / col("n_docs"), 4) + lit(0.0))
+      .orderBy(col("decile"))
+  }
+
+  private val pipelineQualityCalibrationSql =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id,
+      |   list_reduce(
+      |     list_prepend(7::BIGINT, list_transform(generate_series(1, length(tok)),
+      |       i -> ascii(substring(tok, i, 1))::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket
+      | FROM tok),
+      |w AS (
+      | SELECT doc_id,
+      |   ((bucket * bucket % 997) * 7919 + bucket * 104729 + 65537) % 1001 - 500 AS w
+      | FROM b),
+      |m AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS margin FROM w GROUP BY doc_id),
+      |gate AS (
+      | SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |   CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct
+      | FROM documents),
+      |s AS (
+      | SELECT m.doc_id, margin,
+      |   (len >= 100 AND punct * 10 <= len) AS gate_keep,
+      |   margin > 0 AS clf_keep
+      | FROM m JOIN gate USING (doc_id)),
+      |d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY margin, doc_id) AS BIGINT)
+      |        AS decile FROM s)
+      |SELECT decile, count(*) AS n_docs,
+      | round(CAST(sum(margin) AS DOUBLE) / count(*), 4) + 0 AS mean_margin,
+      | CAST(sum(CASE WHEN gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_keep,
+      | CAST(sum(CASE WHEN clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_keep,
+      | CAST(sum(CASE WHEN gate_keep = clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      | round(CAST(sum(CASE WHEN gate_keep = clf_keep THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) + 0 AS agree_rate
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quality_calibration" -> (pipelineQualityCalibration _),
     "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_url_dedup" -> (pipelineUrlDedup _),
@@ -990,6 +1073,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_quality_calibration" -> pipelineQualityCalibrationSql,
     "pipeline_dsir" -> pipelineDsirSql,
     "pipeline_split" -> pipelineSplitSql,
     "pipeline_url_dedup" -> pipelineUrlDedupSql,

@@ -276,12 +276,20 @@ object TextQueries {
     val wordCounts = docWords.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val merges = graft.operators.BpeTrainer.Artifacts
       .mergesFor(wordCounts, s"bpe:$dir", BpeMerges)
-    val enc = graft.operators.BpeTrainer.encodeTokens(
-      wordCounts.select(col("word")), merges)
-    docWords.join(enc, Seq("word"))
-      .select(col("word"), explode(col("toks")).as("tok"))
+    // The usage report lives entirely at the word-TYPE level: an
+    // occurrence-exploded token count is Σ_type cnt · multiplicity, so
+    // encoding the (word, cnt) type table in place and weighting by cnt
+    // is algebraically identical to re-joining the full per-occurrence
+    // corpus — while touching |types| rows instead of |occurrences|.
+    // explode_outer, NOT explode: a plain explode gets an inferred
+    // size(toks)>0 filter pushed below the type aggregate, re-running
+    // the encode fold per corpus occurrence (the 14 s trap documented
+    // on BpeTrainer.encodeTokens); outer generates infer no filter,
+    // and toks is never empty for the length>=2 words kept here.
+    graft.operators.BpeTrainer.encodeTokens(wordCounts, merges)
+      .select(col("word"), col("cnt"), explode_outer(col("toks")).as("tok"))
       .groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_occurrences"),
+      .agg(sum(col("cnt")).as("n_occurrences"),
         countDistinct(col("word")).as("n_types"))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(20)

@@ -83,15 +83,49 @@ object BpeTrainer {
     encodeTokens(wordTypes, merges)
       .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
 
-  /** Like [[encode]] but keeps the token ARRAYS — (word, toks) — for
-    * callers that inspect the encoded pieces (vocabulary usage reports)
-    * rather than just counting them.
+  /** Like [[encode]] but keeps the token ARRAYS — all input columns
+    * plus `toks` — for callers that inspect the encoded pieces
+    * (vocabulary usage reports) rather than just counting them.
+    * Preserving the caller's columns means a (word, cnt) type table
+    * encodes in place with NO join back.
+    *
+    * The merge table enters as DATA (one array-of-structs literal),
+    * not as expression structure: a per-merge `withColumn(mergeFold)`
+    * chain nests each rank's aggregate inside the next and the
+    * expression tree grows multiplicatively with rank; one outer
+    * aggregate over the merge array keeps the expression O(1)-sized
+    * at ANY vocabulary size — the property a 32k-merge production
+    * tokenizer needs.
+    *
+    * CALLER TRAP (measured, E16): `explode(toks)` downstream lets
+    * InferFiltersFromGenerate add `size(toks)>0 AND isnotnull(toks)`,
+    * and because toks is a deterministic expression of the grouping
+    * key, PushDownPredicates pushes that predicate BELOW the word-type
+    * aggregate — re-evaluating this whole fold per corpus OCCURRENCE
+    * (13.7 s of a 14 s query at sf0.1). Explode with `explode_outer`
+    * (no filter is inferred for outer generates; toks is never empty
+    * for non-empty words) or keep the consumer non-generating.
     */
   def encodeTokens(wordTypes: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    var t = wordTypes.withColumn("toks",
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-    merges.foreach { case (pa, pb) => t = t.withColumn("toks", mergeFold(pa, pb)) }
-    t.select(col("word"), col("toks"))
+    val kept = wordTypes.columns.toSeq
+    val chars =
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    if (merges.isEmpty)
+      return wordTypes.withColumn("toks", chars)
+        .select((kept :+ "toks").map(col): _*)
+    val mergesArr = array(merges.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    wordTypes
+      .withColumn("__merges", mergesArr)
+      .withColumn("toks", expr(
+        """aggregate(__merges,
+          |  transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+          |  (ts, m) -> aggregate(ts, cast(array() as array<string>),
+          |    (acc, x) -> CASE
+          |      WHEN size(acc) > 0 AND element_at(acc, size(acc)) = m.a AND x = m.b
+          |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b)))
+          |      ELSE concat(acc, array(x)) END))""".stripMargin))
+      .select((kept :+ "toks").map(col): _*)
   }
 
   /** Session-level tokenizer-artifact cache: a merge table is trained

@@ -126,6 +126,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("pushdown and pruning compose: filtered projection gets both") {
+    val wideRight = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_time", col("o_orderdate").cast("timestamp_ntz"))
+    val left = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val joined = AsOfJoin.join(left, wideRight, "user_id", "ts", "o_custkey", "o_time")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("o_orderkey"))
+    val explained = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // pushdown: the filter reaches the events scan
+    assert(explained.contains("EqualTo(event_type,click)"),
+      s"filter must reach PushedFilters:\n$explained")
+    // pruning: the wide orders table still reads only the used columns
+    val ordersRead = explained.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("o_orderkey")).get
+    assert(!ordersRead.contains("o_totalprice"),
+      s"unused o_totalprice must stay pruned alongside pushdown: $ordersRead")
+    assert(joined.count() > 0)
+  }
+
   test("null keys and times never match (left nulls emit null right)") {
     val quotes = Seq((Some(1L), Some(10L), "q10"), (None, Some(5L), "qnull"),
       (Some(1L), None, "tnull"))
