@@ -810,7 +810,70 @@ object DedupQueries {
       |FROM p WHERE inter * 10 >= (na + nb - inter) * 7
       |ORDER BY id_a, id_b""".stripMargin
 
+  // C12 — LINE-level exact dedup (the CCNet hygiene pass: drop every
+  // paragraph whose exact normalized text appears in 2+ DOCUMENTS —
+  // boilerplate headers/footers/navigation — before any document-level
+  // near-dup runs; CommonCrawl curation does this first because shared
+  // boilerplate both wastes tokens and inflates document similarity).
+  // The corpus has no newlines, so the deterministic segmentation unit
+  // is consecutive 10-word chunks — the operator's shape is
+  // segmentation-agnostic. Keyed by md5 of the chunk text (CCNet
+  // hashes paragraphs for exactly this reason: the shuffle then moves
+  // fixed-width digests, not content — at 100 TB the line text never
+  // leaves its scan except inside the digest). Shape: one explode
+  // O(text) → two hash aggs on the digest (count distinct docs, then
+  // annotate) → per-source report. Within-doc repeats don't drop
+  // (n_docs counts DISTINCT docs), matching CCNet's cross-document
+  // contract.
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val lines = docs(s, dir)
+      .select(col("doc_id"), col("source"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("ws"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(ws) >= 1 THEN
+          |  transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),
+          |    i -> array_join(slice(ws, i * 10 + 1, 10), ' '))
+          |ELSE array() END""".stripMargin)).as("line"))
+      .withColumn("lh", md5(col("line")))
+    val freq = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_line"))
+    lines.join(freq, Seq("lh"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("n_docs_line") >= 2L, 1L).otherwise(0L)).as("n_dropped"),
+        countDistinct(when(col("n_docs_line") >= 2L, col("doc_id"))).as("n_docs_hit"))
+      .withColumn("drop_rate",
+        round(col("n_dropped").cast("double") / col("n_lines"), 4) + lit(0.0))
+      .orderBy(col("source"))
+  }
+
+  private val dedupLinesSql =
+    """WITH w AS (
+      | SELECT doc_id, source,
+      |   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |     x -> x <> '') AS ws
+      | FROM documents),
+      |l AS (
+      | SELECT doc_id, source, md5(unnest(CASE WHEN len(ws) >= 1 THEN
+      |     list_transform(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1),
+      |       i -> array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' '))
+      |   ELSE [] END)) AS lh
+      | FROM w),
+      |f AS (SELECT lh, count(DISTINCT doc_id) AS n_docs_line FROM l GROUP BY lh),
+      |j AS (SELECT l.doc_id, l.source, f.n_docs_line FROM l JOIN f USING (lh))
+      |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      | count(*) AS n_lines,
+      | CAST(sum(CASE WHEN n_docs_line >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_dropped,
+      | CAST(count(DISTINCT CASE WHEN n_docs_line >= 2 THEN doc_id END) AS BIGINT)
+      |   AS n_docs_hit,
+      | round(CAST(sum(CASE WHEN n_docs_line >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) + 0 AS drop_rate
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> (dedupLines _),
     "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_corpus_ngram" -> (dedupCorpusNgram _),
@@ -824,6 +887,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesSql,
     "dedup_prefix_filter" -> dedupPrefixFilterSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_corpus_ngram" -> dedupCorpusNgramSql,

@@ -913,7 +913,97 @@ object SimilarityQueries {
       | FROM fused)
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // D16 — EXACT top-k ANN with CERTIFIED list pruning (Elkan-style
+  // triangle-inequality bounds on an IVF layout): unlike D5/D6 (probe
+  // nprobe lists, accept approximate recall), this query returns the
+  // provably exact answer while skipping every list that CANNOT
+  // contain a winner. Per list: angular radius (min cosine between a
+  // member and its centroid) and max member norm. For query q, any
+  // member v of list c obeys ip(q,v) ≤ |q|·maxn_c·cos(max(0, θ(q,ĉ) −
+  // r_c)) — the Cauchy-Schwarz/rotation bound. A 2-list probe sets the
+  // running kth-best; only lists whose bound (+1e-9 float slack, which
+  // can only ADD lists, never drop one) reaches it are scanned. The
+  // ORACLE is plain brute force: a green row literally certifies the
+  // pruning lossless, the same proof shape as C11's prefix filter.
+  // ExactPrunedSpec asserts the scan actually skips most lists. At
+  // 100 TB the assignment is a stored index (here built in-query like
+  // D5, by oracle-replay contract), the per-list geometry is k rows,
+  // and the exact scan touches only surviving lists — exactness
+  // without the full-scan cost brute force pays.
+  private def knnExactPruned(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val all = emb(s, dir)
+    val base = all.select(col("vec_id"), col("v"))
+    val cents = IvfIndex.trainCentroids(base, "vec_id", "v", k = 16, iters = 2)
+    val assigned = IvfIndex.assignOne(base, cents, "vec_id", "v")
+    // per-list geometry: cos_r = min cos(member, centroid) (the widest
+    // member), maxn = max |member| — k tiny rows, broadcast everywhere
+    val geom = assigned.join(broadcast(cents), Seq("cid"))
+      .withColumn("cosvc",
+        least(lit(1.0), greatest(lit(-1.0), VectorOps.cosine(col("v"), col("cv")))))
+      .groupBy(col("cid"))
+      .agg(min(col("cosvc")).as("cos_r"),
+        max(VectorOps.norm(col("v"))).as("maxn"))
+      .join(broadcast(cents), Seq("cid"))
+    val q = all.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        VectorOps.norm(col("v")).as("qn"))
+    // per (query, list): cos to the centroid and the member ip bound
+    val qLists = q.crossJoin(broadcast(geom))
+      .withColumn("cosqc",
+        least(lit(1.0), greatest(lit(-1.0), VectorOps.cosine(col("qv"), col("cv")))))
+      .withColumn("ub", col("qn") * col("maxn") *
+        when(col("cosqc") >= col("cos_r"), lit(1.0))
+          .otherwise(col("cosqc") * col("cos_r")
+            + sqrt(greatest(lit(0.0), lit(1.0) - col("cosqc") * col("cosqc")))
+            * sqrt(greatest(lit(0.0), lit(1.0) - col("cos_r") * col("cos_r"))))
+        + lit(1e-9))
+      .select(col("qid"), col("qv"), col("cid"), col("cosqc"), col("ub"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cosqc").desc, col("cid"))
+    val probed = qLists.withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2).select(col("qid"), col("qv"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("nid"))
+    // probe pass: exact kth-best over the 2 nearest lists = the bound
+    val bounds = assigned
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ip", VectorOps.dot(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 10)
+      .select(col("qid"), col("ip").as("bound"))
+    // survivors: every list whose bound reaches the probe kth-best
+    // (probed lists re-qualify automatically — they contain the bound
+    // achiever); missing bound (< 10 candidates) means scan everything
+    val surv = qLists.join(broadcast(bounds), Seq("qid"), "left")
+      .filter(col("bound").isNull || col("ub") >= col("bound"))
+      .select(col("qid"), col("qv"), col("cid"))
+    assigned
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+      .join(broadcast(surv), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ip", VectorOps.dot(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("ip"), 4) + lit(0.0)).as("ip"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnExactPrunedSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 9),
+      | s AS (SELECT qid, e.vec_id AS nid, list_dot_product(qv, v) AS ip
+      |       FROM q JOIN e ON e.vec_id <> qid),
+      | r AS (SELECT qid, nid, ip,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid)
+      |           AS BIGINT) AS rn
+      |       FROM s)
+      |SELECT qid, rn, nid, round(ip, 4) + 0 AS ip FROM r WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_exact_pruned" -> (knnExactPruned _),
     "knn_rrf_fusion" -> (knnRrfFusion _),
     "knn_mmr" -> (knnMmr _),
     "knn_hnsw" -> (knnHnsw _),
@@ -931,6 +1021,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_exact_pruned" -> knnExactPrunedSql,
     "knn_rrf_fusion" -> knnRrfFusionSql,
     "knn_mmr" -> knnMmrSql,
     "knn_hnsw" -> knnHnswSql,

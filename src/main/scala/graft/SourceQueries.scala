@@ -346,7 +346,58 @@ object SourceQueries {
       | CAST(64 AS BIGINT) AS n_files_before, CAST(4 AS BIGINT) AS n_files_after
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // H10 — CSV ESCAPE hardening: the round-trip that breaks naive text
+  // sinks. Every doc derives a deterministic MESSY field packing the
+  // four classic CSV landmines — embedded double quotes, the delimiter
+  // itself, a literal newline, a backslash — then writes RFC 4180
+  // style (quoteAll + escape='"' → quotes double as "" instead of
+  // Spark's default backslash escaping) and reads back with
+  // multiLine=true (embedded newlines make rows span physical lines,
+  // so files can't be split mid-record — which is WHY the write
+  // repartitions first: with multiLine the read parallelism is the
+  // file count, a real 100 TB layout decision). Verified by count /
+  // length-sum / distinct-count / min-md5 per source against the same
+  // derivation computed directly on the parquet — any mangled quote,
+  // lost newline, or eaten backslash shifts a digest.
+  private def srcCsvEscapes(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("csvesc")
+    val messySchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("messy", StringType)))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(lit("\"q\" ,"), substring(col("text"), 1, 24),
+          lit(","), lit("\n"), lit("\\tail;"), col("lang")).as("messy"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(tmp)
+    s.read.schema(messySchema)
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(tmp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("messy"))).cast("long").as("sum_len"),
+        countDistinct(col("messy")).as("n_distinct"),
+        min(md5(col("messy"))).as("min_md5"))
+      .orderBy(col("source"))
+  }
+
+  private val srcCsvEscapesSql =
+    """WITH m AS (
+      | SELECT doc_id, source,
+      |   '"q" ,' || substring(text, 1, 24) || ',' || chr(10) || '\tail;' || lang
+      |     AS messy
+      | FROM documents)
+      |SELECT source, count(*) AS n,
+      | CAST(sum(length(messy)) AS BIGINT) AS sum_len,
+      | CAST(count(DISTINCT messy) AS BIGINT) AS n_distinct,
+      | min(md5(messy)) AS min_md5
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_escapes" -> (srcCsvEscapes _),
     "src_codec_roundtrip" -> (srcCodecRoundtrip _),
     "src_dynamic_overwrite" -> (srcDynamicOverwrite _),
     "src_bucketed_join" -> (srcBucketedJoin _),
@@ -358,6 +409,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_csv_escapes" -> srcCsvEscapesSql,
     "src_codec_roundtrip" -> srcCodecRoundtripSql,
     "src_dynamic_overwrite" -> srcDynamicOverwriteSql,
     "src_bucketed_join" -> srcBucketedJoinSql,
