@@ -930,11 +930,18 @@ object SimilarityQueries {
   // D5, by oracle-replay contract), the per-list geometry is k rows,
   // and the exact scan touches only surviving lists — exactness
   // without the full-scan cost brute force pays.
-  private def knnExactPruned(s: SparkSession, dir: String): DataFrame = {
+  private def knnExactPruned(s: SparkSession, dir: String): DataFrame =
+    exactPrunedParts(emb(s, dir))._2
+
+  /** D16 core over any (vec_id, v) frame; queries = vec_id <= 9.
+    * Returns (survivor lists per query, exact top-10) so ExactPrunedSpec
+    * can assert the scan skips lists while staying exact.
+    */
+  private[graft] def exactPrunedParts(
+      all: DataFrame, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     import graft.operators.IvfIndex
-    val all = emb(s, dir)
     val base = all.select(col("vec_id"), col("v"))
-    val cents = IvfIndex.trainCentroids(base, "vec_id", "v", k = 16, iters = 2)
+    val cents = IvfIndex.trainCentroids(base, "vec_id", "v", k = k, iters = iters)
     val assigned = IvfIndex.assignOne(base, cents, "vec_id", "v")
     // per-list geometry: cos_r = min cos(member, centroid) (the widest
     // member), maxn = max |member| — k tiny rows, broadcast everywhere
@@ -978,7 +985,7 @@ object SimilarityQueries {
     val surv = qLists.join(broadcast(bounds), Seq("qid"), "left")
       .filter(col("bound").isNull || col("ub") >= col("bound"))
       .select(col("qid"), col("qv"), col("cid"))
-    assigned
+    val result = assigned
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
       .join(broadcast(surv), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
@@ -988,6 +995,7 @@ object SimilarityQueries {
       .select(col("qid"), col("rn"), col("nid"),
         (round(col("ip"), 4) + lit(0.0)).as("ip"))
       .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+    (surv, result)
   }
 
   private val knnExactPrunedSql =
