@@ -14,9 +14,14 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
+fpath = os.path.join(outdir, "_failures.json")
+if os.path.exists(fpath):
+    for name, msg in json.load(open(fpath)).items():
+        fails.append((name, f"verify-time error: {msg}"))
+failed_names = {n for n, _ in fails}
 for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
-    if not os.path.isdir(path):
+    if not os.path.isdir(path) or name in failed_names:
         continue
     got = con.sql(f"SELECT * FROM read_parquet('{path}/*.parquet')").df()
     if name not in oracle:

@@ -950,7 +950,8 @@ object SimilarityQueries {
         least(lit(1.0), greatest(lit(-1.0), VectorOps.cosine(col("v"), col("cv")))))
       .groupBy(col("cid"))
       .agg(min(col("cosvc")).as("cos_r"),
-        max(VectorOps.norm(col("v"))).as("maxn"))
+        max(VectorOps.norm(col("v"))).as("maxn"),
+        min(VectorOps.norm(col("v"))).as("minn"))
       .join(broadcast(cents), Seq("cid"))
     val q = all.filter(col("vec_id") <= 9)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -959,11 +960,19 @@ object SimilarityQueries {
     val qLists = q.crossJoin(broadcast(geom))
       .withColumn("cosqc",
         least(lit(1.0), greatest(lit(-1.0), VectorOps.cosine(col("qv"), col("cv")))))
-      .withColumn("ub", col("qn") * col("maxn") *
+      // cfac = cos(max(0, θ(q,ĉ) − r_c)). For a member of norm n the
+      // bound is qn·n·cfac; maximizing over n ∈ [minn, maxn] picks
+      // maxn when cfac ≥ 0 but MINN when cfac < 0 (a negative factor
+      // shrinks toward 0 as the norm shrinks — using maxn there would
+      // understate the list max and wrongly prune on antipodal data).
+      .withColumn("cfac",
         when(col("cosqc") >= col("cos_r"), lit(1.0))
           .otherwise(col("cosqc") * col("cos_r")
             + sqrt(greatest(lit(0.0), lit(1.0) - col("cosqc") * col("cosqc")))
-            * sqrt(greatest(lit(0.0), lit(1.0) - col("cos_r") * col("cos_r"))))
+            * sqrt(greatest(lit(0.0), lit(1.0) - col("cos_r") * col("cos_r")))))
+      .withColumn("ub", col("qn") *
+        when(col("cfac") >= 0, col("maxn") * col("cfac"))
+          .otherwise(col("minn") * col("cfac"))
         + lit(1e-9))
       .select(col("qid"), col("qv"), col("cid"), col("cosqc"), col("ub"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cosqc").desc, col("cid"))

@@ -17,16 +17,29 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and convert (exact: the
-      // generator writes microsecond-precision values).
+      // The generator has shipped `ts` under several physical parquet
+      // encodings over time (TIMESTAMP(NANOS), timestamp[us],
+      // timestamp[ms], raw INT64 epochs). A real engine is
+      // physical-type-agnostic: branch on the type Spark actually
+      // loaded and normalize to timestamp_ntz, which is what every
+      // downstream query consumes. All values are micro-precision, so
+      // each conversion below is exact.
       if (spark.conf.get(NanosAsLongKey, "false") != "true")
         spark.conf.set(NanosAsLongKey, "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000"))
-          .cast("timestamp_ntz"))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types._
+      val ts = raw.schema("ts").dataType match {
+        case LongType =>
+          // TIMESTAMP(NANOS) surfaced as raw nanos via nanosAsLong.
+          timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType)
+        case _: TimestampNTZType => col("ts")
+        case _: TimestampType    => col("ts").cast(TimestampNTZType)
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported physical type $other")
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
