@@ -749,8 +749,16 @@ object DedupQueries {
   // set element, which IS the prefix-filter design decision).
   private def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rep = docs(s, dir).groupBy(col("text"))
+    // Representative collapse keyed by md5(text), NOT raw text (C1's
+    // digest trick): the groupBy shuffle moves 16-byte keys, and the
+    // full text crosses the wire once as a VALUE in the doc_id-keyed
+    // rejoin instead of as a sort/hash GROUP KEY.
+    val repIds = docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val rep = docs(s, dir).join(repIds, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
     val grams = rep.withColumn("toks", tokensCol)
       .select(col("doc_id"), expr(
         """array_sort(array_distinct(

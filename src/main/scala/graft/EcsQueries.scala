@@ -492,7 +492,60 @@ object EcsQueries {
       | round(nvx, 4) AS vx, round(nvy, 4) AS vy
       |FROM st ORDER BY entity_id""".stripMargin
 
+  case class Embedding(vec: Array[Double]) extends Component
+  val EmbMeta: ComponentMeta = ComponentMeta.of[Embedding]
+
+  /** A13: ANN over a live ECS component column — the store-side vector
+    * search the reference gets from LanceDB (store.py:14, 103-111):
+    * spawn the embeddings corpus as an archetype, despawn a slice (so
+    * the index provably reads live STORE state, not the raw table),
+    * then serve [[World.queryNeighbors]] through the IVF layout built
+    * on the active component rows. Seeded centroids (lowest 16 active
+    * entity ids, D5's contract) keep the result exactly replayable by
+    * the SQL oracle.
+    */
+  def vectorSearch(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_vecsearch")
+    val seed = Tables.load(spark, dir, "embeddings").select(
+      col("vec_id").cast("long").as("entity_id"),
+      col("embedding").cast("array<double>").as("embedding__vec"))
+    world.spawnBatch(Seq(EmbMeta), seed)
+    world.despawnWhere(Seq(EmbMeta), col("entity_id") % 10 === 3)
+    world.queryNeighbors(EmbMeta, "vec",
+        queryIds = (0L to 10L).filterNot(_ % 10 == 3), topK = 3,
+        nCentroids = 16, nprobe = 2)
+      .withColumn("cos_sim", round(col("cos"), 4) + lit(0.0))
+      .drop("cos")
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  val vectorSearchOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 10 <> 3),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |ad AS (SELECT e.vec_id, e.v, cent.cid,
+      |         list_dot_product(e.v, e.v)
+      |         - 2 * list_dot_product(e.v, cent.cv)
+      |         + list_dot_product(cent.cv, cent.cv) AS dist2
+      |       FROM e CROSS JOIN cent),
+      |ar AS (SELECT vec_id, v, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crn
+      |       FROM ad),
+      |lists AS (SELECT vec_id AS nid, v AS nv, cid FROM ar WHERE crn = 1),
+      |probes AS (SELECT vec_id AS qid, v AS qv, cid FROM ar
+      |           WHERE crn <= 2 AND vec_id <= 10),
+      |s AS (SELECT p.qid, l.nid,
+      |        list_dot_product(p.qv, l.nv) /
+      |        (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))) AS cos
+      |      FROM lists l JOIN probes p USING (cid) WHERE l.nid <> p.qid),
+      |r AS (SELECT qid, nid, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ecs_vector_search" -> (vectorSearch _),
     "ecs_spawn_query" -> (spawnQuery _),
     "ecs_movement_sim" -> (movementSim _),
     "ecs_history" -> (history _),
@@ -507,6 +560,7 @@ object EcsQueries {
     "ecs_flocking" -> (flocking _))
 
   val oracles: Map[String, String] = Map(
+    "ecs_vector_search" -> vectorSearchOracle,
     "ecs_spawn_query" -> spawnQueryOracle,
     "ecs_movement_sim" -> movementSimOracle,
     "ecs_history" -> historyOracle,

@@ -1352,7 +1352,66 @@ object StreamQueries {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** G21 streaming core: enrich a micro-batch of events with the
+    * latest order at-or-before each event's ts via the NATIVE as-of
+    * operator (plans.AsOfJoin — sort-merge, one shuffle per side).
+    * This is the composition gap between the streaming tier and the
+    * as-of tier: Structured Streaming cannot run a stateful as-of
+    * merge natively, and the production shape is exactly this —
+    * foreachBatch applies the batch as-of against a dimension
+    * snapshot per micro-batch. As-of enrichment is per-row, so
+    * micro-batch boundaries commute with the join and the streamed
+    * union equals the whole-table batch run.
+    */
+  def asofEnrichBatch(events: DataFrame, orders: DataFrame): DataFrame = {
+    graft.plans.AsOfJoin.install(events.sparkSession)
+    val ord = orders
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_time"),
+        col("o_orderkey"))
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+    graft.plans.AsOfJoin.join(ev, ord, "user_id", "ts", "o_custkey", "o_time")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("value"))
+  }
+
+  // G21 batch equivalent: replay the stream as two micro-batches
+  // through the SAME enrichment core (parity split — order
+  // irrelevant, enrichment is per-row), union, and aggregate to the
+  // verifiable summary.
+  private def streamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ord = Tables.load(s, dir, "orders")
+    val batches = Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    batches.map(asofEnrichBatch(_, ord))
+      .reduce(_ unionByName _)
+      .groupBy(col("o_orderkey").isNotNull.as("matched"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("matched"))
+  }
+
+  private val streamAsofEnrichSql =
+    """WITH ord AS (
+      | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate),
+      |j AS (
+      | SELECT e.event_id, e.value, o.o_orderkey
+      | FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+      |SELECT o_orderkey IS NOT NULL AS matched, count(*) AS n_events,
+      | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      | round(sum(value), 2) AS total_value
+      |FROM j GROUP BY 1 ORDER BY matched""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
     "stream_session" -> (streamSession _),
@@ -1375,6 +1434,7 @@ object StreamQueries {
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
+    "stream_asof_enrich" -> streamAsofEnrichSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_session" -> streamSessionSql,

@@ -189,6 +189,50 @@ final class World private (
 
   def getHistory(metas: Seq[ComponentMeta], includeAllRuns: Boolean = false): Map[String, DataFrame] =
     querier.getHistory(metas, includeAllRuns)
+
+  /** Approximate vector search over a live component column — the
+    * store-side ANN capability the reference inherits from LanceDB
+    * (reference: archetype/core/store.py:14 lancedb index import,
+    * store.py:103-111 index/search pattern): an IVF layout is built
+    * over the ACTIVE rows of every archetype carrying the component
+    * and serves top-k cosine neighbors for the given query entities.
+    * Centroids are the `nCentroids` lowest active entity ids (the
+    * seeded-quantizer contract, D5's — keeps results exactly
+    * replayable by a SQL oracle); corpus-side list assignment is the
+    * shuffle-free broadcast argmin ([[graft.operators.IvfIndex
+    * .assignOne]]), probe entities fan to `nprobe` lists. At scale
+    * the lists are a bucketed layout keyed by cid and the probe scan
+    * touches nprobe/nCentroids of the store.
+    *
+    * Output: (qid, rn, nid, cos) — rank `rn` ∈ [1, topK] by cosine
+    * descending (ties by nid), self-matches excluded.
+    */
+  def queryNeighbors(meta: ComponentMeta, field: String, queryIds: Seq[Long],
+      topK: Int = 3, nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.expressions.Window
+    val vecCol = meta.prefix + field
+    val frames = query(Seq(meta)).values.toSeq
+    require(frames.nonEmpty, s"no archetype carries ${meta.name}")
+    val all = frames
+      .map(_.select(col("entity_id"), col(vecCol).as("v")))
+      .reduce(_ unionByName _)
+    val cent = all.orderBy(col("entity_id")).limit(nCentroids)
+      .select(col("entity_id").as("cid"), col("v").as("cv"))
+    val lists = IvfIndex.assign(all, cent, "entity_id", "v", keep = 1)
+      .select(col("entity_id").as("nid"), col("v").as("nv"), col("cid"))
+    val probes = IvfIndex.assign(
+        all.filter(col("entity_id").isin(queryIds: _*)),
+        cent, "entity_id", "v", keep = nprobe)
+      .select(col("entity_id").as("qid"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", graft.VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+  }
 }
 
 object World {

@@ -614,4 +614,21 @@ class EcsSpec extends SparkSpec {
     val x = world.query(Seq(PosMeta)).values.head.head().getAs[Double]("position__x")
     assert(x == 8.0, "priority order: (3+1)*2, not 3*2+1")
   }
+
+  test("queryNeighbors: IVF over a live component column respects despawns") {
+    import org.apache.spark.sql.functions._
+    val world = World.make(spark, "sim_test", "run_vecsearch_spec")
+    val seed = Tables.load(spark, sfDir, "embeddings").select(
+      col("vec_id").cast("long").as("entity_id"),
+      col("embedding").cast("array<double>").as("embedding__vec"))
+    world.spawnBatch(Seq(EcsQueries.EmbMeta), seed)
+    world.despawnWhere(Seq(EcsQueries.EmbMeta), col("entity_id") % 10 === 3)
+    val out = world.queryNeighbors(EcsQueries.EmbMeta, "vec",
+      queryIds = Seq(0L, 1L, 2L), topK = 3)
+    val rows = out.collect()
+    assert(rows.length == 9, s"3 queries x top-3, got ${rows.length}")
+    val nids = rows.map(_.getAs[Long]("nid"))
+    assert(nids.forall(_ % 10 != 3), "despawned entities must not be served")
+    assert(rows.map(_.getAs[Long]("qid")).toSet == Set(0L, 1L, 2L))
+  }
 }

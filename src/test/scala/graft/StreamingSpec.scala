@@ -1130,4 +1130,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream_asof_enrich: per-micro-batch native as-of == whole-table batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = sampleEvents(300)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val tmp = TmpDir.scratch("asof_enrich")
+    val q = input.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamQueries.asofEnrichBatch(batch, orders)
+          .write.mode("overwrite").parquet(s"$tmp/batch=$batchId")
+      }.start()
+    try {
+      input.addData(events.take(150))
+      q.processAllAvailable()
+      input.addData(events.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(tmp).drop("batch")
+        .orderBy("event_id").collect().toSeq
+      val expected = StreamQueries.asofEnrichBatch(events.toDF(), orders)
+        .orderBy("event_id").collect().toSeq
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
