@@ -396,7 +396,84 @@ object SourceQueries {
       | min(md5(messy)) AS min_md5
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // H11 — MANIFEST-BASED FILE PRUNING (the Iceberg/Delta table-format
+  // pattern, built from parquet's own footers): a range-clustered
+  // write produces files with tight per-file min/max on the cluster
+  // key; a manifest of those footer statistics lets the PLANNER pick
+  // the files a predicate can touch BEFORE any scan task launches.
+  // This is the decisive 100 TB lever — Spark's row-group stats prune
+  // only after a task has opened the file; a manifest prunes the task
+  // list itself (and on object storage, the LIST+open round-trips).
+  // The query proves the skip is real (require: matched files < total,
+  // but every in-range row survives) by aggregating the manifest-
+  // pruned scan against the plain full-table oracle.
+  private def srcManifestPruning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val tmp = TmpDir.scratch("manifest")
+    val nFiles = 8
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+        col("l_extendedprice"))
+      // range-cluster on the pruning key: each output file owns a
+      // contiguous shipdate slice, so footer min/max are TIGHT
+      .repartitionByRange(nFiles, col("l_shipdate"))
+      .write.mode("overwrite").parquet(tmp)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new Path(tmp).getFileSystem(conf)
+    // the manifest: per-file (path, min_us, max_us) off the parquet
+    // footers — statistics only, no data pages read
+    val manifest: Seq[(String, Long, Long)] = fs.listStatus(new Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+      .map { p =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          blocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "l_shipdate") {
+                val st = c.getStatistics
+                lo = math.min(lo, st.genericGetMin.asInstanceOf[Number].longValue)
+                hi = math.max(hi, st.genericGetMax.asInstanceOf[Number].longValue)
+              }
+            }
+          }
+          (p.toString, lo, hi)
+        } finally r.close()
+      }
+    // predicate: Q1-1996 (the generator's shipdates span 1995-2001) —
+    // overlap test against the manifest picks the candidate files; the
+    // residual filter still applies row-level
+    val loTs = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hiTs = java.time.LocalDateTime.of(1996, 4, 1, 0, 0)
+    val loUs = loTs.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val hiUs = hiTs.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val picked = manifest.filter { case (_, lo, hi) => hi >= loUs && lo < hiUs }
+    require(picked.nonEmpty && picked.size < manifest.size,
+      s"manifest pruning ineffective: ${picked.size} of ${manifest.size} files")
+    val pruned = s.read.parquet(picked.map(_._1): _*)
+      .filter(col("l_shipdate") >= lit(loTs) && col("l_shipdate") < lit(hiTs))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("month"))
+    TmpDir.releasing(pruned, tmp)
+  }
+
+  private val srcManifestPruningSql =
+    """SELECT date_trunc('month', l_shipdate) AS month, count(*) AS n,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_manifest_pruning" -> (srcManifestPruning _),
     "src_csv_escapes" -> (srcCsvEscapes _),
     "src_codec_roundtrip" -> (srcCodecRoundtrip _),
     "src_dynamic_overwrite" -> (srcDynamicOverwrite _),
@@ -409,6 +486,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_manifest_pruning" -> srcManifestPruningSql,
     "src_csv_escapes" -> srcCsvEscapesSql,
     "src_codec_roundtrip" -> srcCodecRoundtripSql,
     "src_dynamic_overwrite" -> srcDynamicOverwriteSql,

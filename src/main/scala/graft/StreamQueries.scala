@@ -371,29 +371,37 @@ object StreamQueries {
     * and the fold is linear; the STREAMING maintainer is the scale
     * path for unbounded corpora.
     */
-  private[graft] def packBatch(d: DataFrame, limit: Long = 256L): DataFrame =
-    d.select(col("source"), col("doc_id"),
+  private[graft] def packBatch(d: DataFrame, limit: Long = 256L): DataFrame = {
+    // Next-fit is a NON-associative per-source recurrence (fill resets
+    // at bin boundaries) that must also emit one row per doc. The r5
+    // shape folded an aggregate() HOF that array_append'ed every doc —
+    // Spark arrays are immutable, so each append copies the
+    // accumulator: O(docs² per source) (the sf1 probe measured it at
+    // 16×/decade). The honest O(n) shape is a source-partitioned
+    // sorted scan: repartition by source, sort within partitions, one
+    // sequential pass carrying (bin, fill) — state resets on source
+    // change, parallelism = #sources either way (inherent to
+    // next-fit's arrival-order contract).
+    import d.sparkSession.implicits._
+    val sized = d.select(col("source"), col("doc_id"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
           .cast("long").as("n"))
-      .groupBy(col("source"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .select(col("source"), explode(expr(
-        s"""aggregate(ds,
-           |  named_struct('bin', 0L, 'fill', 0L,
-           |    'outs', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n: BIGINT, bin: BIGINT>>)),
-           |  (acc, d) -> CASE
-           |    WHEN acc.fill > 0L AND acc.fill + d.n > ${limit}L THEN named_struct(
-           |      'bin', acc.bin + 1L, 'fill', d.n,
-           |      'outs', array_append(acc.outs,
-           |        named_struct('doc_id', d.doc_id, 'n', d.n, 'bin', acc.bin + 1L)))
-           |    ELSE named_struct(
-           |      'bin', acc.bin, 'fill', acc.fill + d.n,
-           |      'outs', array_append(acc.outs,
-           |        named_struct('doc_id', d.doc_id, 'n', d.n, 'bin', acc.bin)))
-           |  END).outs""".stripMargin)).as("o"))
-      .select(col("source"), col("o.doc_id").as("doc_id"),
-        col("o.n").as("n_tokens"), col("o.bin").as("bin_id"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long)]
+    sized.mapPartitions { it =>
+      var curSrc: String = null
+      var bin = 0L
+      var fill = 0L
+      it.map { case (src, id, n) =>
+        if (src != curSrc) { curSrc = src; bin = 0L; fill = 0L }
+        if (fill > 0L && fill + n > limit) { bin += 1L; fill = n }
+        else fill += n
+        (src, id, n, bin)
+      }
+    }.toDF("source", "doc_id", "n_tokens", "bin_id")
       .orderBy(col("source"), col("doc_id"))
+  }
 
   // G19 batch equivalent on the documents table.
   private def streamPack(s: SparkSession, dir: String): DataFrame =
