@@ -1019,8 +1019,62 @@ object SimilarityQueries {
       |SELECT qid, rn, nid, round(ip, 4) + 0 AS ip FROM r WHERE rn <= 10
       |ORDER BY qid, rn""".stripMargin
 
+  // D17 — EMBEDDING OOD GATE (the curation use of the coarse
+  // quantizer): every vector's squared distance to its assigned
+  // centroid, per-list EXACT p95 threshold, vectors beyond it flagged
+  // out-of-distribution — the "weird embeddings" filter a training
+  // pipeline runs before packing (mislabeled modality, truncated
+  // inputs, encoder failures all land far from every centroid).
+  // Seeded centroids (D5's contract) + exact interpolated percentile
+  // (q24's parity pair) keep the whole gate SQL-replayable; the
+  // comparison runs on UNROUNDED doubles in both engines. At scale
+  // the assignment is the stored index's and the per-list p95 is one
+  // hash agg over (cid, d2) — no extra shuffle beyond the one the
+  // index build already pays.
+  private def knnCentroidOod(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).select(col("vec_id"), col("v"))
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = graft.operators.IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
+    val d2 = assigned.join(broadcast(cent), Seq("cid"))
+      .withColumn("d2",
+        VectorOps.dot(col("v"), col("v"))
+          - lit(2.0) * VectorOps.dot(col("v"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv")))
+      .select(col("cid"), col("vec_id"), col("d2"))
+    val thr = d2.groupBy(col("cid"))
+      .agg(expr("percentile(d2, 0.95)").as("p95"))
+    d2.join(broadcast(thr), Seq("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (round(max(col("p95")), 4) + lit(0.0)).as("p95_d2"),
+        sum(when(col("d2") > col("p95"), 1L).otherwise(0L)).as("n_ood"),
+        min(when(col("d2") > col("p95"), col("vec_id"))).as("first_ood"))
+      .orderBy(col("cid"))
+  }
+
+  private val knnCentroidOodSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |ad AS (SELECT e.vec_id, e.v, cent.cid,
+      |         list_dot_product(e.v, e.v)
+      |         - 2 * list_dot_product(e.v, cent.cv)
+      |         + list_dot_product(cent.cv, cent.cv) AS d2
+      |       FROM e CROSS JOIN cent),
+      |ar AS (SELECT vec_id, cid, d2,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crn
+      |       FROM ad),
+      |a1 AS (SELECT vec_id, cid, d2 FROM ar WHERE crn = 1),
+      |thr AS (SELECT cid, quantile_cont(d2, 0.95) AS p95 FROM a1 GROUP BY cid)
+      |SELECT cid, count(*) AS n, round(max(p95), 4) + 0 AS p95_d2,
+      | CAST(sum(CASE WHEN d2 > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+      | min(CASE WHEN d2 > p95 THEN vec_id END) AS first_ood
+      |FROM a1 JOIN thr USING (cid)
+      |GROUP BY cid ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_exact_pruned" -> (knnExactPruned _),
+    "knn_centroid_ood" -> (knnCentroidOod _),
     "knn_rrf_fusion" -> (knnRrfFusion _),
     "knn_mmr" -> (knnMmr _),
     "knn_hnsw" -> (knnHnsw _),
@@ -1039,6 +1093,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_exact_pruned" -> knnExactPrunedSql,
+    "knn_centroid_ood" -> knnCentroidOodSql,
     "knn_rrf_fusion" -> knnRrfFusionSql,
     "knn_mmr" -> knnMmrSql,
     "knn_hnsw" -> knnHnswSql,

@@ -164,6 +164,27 @@ object IvfIndex {
     cent
   }
 
+  /** SAMPLED Lloyd (VERDICT r5 #10 / SURVEY §7): every iteration of
+    * [[trainCentroids]] assigns the FULL corpus — n·k·dim multiplies
+    * per iteration, which is the remaining ANN training cost at 100 TB
+    * where n is the corpus. A quantizer doesn't need the tail: train
+    * on a deterministic xxhash top-`sampleCap` sample (same ordering
+    * the k-center init already uses, so the sample is shared), then
+    * the one full-corpus pass left is the final list ASSIGNMENT the
+    * index build pays anyway. Per-iteration cost drops n/sampleCap ×;
+    * IvfSpec pins quality (quantization error within 5% of full-corpus
+    * Lloyd on planted clusters) and exact determinism (no RNG).
+    */
+  def trainCentroidsSampled(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, sampleCap: Int): DataFrame = {
+    val sample = vectors
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleCap)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true) // pin: every Lloyd iteration re-reads it
+    trainCentroids(sample, idCol, vecCol, k, iters)
+  }
+
   /** Full IVF search: build inverted lists with the given centroids,
     * probe each query's `nprobe` nearest lists, rank candidates by
     * exact cosine, keep top `k`. Output: (qid, rn, nid, cos_sim).

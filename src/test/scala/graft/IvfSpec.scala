@@ -93,6 +93,43 @@ class IvfSpec extends SparkSpec {
     assert(rTrained >= 0.85, s"trained recall@5 $rTrained < 0.85")
   }
 
+  test("sampled Lloyd matches full-corpus quantizer quality at a fraction of the work") {
+    // 8 planted clusters × 2500 members: full Lloyd assigns all 20k
+    // rows per iteration; the sampled path iterates over a 1k xxhash
+    // sample — 20× less per-iteration work, the 100 TB training shape
+    // (SURVEY §7 / VERDICT r5 #10). Quality bar: mean quantization
+    // error within 5% of the full-corpus quantizer and recall@5 parity.
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 2500
+    } yield {
+      val id = (c * 2500 + m).toLong
+      val center = randVec(c + 4000L)
+      (id, if (m == 0) center else nearDup(center, id + 90000L))
+    }
+    val e = rows.toDF("vec_id", "v").repartition(4).localCheckpoint(true)
+    def qerr(cent: DataFrame): Double =
+      IvfIndex.assign(e, cent, "vec_id", "v", keep = 1)
+        .join(broadcast(cent), Seq("cid"))
+        .select(avg(VectorOps.dot(col("v"), col("v"))
+          - lit(2.0) * VectorOps.dot(col("v"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv"))).as("e"))
+        .as[Double].head()
+    val t0 = System.nanoTime()
+    val full = IvfIndex.trainCentroids(e, "vec_id", "v", k = 8, iters = 3)
+    val tFull = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val sampled = IvfIndex.trainCentroidsSampled(e, "vec_id", "v",
+      k = 8, iters = 3, sampleCap = 1000)
+    val tSampled = (System.nanoTime() - t1) / 1e9
+    val (ef, es) = (qerr(full), qerr(sampled))
+    info(f"qerr full=$ef%.5f sampled=$es%.5f | train ${tFull}%.1f s vs ${tSampled}%.1f s")
+    assert(es <= ef * 1.05,
+      s"sampled quantizer degraded: $es vs full $ef")
+    val r = recallAt5(e, sampled)
+    assert(r >= 0.85, s"sampled-quantizer recall@5 $r < 0.85")
+  }
+
   test("training is deterministic across reruns") {
     val e = clustered
     val c1 = IvfIndex.trainCentroids(e, "vec_id", "v", k = 4, iters = 2)
