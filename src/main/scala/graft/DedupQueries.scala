@@ -880,7 +880,108 @@ object DedupQueries {
       |   / count(*), 4) + 0 AS drop_rate
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // C13 — EXACT duplicated-SUBSTRING spans (the ExactSubstr pass of
+  // Lee et al. 2021, "Deduplicating Training Data Makes Language
+  // Models Better": remove every substring of >= L tokens that occurs
+  // twice anywhere in the corpus). The paper builds a corpus-wide
+  // suffix array; that is a single-machine shape. The Spark-shaped
+  // equivalence this operator exploits is ALGEBRAIC, not approximate:
+  // a token span of length >= L is duplicated iff every L-token
+  // window inside it is duplicated, so (1) posexplode each doc's
+  // L-token windows with their start positions, (2) one hash agg over
+  // the window DIGEST finds every window occurring >= 2 times in the
+  // corpus (within-doc repeats count, exactly as a suffix array
+  // would), (3) join positions back on the digest, (4) per doc, the
+  // union of the surviving [p, p+L-1] intervals is the exact
+  // duplicated-span mask — computed by gaps-and-islands over a
+  // per-doc window sort (fixed interval length makes ends monotone:
+  // a new island starts iff p - lag(p) > L, and each island covers
+  // max(p) - min(p) + L tokens with provably no internal hole).
+  // Scale: the only wide exchanges are keyed by a 16-byte md5 digest
+  // (raw text never rides a shuffle), counts/positions are longs, and
+  // the island merge is a per-doc local sort — work is linear in
+  // corpus windows, never pairwise. At 100 TB the duplicated-digest
+  // set is itself large, so the join back stays a shuffle join (no
+  // broadcast assumption); a bloom pre-filter on the digest would cut
+  // the exchange further and composes with I3's infrastructure.
+  private val SubstrL = 8
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SubstrL
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+    val wins = toks.filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${L - 1}),
+           |  i -> md5(cast(concat_ws(' ', slice(toks, i, $L)) as binary)))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1L).cast("long").as("p"), col("col").as("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2L).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val perDoc = wins.join(dup, Seq("h"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("lagp", lag(col("p"), 1).over(w))
+      .withColumn("newi",
+        when(col("lagp").isNull || col("p") - col("lagp") > L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newi")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("p")) - min(col("p")) + L).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac", when(col("n_tokens") <= 0L, lit(0.0))
+        .otherwise(round(col("dup_tokens").cast("double") / col("n_tokens"), 4) + lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= lit(0.5))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val dedupSubstringSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS toks
+      | FROM documents),
+      |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+      |wnd AS (
+      | SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+      |   THEN list_transform(range(1, len(toks) - 6),
+      |          i -> struct_pack(p := i, h := md5(array_to_string(toks[i:i+7], ' '))))
+      |   ELSE [] END) AS s
+      | FROM base),
+      |pos AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS h FROM wnd),
+      |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+      |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (h)),
+      |isl AS (
+      | SELECT doc_id, p,
+      |   CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |          OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |        THEN 1 ELSE 0 END AS newi
+      | FROM dp),
+      |isl2 AS (
+      | SELECT doc_id, p,
+      |   sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      | FROM isl),
+      |cov AS (SELECT doc_id, island, max(p) - min(p) + 8 AS covered
+      |        FROM isl2 GROUP BY doc_id, island),
+      |pd AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+      |       FROM cov GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens, coalesce(pd.dup_tokens, 0) AS dup_tokens,
+      | CASE WHEN b.n_tokens <= 0 THEN 0.0
+      |      ELSE round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 4) + 0
+      | END AS dup_frac,
+      | (CASE WHEN b.n_tokens <= 0 THEN 0.0
+      |       ELSE round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 4) + 0
+      |  END <= 0.5) AS keep
+      |FROM base b LEFT JOIN pd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_lines" -> (dedupLines _),
     "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_containment" -> (dedupContainment _),
@@ -895,6 +996,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_prefix_filter" -> dedupPrefixFilterSql,
     "dedup_containment" -> dedupContainmentSql,

@@ -1053,7 +1053,119 @@ object PipelineQueries {
       |   / count(*), 4) + 0 AS agree_rate
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  // J18 — CONTEXT-WINDOW CHUNKING: split every document into
+  // fixed-size token chunks (C=100) with a fixed overlap (20 tokens,
+  // stride 80) — the pre-training/RAG segmentation step that runs
+  // between curation and packing. Chunk starts are 1 + k·stride for
+  // k = 0..kmax where kmax = 0 if n ≤ C else ⌈(n−C)/stride⌉ (the last
+  // chunk reaches the document end exactly once; no fully-redundant
+  // tail chunk). Each chunk row carries its md5 content digest so the
+  // oracle proves CONTENT parity, not just boundary arithmetic,
+  // while raw chunk text never leaves the scan. Shape matters at
+  // 100 TB: chunking is MAP-ONLY — one generate per doc, no shuffle
+  // anywhere until the reporting sort; output size is bounded by
+  // n/stride + 1 rows per doc (≈1.25× token mass at these knobs).
+  private def pipelineChunk(s: SparkSession, dir: String): DataFrame = {
+    val (c, stride) = (100, 80)
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1L)
+      .select(col("doc_id"), col("toks"), col("n"), explode(expr(
+        s"""sequence(0L, IF(n <= $c, 0L,
+           |  CAST(ceil((n - $c) / ${stride}.0) AS LONG)))""".stripMargin)).as("k"))
+      .withColumn("start", lit(1L) + col("k") * stride)
+      .withColumn("chunk_len", least(lit(c.toLong), col("n") - col("start") + 1L))
+      .withColumn("chunk_hash",
+        md5(expr(s"cast(concat_ws(' ', slice(toks, start, $c)) as binary)")))
+      .select(col("doc_id"), col("k").as("chunk_id"), col("start"),
+        col("chunk_len"), col("chunk_hash"))
+      .transform(QueryShape.stagedSort(_, col("doc_id"), col("chunk_id")))
+  }
+
+  private val pipelineChunkSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS toks
+      | FROM documents),
+      |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+      |      WHERE len(toks) >= 1),
+      |ks AS (
+      | SELECT doc_id, toks, n,
+      |   CAST(unnest(generate_series(0, CASE WHEN n <= 100 THEN 0
+      |     ELSE CAST(ceil((n - 100) / 80.0) AS BIGINT) END)) AS BIGINT) AS k
+      | FROM b)
+      |SELECT doc_id, k AS chunk_id, 1 + k * 80 AS start,
+      | least(100, n - (1 + k * 80) + 1) AS chunk_len,
+      | md5(array_to_string(toks[1 + k * 80 : k * 80 + 100], ' ')) AS chunk_hash
+      |FROM ks ORDER BY doc_id, chunk_id""".stripMargin
+
+  // J19 — DATA-CARD PROFILING: the per-source corpus statistics sheet
+  // (doc counts, language spread, emptiness, token mass, exact
+  // p50/p95 token lengths, dominant language + its share) every
+  // curation run publishes alongside the data. One scan feeds two
+  // hash aggs — all counters are map-side combinable; the exact
+  // percentile is the one non-mergeable aggregate, kept here because
+  // the oracle demands exactness (at 100 TB the same sheet swaps it
+  // for the KLL sketch, I4's infrastructure, with the rest of the
+  // plan unchanged). Dominant language is deterministic under ties
+  // (max count, then lexicographic min) via a per-source top-1
+  // window over the source×lang counts — O(sources·langs) rows.
+  private def pipelineProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("n_tokens",
+      size(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).cast("long"))
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+        .otherwise(0L)).as("n_empty"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (round(avg(col("n_tokens")), 4) + lit(0.0)).as("avg_tokens"),
+      (round(expr("percentile(n_tokens, 0.5)"), 4) + lit(0.0)).as("p50_tokens"),
+      (round(expr("percentile(n_tokens, 0.95)"), 4) + lit(0.0)).as("p95_tokens"),
+      (round(avg(col("n_chars")), 4) + lit(0.0)).as("avg_chars"))
+    val lc = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+    val top = lc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+    base.join(top, Seq("source"))
+      .withColumn("top_lang_frac",
+        round(col("top_lang_docs").cast("double") / col("n_docs"), 4) + lit(0.0))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineProfileSql =
+    """WITH d AS (
+      | SELECT source, lang, text, n_chars,
+      |   CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |     x -> x <> '')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |base AS (
+      | SELECT source, count(*) AS n_docs,
+      |   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |   CAST(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      |   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |   round(avg(n_tokens), 4) + 0 AS avg_tokens,
+      |   round(quantile_cont(n_tokens, 0.5), 4) + 0 AS p50_tokens,
+      |   round(quantile_cont(n_tokens, 0.95), 4) + 0 AS p95_tokens,
+      |   round(avg(n_chars), 4) + 0 AS avg_chars
+      | FROM d GROUP BY source),
+      |lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang),
+      |top AS (
+      | SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+      |   SELECT source, lang, c,
+      |     row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      |   FROM lc) WHERE rn = 1)
+      |SELECT b.source, n_docs, n_langs, n_empty, total_tokens, avg_tokens,
+      | p50_tokens, p95_tokens, avg_chars, top_lang, top_lang_docs,
+      | round(CAST(top_lang_docs AS DOUBLE) / n_docs, 4) + 0 AS top_lang_frac
+      |FROM base b JOIN top USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_profile" -> (pipelineProfile _),
+    "pipeline_chunk" -> (pipelineChunk _),
     "pipeline_quality_calibration" -> (pipelineQualityCalibration _),
     "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_split" -> (pipelineSplit _),
@@ -1073,6 +1185,8 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_profile" -> pipelineProfileSql,
+    "pipeline_chunk" -> pipelineChunkSql,
     "pipeline_quality_calibration" -> pipelineQualityCalibrationSql,
     "pipeline_dsir" -> pipelineDsirSql,
     "pipeline_split" -> pipelineSplitSql,

@@ -1072,7 +1072,85 @@ object SimilarityQueries {
       |FROM a1 JOIN thr USING (cid)
       |GROUP BY cid ORDER BY cid""".stripMargin
 
+  // D18 — BINARY quantization ANN (the 1-bit tier below D7's int8 and
+  // D9's PQ): each vector collapses to its 64 SIGN BITS, packed into
+  // two 32-bit words carried as BIGINTs (two words, not one, so every
+  // shift stays in 0..31 — no engine-specific 1<<63 overflow semantics
+  // in either Spark or the oracle; real systems pack dim/64 words the
+  // same way). Candidate scan = Hamming distance bit_count(xor) over
+  // the packed words — 8 bytes read per corpus vector instead of 512,
+  // a 64× memory-bandwidth cut, and the whole scan is codegen'd
+  // integer ops. Top-50 Hamming candidates per query re-rank by exact
+  // cosine for the final top-5. The query-code join is a broadcast
+  // (query set is small); the only shuffles move narrow (qid, nid,
+  // ham) rows through the two top-k windows. At 100 TB the code table
+  // is ~1/64 the corpus bytes and the re-rank fetches only |q|·50
+  // full vectors by id. Binary recall comes from sign-pattern
+  // locality: BinaryHammingSpec plants sign-coherent clusters and
+  // proves mates are found at Hamming 0.
+  private def knnBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).select(col("vec_id"), col("v"))
+    def word(off: Int) = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, d) -> acc + IF(element_at(v, d + ${off + 1}) >= 0.0D,
+         |                       shiftleft(1L, d), 0L))""".stripMargin)
+    val coded = all
+      .withColumn("c_lo", word(0)).withColumn("c_hi", word(32))
+    val q = coded.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("qid"), col("c_lo").as("q_lo"),
+        col("c_hi").as("q_hi"), col("v").as("qv"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    val cand = coded.select(col("vec_id").as("nid"), col("c_lo"), col("c_hi"))
+      .join(broadcast(q.select(col("qid"), col("q_lo"), col("q_hi"))),
+        col("nid") =!= col("qid"))
+      .withColumn("ham",
+        (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("c_hi").bitwiseXOR(col("q_hi")))).cast("long"))
+      .withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= 50)
+      .select(col("qid"), col("nid"), col("ham"))
+    val wC = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(all.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wC).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), col("ham"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnBinaryHammingSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |codes AS (
+      | SELECT vec_id, v,
+      |   CAST(list_sum(list_transform(generate_series(0, 31), d ->
+      |     CASE WHEN v[d + 1] >= 0.0 THEN (1::BIGINT << d) ELSE 0 END)) AS BIGINT) AS c_lo,
+      |   CAST(list_sum(list_transform(generate_series(0, 31), d ->
+      |     CASE WHEN v[d + 33] >= 0.0 THEN (1::BIGINT << d) ELSE 0 END)) AS BIGINT) AS c_hi
+      | FROM e),
+      |q AS (SELECT vec_id AS qid, c_lo AS q_lo, c_hi AS q_hi, v AS qv
+      |      FROM codes WHERE vec_id <= 10),
+      |h AS (SELECT qid, c.vec_id AS nid,
+      |        CAST(bit_count(xor(c.c_lo, q_lo)) + bit_count(xor(c.c_hi, q_hi)) AS BIGINT) AS ham
+      |      FROM q JOIN codes c ON c.vec_id <> qid),
+      |cand AS (SELECT qid, nid, ham FROM (
+      |  SELECT qid, nid, ham,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS hr
+      |  FROM h) WHERE hr <= 50),
+      |s AS (SELECT qid, nid, ham,
+      |        list_dot_product(q.qv, y.v) /
+      |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+      |      FROM cand JOIN q USING (qid) JOIN e y ON y.vec_id = nid),
+      |r AS (SELECT qid, nid, ham, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT qid, rn, nid, ham, round(cos, 4) + 0 AS cos_sim
+      |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_binary_hamming" -> (knnBinaryHamming _),
     "knn_exact_pruned" -> (knnExactPruned _),
     "knn_centroid_ood" -> (knnCentroidOod _),
     "knn_rrf_fusion" -> (knnRrfFusion _),
@@ -1092,6 +1170,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_binary_hamming" -> knnBinaryHammingSql,
     "knn_exact_pruned" -> knnExactPrunedSql,
     "knn_centroid_ood" -> knnCentroidOodSql,
     "knn_rrf_fusion" -> knnRrfFusionSql,
