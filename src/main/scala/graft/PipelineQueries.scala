@@ -1163,7 +1163,75 @@ object PipelineQueries {
       | round(CAST(top_lang_docs AS DOUBLE) / n_docs, 4) + 0 AS top_lang_frac
       |FROM base b JOIN top USING (source) ORDER BY source""".stripMargin
 
+  // J20 — INCREMENTAL corpus dedup: the production shape of C1 — a
+  // crawl never re-dedups 100 TB from scratch; each INCOMING batch
+  // dedups against the standing corpus' digest set, then within
+  // itself. Batch split is a deterministic hash ring on doc_id (80%
+  // corpus / 20% incoming, J1's seed-stable trick); an incoming doc is
+  // dropped as dup-vs-corpus if its md5 digest exists in the corpus
+  // (LEFT SEMI on the digest — the shuffle moves 16-byte keys), else
+  // as dup-within if a smaller incoming doc_id shares the digest
+  // (min-per-digest, C1's hash agg), else admitted. Per-source
+  // admission report. At 100 TB the corpus side of the semi-join is
+  // the standing digest INDEX (a bucketed digest table, or I3's bloom
+  // as a pre-filter that eliminates the shuffle for the ~unique
+  // majority); the incoming side is one batch — the join is
+  // batch-sized, not corpus-sized.
+  private def pipelineIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("bucket", (col("doc_id") * 7919L + 3L) % 10L)
+    val corpus = d.filter(col("bucket") < 8L).select(col("h")).distinct()
+    val incoming = d.filter(col("bucket") >= 8L)
+      .select(col("doc_id"), col("source"), col("h"))
+    val vsCorpus = incoming.join(corpus, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("dup_corpus", lit(true))
+    val minWithin = incoming.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
+    val flagged = incoming
+      .join(vsCorpus, Seq("doc_id"), "left")
+      .join(minWithin, Seq("h"))
+      .withColumn("status",
+        when(col("dup_corpus").isNotNull, "dup_corpus")
+          .when(col("doc_id") > col("min_id"), "dup_within")
+          .otherwise("admitted"))
+    flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_incoming"),
+      sum(when(col("status") === "dup_corpus", 1L).otherwise(0L)).as("n_dup_corpus"),
+      sum(when(col("status") === "dup_within", 1L).otherwise(0L)).as("n_dup_within"),
+      sum(when(col("status") === "admitted", 1L).otherwise(0L)).as("n_admitted"))
+      .withColumn("admit_rate",
+        round(col("n_admitted").cast("double") / col("n_incoming"), 4) + lit(0.0))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineIncrementalDedupSql =
+    """WITH d AS (
+      | SELECT doc_id, source, md5(text) AS h,
+      |   (doc_id * 7919 + 3) % 10 AS bucket
+      | FROM documents),
+      |corpus AS (SELECT DISTINCT h FROM d WHERE bucket < 8),
+      |inc AS (SELECT doc_id, source, h FROM d WHERE bucket >= 8),
+      |mw AS (SELECT h, min(doc_id) AS min_id FROM inc GROUP BY h),
+      |f AS (
+      | SELECT i.doc_id, i.source,
+      |   CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h)
+      |          THEN 'dup_corpus'
+      |        WHEN i.doc_id > mw.min_id THEN 'dup_within'
+      |        ELSE 'admitted' END AS status
+      | FROM inc i JOIN mw ON i.h = mw.h)
+      |SELECT source, count(*) AS n_incoming,
+      | CAST(sum(CASE WHEN status = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_dup_corpus,
+      | CAST(sum(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_dup_within,
+      | CAST(sum(CASE WHEN status = 'admitted' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_admitted,
+      | round(CAST(sum(CASE WHEN status = 'admitted' THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) + 0 AS admit_rate
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_incremental_dedup" -> (pipelineIncrementalDedup _),
     "pipeline_profile" -> (pipelineProfile _),
     "pipeline_chunk" -> (pipelineChunk _),
     "pipeline_quality_calibration" -> (pipelineQualityCalibration _),
@@ -1185,6 +1253,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_incremental_dedup" -> pipelineIncrementalDedupSql,
     "pipeline_profile" -> pipelineProfileSql,
     "pipeline_chunk" -> pipelineChunkSql,
     "pipeline_quality_calibration" -> pipelineQualityCalibrationSql,

@@ -472,7 +472,42 @@ object SourceQueries {
       |  AND l_shipdate < TIMESTAMP '1996-04-01'
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // H12 — JSONL text-fidelity round-trip: JSON-lines is THE
+  // training-data interchange format, and the property that matters
+  // is byte-exact TEXT preservation through the escape layer (quotes,
+  // backslashes, control characters, non-ASCII — whatever the corpus
+  // holds), not numeric aggregate parity (H1's job). Documents write
+  // to JSONL and read back under an EXPLICIT schema (inference is a
+  // schema-drift hazard on a 100 TB lake: one malformed shard can
+  // silently widen a column for the whole read); FAILFAST mode makes
+  // a corrupt line an error, not a silent null row. The output is the
+  // round-tripped rows themselves with an md5 content digest standing
+  // in for the text — the oracle is the same projection of the
+  // ORIGINAL table, so a green row proves per-row, per-column
+  // identity through the format without dumping raw text.
+  private def srcJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("jsonl")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite").json(s"$tmp/jsonl")
+    s.read.schema(schema).option("mode", "FAILFAST").json(s"$tmp/jsonl")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+        length(col("text")).cast("long").as("text_len"),
+        col("lang"), col("source"), col("n_chars"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val srcJsonlRoundtripSql =
+    """SELECT doc_id, md5(text) AS text_md5,
+      | CAST(len(text) AS BIGINT) AS text_len, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "src_manifest_pruning" -> (srcManifestPruning _),
     "src_csv_escapes" -> (srcCsvEscapes _),
     "src_codec_roundtrip" -> (srcCodecRoundtrip _),
@@ -486,6 +521,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "src_manifest_pruning" -> srcManifestPruningSql,
     "src_csv_escapes" -> srcCsvEscapesSql,
     "src_codec_roundtrip" -> srcCodecRoundtripSql,

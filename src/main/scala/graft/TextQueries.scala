@@ -1066,7 +1066,60 @@ object TextQueries {
       | margin > 0 AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // E21 — CHARACTER-ENTROPY quality signal: Shannon entropy of the
+  // per-doc character distribution, the gibberish/compressibility
+  // gate (near-zero entropy = repeated filler, near-log2(alphabet) =
+  // random noise; natural text sits in a stable band). Formulated for
+  // exact distributed computation: character counts are exact
+  // integers from one map-side-combining hash agg on (doc_id, char) —
+  // the explode shuffles at most |alphabet| rows per doc, not one row
+  // per character — and entropy folds them as
+  // log2(n) − (Σ c·log2 c)/n with a single 4dp rounding at the end
+  // (the per-group float terms are each exact-integer-driven, so both
+  // engines sum identical term sets). Docs shorter than 1 char report
+  // 0.0 via the left-join spine.
+  private def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = docs(s, dir).filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+    val ent = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("distinct_chars"),
+        sum(col("c").cast("double") * log2(col("c"))).as("s"))
+      .withColumn("entropy_bits",
+        round(log2(col("n")) - col("s") / col("n"), 4) + lit(0.0))
+    docs(s, dir).select(col("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        coalesce(col("entropy_bits"), lit(0.0)).as("entropy_bits"))
+      .withColumn("low_entropy", col("entropy_bits") < 3.0)
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val textEntropySql =
+    """WITH ch AS (
+      | SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+      |   i -> substr(text, i, 1))) AS ch
+      | FROM documents WHERE len(text) >= 1),
+      |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+      |e AS (
+      | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |   count(*) AS distinct_chars,
+      |   round(log2(CAST(sum(c) AS BIGINT)) - sum(c * log2(c)) / CAST(sum(c) AS BIGINT), 4) + 0
+      |     AS entropy_bits
+      | FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(e.n, 0) AS n_chars,
+      | coalesce(e.distinct_chars, 0) AS distinct_chars,
+      | coalesce(e.entropy_bits, 0.0) AS entropy_bits,
+      | (coalesce(e.entropy_bits, 0.0) < 3.0) AS low_entropy
+      |FROM documents d LEFT JOIN e USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "text_classifier_score" -> (textClassifierScore _),
     "text_bm25" -> (textBm25 _),
     "text_lexical_stats" -> (textLexicalStats _),
@@ -1088,6 +1141,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
     "text_classifier_score" -> textClassifierScoreSql,
     "text_bm25" -> textBm25Sql,
     "text_lexical_stats" -> textLexicalStatsSql,
