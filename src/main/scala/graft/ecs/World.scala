@@ -250,4 +250,21 @@ object World {
     val system = new SimpleSystem(querier)
     new World(store, querier, updater, system, optimizeInterval)
   }
+
+  /** Reference-parity run-management sugar (store.py:32-44): auto-mint
+    * a time-sortable run id from a caller-supplied logical clock and
+    * sequence number instead of requiring an explicit run string.
+    * Lexicographic run-id order equals mint order ([[RunId]]); the
+    * logical clock keeps minting deterministic and oracle-replayable.
+    */
+  def makeRun(
+      spark: SparkSession,
+      simulation: String,
+      logicalMillis: Long,
+      seq: Int = 0,
+      optimizeInterval: Int = 4,
+      reliableCheckpoints: Boolean = false): World =
+    make(spark, simulation,
+      RunId.mint(logicalMillis, RunId.entropyFor(simulation, seq)),
+      optimizeInterval, reliableCheckpoints)
 }
