@@ -1642,7 +1642,73 @@ object RelationalQueries {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // B60 — MERGE/upsert semantics (the Delta/Iceberg `MERGE INTO`
+  // statement, expressed as the relational algebra it compiles to):
+  // target = every third order, source = every second order with a
+  // re-priced total (+500.00 — an exact-decimal shift, so 2dp rounding
+  // never lands on an engine-divergent half-way case); WHEN MATCHED AND src.price > 300000 → DELETE,
+  // WHEN MATCHED → UPDATE price, WHEN NOT MATCHED → INSERT. The plan
+  // is ONE full-outer equi-join on the merge key + a codegen'd CASE
+  // router — exactly how lakehouse engines execute MERGE (join target
+  // and source, route each row to delete/update/insert/keep). Each
+  // output row carries its `action` tag so the oracle verifies the
+  // ROUTING, not just the final multiset. At scale the join shuffles
+  // on the merge key (AQE handles skew); file-level pruning of
+  // untouched target files — H11's manifest trick — is the physical
+  // complement.
+  private def q60MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tgt = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice"), 2).as("t_price"),
+        col("o_orderstatus").as("t_status"))
+    val src = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") + 500.0, 2).as("s_price"),
+        lit("M").as("s_status"))
+    tgt.join(src, Seq("key"), "full_outer")
+      .withColumn("action",
+        when(col("t_price").isNotNull && col("s_price").isNotNull &&
+          col("s_price") > 300000.0, "delete")
+          .when(col("t_price").isNotNull && col("s_price").isNotNull, "update")
+          .when(col("t_price").isNull, "insert")
+          .otherwise("keep"))
+      .filter(col("action") =!= "delete")
+      .select(col("key"),
+        when(col("action") === "update" || col("action") === "insert",
+          col("s_price")).otherwise(col("t_price")).as("price"),
+        when(col("action") === "insert", col("s_status"))
+          .otherwise(col("t_status")).as("status"),
+        col("action"))
+      .transform(QueryShape.stagedSort(_, col("key")))
+  }
+
+  private val q60Sql =
+    """WITH tgt AS (
+      | SELECT o_orderkey AS key, round(o_totalprice, 2) AS t_price,
+      |   o_orderstatus AS t_status
+      | FROM orders WHERE o_orderkey % 3 = 0),
+      |src AS (
+      | SELECT o_orderkey AS key, round(o_totalprice + 500.0, 2) AS s_price,
+      |   'M' AS s_status
+      | FROM orders WHERE o_orderkey % 2 = 0),
+      |m AS (
+      | SELECT coalesce(tgt.key, src.key) AS key, t_price, t_status,
+      |   s_price, s_status,
+      |   CASE WHEN t_price IS NOT NULL AND s_price IS NOT NULL
+      |          AND s_price > 300000.0 THEN 'delete'
+      |        WHEN t_price IS NOT NULL AND s_price IS NOT NULL THEN 'update'
+      |        WHEN t_price IS NULL THEN 'insert'
+      |        ELSE 'keep' END AS action
+      | FROM tgt FULL OUTER JOIN src ON tgt.key = src.key)
+      |SELECT key,
+      | CASE WHEN action IN ('update', 'insert') THEN s_price
+      |      ELSE t_price END AS price,
+      | CASE WHEN action = 'insert' THEN s_status ELSE t_status END AS status,
+      | action
+      |FROM m WHERE action <> 'delete' ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_merge_upsert" -> (q60MergeUpsert _),
     "q59_salted_join" -> (q59SaltedJoin _),
     "q58_decimal_agg" -> (q58DecimalAgg _),
     "q52_approx_percentile" -> (q52ApproxPercentile _),
@@ -1712,6 +1778,7 @@ object RelationalQueries {
     "q57_json_schema" -> q57Sql,
     "q58_decimal_agg" -> q58Sql,
     "q59_salted_join" -> q59Sql,
+    "q60_merge_upsert" -> q60Sql,
     "q51_date_spine" -> q51Sql,
     "q50_grouping_sets_id" -> q50Sql,
     "q49_filter_agg" -> q49Sql,

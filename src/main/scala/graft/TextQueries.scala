@@ -1118,7 +1118,61 @@ object TextQueries {
       |FROM documents d LEFT JOIN e USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // E22 — READABILITY scoring (Flesch reading-ease + Flesch-Kincaid
+  // grade, the curation staple for audience-level bucketing): sentence
+  // count = terminal-punctuation matches, syllable proxy = vowel
+  // GROUPS ([aeiouy]+ runs — the standard regex approximation), word
+  // count = the shared tokenizer. All three counters are
+  // regexp_extract_all sizes — codegen'd, map-only, identical
+  // semantics in DuckDB — and the two formulas apply exact-integer
+  // ratios with one terminal 4dp rounding each. Zero-guard via
+  // greatest(1, ·) so empty docs score instead of dividing by zero.
+  // At 100 TB: pure scan work, no shuffle before the reporting sort.
+  private def textReadability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_sent", greatest(lit(1L),
+        size(expr("regexp_extract_all(text, '[.!?]', 0)")).cast("long")))
+      .withColumn("n_words", greatest(lit(1L),
+        size(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).cast("long")))
+      .withColumn("n_syll", greatest(lit(1L),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")))
+      .withColumn("flesch", round(
+        lit(206.835) - lit(1.015) * col("n_words") / col("n_sent")
+          - lit(84.6) * col("n_syll") / col("n_words"), 4) + lit(0.0))
+      .withColumn("fk_grade", round(
+        lit(0.39) * col("n_words") / col("n_sent")
+          + lit(11.8) * col("n_syll") / col("n_words") - lit(15.59), 4) + lit(0.0))
+      .withColumn("band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("difficult"))
+      .select(col("doc_id"), col("n_sent"), col("n_words"), col("n_syll"),
+        col("flesch"), col("fk_grade"), col("band"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private val textReadabilitySql =
+    """WITH b AS (
+      | SELECT doc_id,
+      |   greatest(1, CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS n_sent,
+      |   greatest(1, CAST(len(list_filter(string_split_regex(lower(text),
+      |     '[^a-z0-9]+'), x -> x <> '')) AS BIGINT)) AS n_words,
+      |   greatest(1, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syll
+      | FROM documents),
+      |sc AS (
+      | SELECT doc_id, n_sent, n_words, n_syll,
+      |   round(206.835 - 1.015 * n_words / n_sent
+      |     - 84.6 * n_syll / n_words, 4) + 0 AS flesch,
+      |   round(0.39 * n_words / n_sent
+      |     + 11.8 * n_syll / n_words - 15.59, 4) + 0 AS fk_grade
+      | FROM b)
+      |SELECT doc_id, n_sent, n_words, n_syll, flesch, fk_grade,
+      | CASE WHEN flesch >= 60.0 THEN 'easy'
+      |      WHEN flesch >= 30.0 THEN 'standard'
+      |      ELSE 'difficult' END AS band
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
     "text_entropy" -> (textEntropy _),
     "text_classifier_score" -> (textClassifierScore _),
     "text_bm25" -> (textBm25 _),
@@ -1141,6 +1195,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_entropy" -> textEntropySql,
     "text_classifier_score" -> textClassifierScoreSql,
     "text_bm25" -> textBm25Sql,
