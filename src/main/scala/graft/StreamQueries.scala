@@ -39,6 +39,9 @@ case class PackAssign(source: String, doc_id: Long, n_tokens: Long,
     bin_id: Long)
 
 /** Rows/outputs for the streaming CDC-apply maintainer (G20). */
+case class DocIn(doc_id: Long, h: String)
+case class DocDecision(doc_id: Long, admitted: Boolean, canonical_id: Long)
+
 case class CdcEvent(user_id: Long, event_id: Long, ts_us: Long, op: String,
     value: Double)
 case class CdcSnap(user_id: Long, last_event_id: Long, last_ts_us: Long,
@@ -566,6 +569,53 @@ object StreamQueries {
       |)
       |SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** G22 streaming core: INCREMENTAL corpus dedup as a stream — the
+    * streaming twin of J20. The digest registry is keyed state
+    * (md5 → canonical first-arrival doc_id); each incoming doc gets an
+    * ADMIT/REJECT decision plus the canonical pointer, and the
+    * registry survives across micro-batches — exactly how a crawl
+    * frontier dedups forever without re-reading the corpus. State per
+    * key is ONE long; at scale this is the RocksDB-backed digest
+    * index, sharded by the groupByKey hash. Within a batch, docs sort
+    * by doc_id so first-arrival is deterministic and equals the batch
+    * twin's min-per-digest.
+    */
+  def incrementalDedupStream(docs: Dataset[DocIn]): Dataset[DocDecision] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[DocIn], state: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var canon = state.getOption.getOrElse(-1L)
+          val out = sorted.map { d =>
+            if (canon < 0) { canon = d.doc_id; DocDecision(d.doc_id, admitted = true, canon) }
+            else DocDecision(d.doc_id, admitted = false, canon)
+          }
+          state.update(canon)
+          out.iterator
+        })
+  }
+
+  // G22 batch equivalent: min-per-digest over the whole table; a doc
+  // is admitted iff it IS its digest's canonical row.
+  private def streamIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    Tables.load(s, dir, "documents")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), (col("doc_id") === col("canonical_id")).as("admitted"),
+        col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val streamIncrementalDedupSql =
+    """WITH d AS (
+      | SELECT doc_id, md5(text) AS h,
+      |   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      | FROM documents)
+      |SELECT doc_id, doc_id = canonical_id AS admitted, canonical_id
+      |FROM d ORDER BY doc_id""".stripMargin
 
   /** Streaming transform: custom per-key session state via
     * flatMapGroupsWithState — 30-min-gap session ids per user,
@@ -1419,6 +1469,7 @@ object StreamQueries {
       |FROM j GROUP BY 1 ORDER BY matched""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_dedup" -> (streamDedup _),
@@ -1442,6 +1493,7 @@ object StreamQueries {
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
+    "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_asof_enrich" -> streamAsofEnrichSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,

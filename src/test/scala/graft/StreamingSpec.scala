@@ -1155,4 +1155,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream_incremental_dedup: registry state survives batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    // 120 docs over 30 digest families; contiguous id batches so
+    // first-arrival == min doc_id (the batch twin's contract)
+    val all = (1 to 120).map(id => DocIn(id.toLong, s"h${id % 30}"))
+    val q = StreamQueries.incrementalDedupStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incdedup_out").start()
+    try {
+      Seq(all.take(40), all.slice(40, 80), all.drop(80)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("incdedup_out")
+        .orderBy("doc_id").as[DocDecision].collect().toSeq
+      val expected = all.groupBy(_.h).values.flatMap { fam =>
+        val canon = fam.map(_.doc_id).min
+        fam.map(d => DocDecision(d.doc_id, d.doc_id == canon, canon))
+      }.toSeq.sortBy(_.doc_id)
+      assert(streamed == expected)
+      // cross-batch rejections exist: docs 31..120 all repeat digests
+      assert(streamed.count(!_.admitted) == 90)
+    } finally q.stop()
+  }
 }
