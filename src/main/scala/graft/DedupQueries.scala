@@ -905,10 +905,14 @@ object DedupQueries {
   // broadcast assumption); a bloom pre-filter on the digest would cut
   // the exchange further and composes with I3's infrastructure.
   private val SubstrL = 8
-  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+
+  /** The C13 core on an arbitrary (doc_id, text) frame: per-doc exact
+    * duplicated-token mass for spans of >= L tokens. Shared with
+    * SubstringScaleSpec so the probe drives the exact shipped shape.
+    */
+  private[graft] def substringSpansFor(d: DataFrame, L: Int = SubstrL): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = SubstrL
-    val toks = docs(s, dir)
+    val toks = d
       .select(col("doc_id"), tokensCol.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
     val wins = toks.filter(size(col("toks")) >= L)
@@ -934,6 +938,10 @@ object DedupQueries {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    substringSpansFor(docs(s, dir))
       .withColumn("dup_frac", when(col("n_tokens") <= 0L, lit(0.0))
         .otherwise(round(col("dup_tokens").cast("double") / col("n_tokens"), 4) + lit(0.0)))
       .withColumn("keep", col("dup_frac") <= lit(0.5))
