@@ -70,6 +70,13 @@ object Bench {
             None
         }
       }
+      // Between queries, nudge the JVM so Spark's ContextCleaner can
+      // drop checkpoint blocks whose owners (e.g. finished ECS worlds)
+      // are no longer referenced. Without this, block-manager residue
+      // from earlier queries inflates later ones in the shared JVM —
+      // measured 50.9s-vs-0.9s on knn_binary_hamming at sf1 depending
+      // on what ran before it (BENCH_r06_sf1.json note).
+      System.gc()
       if (times.isEmpty) None
       else Some((name, median(times), times.min, times.max))
     }

@@ -41,6 +41,9 @@ object Verify {
           System.err.println(s"[verify] $name: could not write err dump: ${e2.getMessage}")
         }
       }
+      // let the ContextCleaner reclaim checkpoint blocks of finished
+      // queries (ECS worlds etc.) so residue never slows later dumps
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
