@@ -1230,7 +1230,88 @@ object PipelineQueries {
       |   / count(*), 4) + 0 AS admit_rate
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // J21 — token-balanced SHARD assignment (the step between curation
+  // and the dataloader: a 100 TB corpus lands in N shards whose TOKEN
+  // masses — not doc counts — must match, or the stragglers set the
+  // epoch time). Deterministic snake/boustrophedon LPT: rank docs by
+  // (tokens DESC, doc_id), deal rank r to shard r%N on even passes
+  // and N-1-(r%N) on odd — long docs spread first, each pass corrects
+  // the previous pass's tail bias. The global rank comes from
+  // DistributedPrefixSum (range-shuffle + per-partition offsets), NOT
+  // a single-partition row_number window — the one-scan scale shape.
+  // Output = per-shard doc count, token mass, and share: a green row
+  // proves the whole permutation, since any misplaced doc moves two
+  // shard masses.
+  private def pipelineShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val N = 8
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+        .cast("long").as("tokens"))
+    val ranked = graft.operators.DistributedPrefixSum.withRunningTotal(
+        toks, lit(1L), "rk", col("tokens").desc, col("doc_id"))
+      .withColumn("rank", col("rk") - 1)
+    val shard = ranked.withColumn("pass", expr(s"CAST(rank / $N AS BIGINT)"))
+      .withColumn("pos", col("rank") % N)
+      .withColumn("shard",
+        when(col("pass") % 2 === 0, col("pos")).otherwise(lit(N - 1) - col("pos")))
+    val total = shard.agg(sum(col("tokens")).as("total"))
+    shard.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_mass"))
+      .crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("tok_mass"),
+        round(col("tok_mass") / col("total"), 6).as("share"))
+      .orderBy(col("shard"))
+  }
+
+  private val pipelineShardAssignSql =
+    """WITH tk AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+      |    AS BIGINT) AS tokens
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, tokens,
+      |  row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS rank
+      | FROM tk),
+      |sh AS (
+      | SELECT *, CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+      |                ELSE 7 - rank % 8 END AS shard
+      | FROM r)
+      |SELECT shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_mass,
+      | round(sum(tokens) * 1.0 / (SELECT sum(tokens) FROM tk), 6) AS share
+      |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  // J22 — deterministic GLOBAL SHUFFLE (the write-ordering step before
+  // training: examples must reach the dataloader in an order
+  // uncorrelated with crawl/source order, and the order must be
+  // REPRODUCIBLE run-to-run — no rand()). Shuffle key = md5(doc_id ‖
+  // seed); the global position is again DistributedPrefixSum over the
+  // key order (at scale this IS the write: range-partition on the key
+  // and each task streams its run out in order — no single-partition
+  // sort anywhere). The leading hex nibble doubles as the range-bucket
+  // id the files would land in. Output = every doc's position: green
+  // proves the exact permutation both engines derive from the seed.
+  private def pipelineGlobalShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedPrefixSum.withRunningTotal(
+        docs(s, dir).select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":seed42"))).as("skey")),
+        lit(1L), "rk", col("skey"), col("doc_id"))
+      .select(col("doc_id"), (col("rk") - 1).as("pos"),
+        substring(col("skey"), 1, 1).as("bucket"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private val pipelineGlobalShuffleSql =
+    """WITH k AS (
+      | SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS skey
+      | FROM documents)
+      |SELECT doc_id,
+      | row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos,
+      | substring(skey, 1, 1) AS bucket
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard_assign" -> (pipelineShardAssign _),
+    "pipeline_global_shuffle" -> (pipelineGlobalShuffle _),
     "pipeline_incremental_dedup" -> (pipelineIncrementalDedup _),
     "pipeline_profile" -> (pipelineProfile _),
     "pipeline_chunk" -> (pipelineChunk _),
@@ -1253,6 +1334,8 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shard_assign" -> pipelineShardAssignSql,
+    "pipeline_global_shuffle" -> pipelineGlobalShuffleSql,
     "pipeline_incremental_dedup" -> pipelineIncrementalDedupSql,
     "pipeline_profile" -> pipelineProfileSql,
     "pipeline_chunk" -> pipelineChunkSql,

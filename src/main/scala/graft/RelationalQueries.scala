@@ -1707,7 +1707,191 @@ object RelationalQueries {
       | action
       |FROM m WHERE action <> 'delete' ORDER BY key""".stripMargin
 
+  // B61 — HIERARCHY resolution without recursive SQL. Spark has no
+  // WITH RECURSIVE, and the naive loop walks one parent hop per round
+  // — O(depth) shuffles. Pointer JUMPING (Wyllie '79) squares the hop
+  // instead: each round f' = f∘f, d' = d + d∘f, so every node reaches
+  // the root in ⌈log2 depth⌉ self-joins — 4 rounds for a depth-14
+  // (16k-node) tree, ~5 extra rounds per MILLION-fold growth. That
+  // log-round contraction is the 100 TB shape: org charts, category
+  // trees, thread ancestries all resolve in a handful of shuffles.
+  // The hierarchy is derived, not stored: parent(k) = (k-1)/2 over
+  // the live supplier keys (a binary heap on the key column — every
+  // parent exists because keys are dense from 0). Oracle = DuckDB's
+  // real WITH RECURSIVE walking ONE hop per step, so a green row
+  // proves the log-round contraction equals the linear recursion.
+  private def q61Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").as("node"),
+      when(col("s_suppkey") === 0, lit(0L))
+        .otherwise(expr("CAST((s_suppkey - 1) / 2 AS BIGINT)")).as("anc"),
+      when(col("s_suppkey") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
+    // eager checkpoints truncate the lineage each round (the jumped
+    // frame references itself twice — un-truncated, the plan doubles
+    // per round), dedup_cluster's idiom
+    var f = base.checkpoint(eager = true)
+    var pending = f.filter(col("anc") =!= 0).count()
+    while (pending > 0) {
+      val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
+        col("d").as("g_d"))
+      f = f.join(g, col("anc") === col("g_node"))
+        .select(col("node"), col("g_anc").as("anc"),
+          (col("d") + col("g_d")).as("d"))
+        .checkpoint(eager = true)
+      pending = f.filter(col("anc") =!= 0).count()
+    }
+    f.select(col("node").as("s_suppkey"), col("d").as("depth"),
+      col("anc").as("root_key")).orderBy("s_suppkey")
+  }
+
+  private val q61Sql =
+    """WITH RECURSIVE walk(node, anc, d) AS (
+      | SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      | UNION ALL
+      | SELECT node, (anc - 1) // 2, d + 1 FROM walk WHERE anc > 0
+      |)
+      |SELECT node AS s_suppkey, CAST(max(d) AS BIGINT) AS depth,
+      | CAST(0 AS BIGINT) AS root_key
+      |FROM walk GROUP BY node ORDER BY s_suppkey""".stripMargin
+
+  // B62 — distribution SHAPE aggregates (mean, sd, skewness, excess
+  // kurtosis) from ONE-PASS raw power sums. The builtins are a parity
+  // trap — Spark's skewness/kurtosis are population moments, DuckDB's
+  // are bias-corrected sample statistics — so both sides fold the
+  // SAME population formulas from Σx..Σx⁴: map-side-combinable, one
+  // shuffle of five doubles per group regardless of row count, the
+  // canonical sufficient-statistics shape for 100 TB profiling.
+  // Prices are pre-scaled ×1e-3 to keep Σx⁴ ~1e12 — 4 safe digits of
+  // headroom under the 6dp rounding even at 1000× the rows.
+  private def q62Moments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), (col("l_extendedprice") / 1000.0).as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("x*x")).as("s2"), sum(expr("x*x*x")).as("s3"),
+        sum(expr("x*x*x*x")).as("s4"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("m") * col("m"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("m") * col("s2") / col("n")
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("m") * col("s3") / col("n")
+        + lit(6.0) * col("m") * col("m") * col("s2") / col("n")
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("m"), 6).as("mean_k"),
+        round(sqrt(col("m2")), 6).as("sd_k"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - 3.0, 6).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+
+  private val q62Sql =
+    """WITH p AS (
+      | SELECT l_returnflag, l_extendedprice / 1000.0 AS x FROM lineitem),
+      |a AS (
+      | SELECT l_returnflag, count(*) AS n, sum(x) AS s1, sum(x*x) AS s2,
+      |  sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+      | FROM p GROUP BY l_returnflag),
+      |m AS (
+      | SELECT *, s1/n AS m FROM a),
+      |c AS (
+      | SELECT *, s2/n - m*m AS m2,
+      |  s3/n - 3*m*s2/n + 2*m*m*m AS m3,
+      |  s4/n - 4*m*s3/n + 6*m*m*s2/n - 3*m*m*m*m AS m4
+      | FROM m)
+      |SELECT l_returnflag, n, round(m, 6) AS mean_k,
+      | round(sqrt(m2), 6) AS sd_k,
+      | round(m3 / pow(m2, 1.5), 6) AS skewness,
+      | round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  // B63 — equi-width HISTOGRAM + cumulative distribution. Bucketing
+  // is pure arithmetic — floor(price/5000), identical IEEE division
+  // in both engines (width_bucket is NOT portable: DuckDB lacks it) —
+  // so the scan does all the work map-side and the shuffle carries
+  // one row per bucket (~21). The running total and shares run a
+  // single-partition window over those 21 rows — fine at any scale
+  // because the histogram's cardinality is fixed by the bucket width,
+  // not the data volume.
+  private def q63Histogram(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice / 5000.0) AS INT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    b.withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .select(col("bucket"), col("cnt"), col("cum_cnt"),
+        round(col("cnt") / col("total"), 6).as("share"),
+        round(col("cum_cnt") / col("total"), 6).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q63Sql =
+    """WITH b AS (
+      | SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS bucket,
+      |  count(*) AS cnt
+      | FROM lineitem GROUP BY 1),
+      |c AS (
+      | SELECT bucket, cnt,
+      |  CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt,
+      |  CAST(sum(cnt) OVER () AS BIGINT) AS total
+      | FROM b)
+      |SELECT bucket, cnt, cum_cnt,
+      | round(cnt * 1.0 / total, 6) AS share,
+      | round(cum_cnt * 1.0 / total, 6) AS cum_share
+      |FROM c ORDER BY bucket""".stripMargin
+
+  // B64 — MODE with a deterministic tie-break + exact median. The
+  // builtin mode() is tie-ARBITRARY in both engines (and Spark's is
+  // marked indeterministic), so mode is computed as the algebra:
+  // count per (group, value) — map-side combinable — then top-1 by
+  // (count DESC, value ASC) over the ~50 distinct quantities per
+  // group. Median rides q24's percentile/quantile_cont parity pair.
+  private def q64ModeMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cnts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_count"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        count(lit(1)).as("n"))
+    mode.join(med, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
+
+  private val q64Sql =
+    """WITH c AS (
+      | SELECT l_returnflag, l_quantity, count(*) AS c
+      | FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      | SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY c DESC, l_quantity ASC) AS rn
+      | FROM c),
+      |med AS (
+      | SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4)
+      |   AS median_qty, count(*) AS n
+      | FROM lineitem GROUP BY 1)
+      |SELECT m.l_returnflag, mode_qty, mode_count, median_qty, n
+      |FROM m JOIN med ON m.l_returnflag = med.l_returnflag
+      |WHERE rn = 1 ORDER BY m.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_hierarchy" -> (q61Hierarchy _),
+    "q62_moments" -> (q62Moments _),
+    "q63_histogram" -> (q63Histogram _),
+    "q64_mode_median" -> (q64ModeMedian _),
     "q60_merge_upsert" -> (q60MergeUpsert _),
     "q59_salted_join" -> (q59SaltedJoin _),
     "q58_decimal_agg" -> (q58DecimalAgg _),
@@ -1770,6 +1954,10 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q61_hierarchy" -> q61Sql,
+    "q62_moments" -> q62Sql,
+    "q63_histogram" -> q63Sql,
+    "q64_mode_median" -> q64Sql,
     "q52_approx_percentile" -> q52Sql,
     "q53_interpolate" -> q53Sql,
     "q54_scd2" -> q54Sql,

@@ -1171,7 +1171,115 @@ object TextQueries {
       |      ELSE 'difficult' END AS band
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // E23 — CODE-vs-PROSE detection (the StarCoder/CodeParrot-style
+  // source gate: code shards poison a prose mixture and vice versa).
+  // Three independent surface signals, each an exact integer count
+  // from one codegen'd regexp_extract_all — structural symbols
+  // ({};()=<>[]), reserved-word hits (\b-anchored so 'if' in 'gift'
+  // doesn't fire), and indented continuation lines (newline followed
+  // by 2+ spaces or a tab — the (?m) multiline flag is NOT portable
+  // across regex engines, the \n prefix is) — folded into a 0-100
+  // score with fixed weights and a single terminal rounding. Map-only
+  // scan work; no shuffle before the reporting sort.
+  private def textCodeDetect(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_sym", size(expr(
+        "regexp_extract_all(text, '[{}();=<>\\\\[\\\\]]', 0)")).cast("long"))
+      .withColumn("n_kw", size(expr(
+        "regexp_extract_all(text, " +
+          "'\\\\b(def|class|import|return|function|var|const|void|elif|lambda)\\\\b', 0)"))
+        .cast("long"))
+      .withColumn("n_indent", size(expr(
+        "regexp_extract_all(text, '\\\\n(  |\\\\t)', 0)")).cast("long"))
+      .withColumn("n_char", greatest(lit(1L), length(col("text")).cast("long")))
+      .withColumn("score", round(
+        least(lit(100.0),
+          lit(400.0) * col("n_sym") / col("n_char")
+            + lit(25.0) * least(col("n_kw"), lit(4L))
+            + lit(5.0) * least(col("n_indent"), lit(8L))), 4) + lit(0.0))
+      .select(col("doc_id"), col("n_sym"), col("n_kw"), col("n_indent"),
+        col("score"), (col("score") >= 40.0).as("is_code"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private val textCodeDetectSql =
+    """WITH c AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS BIGINT) AS n_sym,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b(def|class|import|return|function|var|const|void|elif|lambda)\b'))
+      |    AS BIGINT) AS n_kw,
+      |  CAST(len(regexp_extract_all(text, '\n(  |\t)')) AS BIGINT) AS n_indent,
+      |  greatest(1, length(text)) AS n_char
+      | FROM documents),
+      |sc AS (
+      | SELECT doc_id, n_sym, n_kw, n_indent,
+      |  round(least(100.0, 400.0 * n_sym / n_char
+      |    + 25.0 * least(n_kw, 4) + 5.0 * least(n_indent, 8)), 4) + 0 AS score
+      | FROM c)
+      |SELECT doc_id, n_sym, n_kw, n_indent, score, score >= 40.0 AS is_code
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // E24 — Unicode SCRIPT profile (the script-mix signal under
+  // language ID: mixed-script spam, mojibake, and transliteration all
+  // show up here before any classifier does). Exact per-doc counts of
+  // five script ranges — Latin letters, digits, Cyrillic, CJK
+  // unified, whitespace — via codegen'd regexp_extract_all over
+  // literal char-class ranges (written as raw codepoints, portable
+  // across Java regex and RE2), remainder = other. Dominant script by
+  // count with a FIXED priority order on ties (latin > cyrillic > cjk
+  // > digit), so the label is deterministic in both engines. Map-only.
+  private def textScriptProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_latin",
+        size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("long"))
+      .withColumn("n_digit",
+        size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("long"))
+      .withColumn("n_cyr", size(expr(
+        "regexp_extract_all(text, '[Ѐ-ӿ]', 0)")).cast("long"))
+      .withColumn("n_cjk", size(expr(
+        "regexp_extract_all(text, '[一-鿿]', 0)")).cast("long"))
+      .withColumn("n_space", size(expr(
+        "regexp_extract_all(text, '[ \\\\t\\\\n]', 0)")).cast("long"))
+      .withColumn("n_other",
+        length(col("text")).cast("long") - col("n_latin") - col("n_digit")
+          - col("n_cyr") - col("n_cjk") - col("n_space"))
+      .withColumn("script",
+        when(col("n_latin") >= col("n_cyr") && col("n_latin") >= col("n_cjk")
+          && col("n_latin") >= col("n_digit"), "latin")
+          .when(col("n_cyr") >= col("n_cjk") && col("n_cyr") >= col("n_digit"),
+            "cyrillic")
+          .when(col("n_cjk") >= col("n_digit"), "cjk")
+          .otherwise("digit"))
+      .withColumn("latin_share", round(
+        col("n_latin") / greatest(lit(1L), length(col("text")).cast("long")),
+        4) + lit(0.0))
+      .select(col("doc_id"), col("n_latin"), col("n_digit"), col("n_cyr"),
+        col("n_cjk"), col("n_space"), col("n_other"), col("script"),
+        col("latin_share"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private val textScriptProfileSql =
+    """WITH c AS (
+      | SELECT doc_id, length(text) AS n,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+      |  CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyr,
+      |  CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+      |  CAST(len(regexp_extract_all(text, '[ \t\n]')) AS BIGINT) AS n_space
+      | FROM documents)
+      |SELECT doc_id, n_latin, n_digit, n_cyr, n_cjk, n_space,
+      | n - n_latin - n_digit - n_cyr - n_cjk - n_space AS n_other,
+      | CASE WHEN n_latin >= n_cyr AND n_latin >= n_cjk AND n_latin >= n_digit
+      |        THEN 'latin'
+      |      WHEN n_cyr >= n_cjk AND n_cyr >= n_digit THEN 'cyrillic'
+      |      WHEN n_cjk >= n_digit THEN 'cjk'
+      |      ELSE 'digit' END AS script,
+      | round(n_latin * 1.0 / greatest(1, n), 4) + 0 AS latin_share
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> (textCodeDetect _),
+    "text_script_profile" -> (textScriptProfile _),
     "text_readability" -> (textReadability _),
     "text_entropy" -> (textEntropy _),
     "text_classifier_score" -> (textClassifierScore _),
@@ -1195,6 +1303,8 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_code_detect" -> textCodeDetectSql,
+    "text_script_profile" -> textScriptProfileSql,
     "text_readability" -> textReadabilitySql,
     "text_entropy" -> textEntropySql,
     "text_classifier_score" -> textClassifierScoreSql,
