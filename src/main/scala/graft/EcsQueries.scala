@@ -605,7 +605,76 @@ object EcsQueries {
        |FROM enc ORDER BY run""".stripMargin
   }
 
+  /** A15: tick-to-tick COMPONENT DIFF — CDC over the store's history
+    * frames (what changed between step s−1 and s: the feed a
+    * downstream sink or replication stream consumes, and the
+    * reference's LanceDB versioning surfaces implicitly). A second
+    * batch spawns MID-RUN at step 1, so the diff must classify
+    * insert (no step-s−1 row) vs update (position moved) vs same
+    * (vx = 0 rows — a third of each batch — and vy = 0 everywhere,
+    * so zero-velocity entities are bit-identical across steps). The
+    * diff is one full-outer self-join of adjacent history frames per
+    * step, shuffled on (entity_id) — O(live rows), never O(history);
+    * sum_dx is exact integer-grid arithmetic (vx ∈ {0,1,2}, dt=0.5)
+    * so the oracle replays it bit-for-bit from supplier keys.
+    */
+  def componentDiff(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_diff")
+    world.addProcessor(MovementProcessor)
+    def seed(offset: Long) = Tables.load(spark, dir, "supplier").select(
+      (col("s_suppkey") + offset).cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("s_suppkey") % 3).cast("double").as("velocity__vx"),
+      lit(0.0).as("velocity__vy"))
+    world.spawnBatch(PosVel, seed(0L))
+    world.step(0.5)
+    world.spawnBatch(PosVel, seed(2000000L)) // arrives at step 1
+    world.step(0.5)
+    val hist = world.getHistory(PosVel)(PosVelHash)
+      .select(col("entity_id"), col("step"), col("position__x").as("x"))
+    val diffs = (1 to 2).map { s =>
+      val prev = hist.filter(col("step") === (s - 1))
+        .select(col("entity_id"), col("x").as("px"))
+      val cur = hist.filter(col("step") === s)
+        .select(col("entity_id"), col("x").as("cx"))
+      cur.join(prev, Seq("entity_id"), "left")
+        .withColumn("action",
+          when(col("px").isNull, "insert")
+            .when(col("cx") =!= col("px"), "update")
+            .otherwise("same"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("action") === "update", col("cx") - col("px"))
+            .otherwise(lit(0.0))), 2).as("sum_dx"))
+        .withColumn("step", lit(s.toLong))
+    }.reduce(_ unionByName _)
+    diffs.select(col("step"), col("action"), col("n"), col("sum_dx"))
+      .orderBy(col("step"), col("action"))
+  }
+
+  val componentDiffOracle: String =
+    """WITH k AS (SELECT s_suppkey AS k, s_suppkey % 3 AS vx FROM supplier),
+      |per AS (
+      | SELECT count(*) AS n_all,
+      |  CAST(sum(CASE WHEN vx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_move,
+      |  CAST(sum(CASE WHEN vx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_still,
+      |  round(sum(0.5 * vx), 2) AS dx
+      | FROM k)
+      |SELECT CAST(1 AS BIGINT) AS step, 'insert' AS action, n_all AS n,
+      | 0.0 AS sum_dx FROM per
+      |UNION ALL
+      |SELECT 1, 'same', n_still, 0.0 FROM per
+      |UNION ALL
+      |SELECT 1, 'update', n_move, dx FROM per
+      |UNION ALL
+      |SELECT 2, 'same', 2 * n_still, 0.0 FROM per
+      |UNION ALL
+      |SELECT 2, 'update', 2 * n_move, round(2 * dx, 2) FROM per
+      |ORDER BY step, action""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ecs_component_diff" -> (componentDiff _),
     "ecs_run_registry" -> (runRegistry _),
     "ecs_vector_search" -> (vectorSearch _),
     "ecs_spawn_query" -> (spawnQuery _),
@@ -622,6 +691,7 @@ object EcsQueries {
     "ecs_flocking" -> (flocking _))
 
   val oracles: Map[String, String] = Map(
+    "ecs_component_diff" -> componentDiffOracle,
     "ecs_run_registry" -> runRegistryOracle,
     "ecs_vector_search" -> vectorSearchOracle,
     "ecs_spawn_query" -> spawnQueryOracle,

@@ -1149,7 +1149,164 @@ object SimilarityQueries {
       |SELECT qid, rn, nid, ham, round(cos, 4) + 0 AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // D19 — RESIDUAL IVF-PQ (the actual Jégou IVFADC layout, vs D8's
+  // int8-in-list and D9's flat PQ): corpus vectors coarse-quantize to
+  // an IVF list, and PQ encodes the RESIDUAL x − c(x) — residuals
+  // concentrate near 0, so the same 8×16 codebook spends its codes on
+  // a far tighter distribution than raw vectors (the reason every
+  // production IVF-PQ encodes residuals). Query time: per probed list,
+  // ip(q,x) ≈ ⟨q,c⟩ (exact, one dot per list) + Σ_sub ADC(q−c, code)
+  // — the LUT is per (query, list) because the residual frame moves
+  // with the list. Pool by approx ip (re-rank is exact anyway), exact
+  // cosine top-3, recall vs brute force. Shuffles carry codes (8
+  // bytes/vector) and narrow id rows, never raw vectors; codebooks
+  // and LUTs (q×lists×8×16 rows) broadcast.
+  private def knnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfIndex, ProductQuantizer}
+    val all = emb(s, dir)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+          | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+          |   / 8191.0D)""".stripMargin).as("v"))
+    val q = all.filter(col("vec_id") <= 10)
+    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    // coarse assignment + residual encode (shuffle-free broadcast argmin)
+    val asg = IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
+      .join(broadcast(cent), Seq("cid"))
+      .withColumn("res", expr("zip_with(v, cv, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("cid").as("lcid"), col("res"))
+    val book = ProductQuantizer.train(
+      asg.select(col("vec_id"), col("res")), "vec_id", "res",
+      m = 8, dim = 64, k = 16, iters = 3)
+    val codes = ProductQuantizer.assignCodes(
+        ProductQuantizer.subVectors(asg, "vec_id", "res", m = 8, dim = 64), book)
+      .select(col("id").as("nid"), col("sub"), col("cid").as("code"))
+      .join(asg.select(col("vec_id").as("nid"), col("lcid")), Seq("nid"))
+    // probed lists (keep=2), per-(query, list) residual LUT
+    val probes = IvfIndex.assign(q, cent, "vec_id", "v", keep = 2)
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id").as("qid"), col("cid").as("lcid"), col("v"),
+        VectorOps.dot(col("v"), col("cv")).as("q_dot_c"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("qres"),
+        (col("vec_id") * 100 + col("cid")).as("pk"))
+    val lut = ProductQuantizer.subVectors(
+        probes.select(col("pk"), col("qres")), "pk", "qres", m = 8, dim = 64)
+      .join(broadcast(book), Seq("sub"))
+      .select(col("id").as("pk"), col("sub"), col("cid").as("code"),
+        VectorOps.dot(col("sv"), col("cv")).as("dotp"))
+      .join(probes.select(col("pk"), col("qid"), col("lcid")), Seq("pk"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx_ip").desc, col("nid"))
+    val pool = codes
+      .join(broadcast(lut.select(col("qid"), col("lcid"), col("sub"),
+        col("code"), col("dotp"))), Seq("lcid", "sub", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("lcid"), col("nid"))
+      .agg(sum(col("dotp")).as("radot"))
+      .join(broadcast(probes.select(col("qid"), col("lcid"), col("q_dot_c"))),
+        Seq("qid", "lcid"))
+      .withColumn("approx_ip", col("q_dot_c") + col("radot"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= 64)
+      .select(col("qid"), col("nid"))
+    // exact re-rank of the pooled candidates
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val ivfpq = pool
+      .join(all.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+    val hits = bf.select(col("qid"), col("nid")).join(ivfpq, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("cos"))).as("top1_cos"))
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(avg(col("top1_cos")), 4) + lit(0.0)).as("avg_top1_cos"),
+        (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
+  }
+
+  // D20 — seeded RANDOM PROJECTION (Johnson-Lindenstrauss with a ±1
+  // sign matrix, Achlioptas 2003): 64 dims → 16, proj_j = Σ_d v[d] ·
+  // sign(h(j,d)) / √16 with the sign drawn from the same small-modulus
+  // integer hash both engines evaluate exactly — the projection is
+  // DATA-INDEPENDENT, so at 100 TB it's a map-only scan (no training,
+  // no shuffle) and the 4× narrower vectors feed every downstream tier
+  // (LSH bands, k-means, brute-force re-rank) at a quarter of the
+  // memory bandwidth. Output: per-query top-5 overlap between
+  // projected and original cosine space + mean |Δcos| distortion —
+  // and the whole thing replays in SQL, so the oracle checks the
+  // PROJECTION, not just a recall contract.
+  private def knnRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val signExpr =
+      """transform(sequence(0, 15), j -> aggregate(sequence(0, 63),
+        | 0D, (acc, d) -> acc + element_at(v, d + 1) *
+        |   CAST(CASE WHEN (1103 * (j * 64 + d) + 12289) % 8191 % 2 = 0
+        |        THEN 1 ELSE -1 END AS DOUBLE)) / 4.0D)""".stripMargin
+    val all = emb(s, dir).withColumn("p", expr(signExpr))
+    val q = all.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p").as("qp"))
+    val cand = all.select(col("vec_id").as("nid"), col("v").as("nv"), col("p").as("np"))
+      .join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos_o", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("cos_p", VectorOps.cosine(col("qp"), col("np")))
+    val wO = Window.partitionBy(col("qid")).orderBy(col("cos_o").desc, col("nid"))
+    val wP = Window.partitionBy(col("qid")).orderBy(col("cos_p").desc, col("nid"))
+    val ranked = cand
+      .withColumn("rn_o", row_number().over(wO))
+      .withColumn("rn_p", row_number().over(wP))
+    val top = ranked.filter(col("rn_o") <= 5 || col("rn_p") <= 5)
+    top.groupBy(col("qid"))
+      .agg(
+        count(when(col("rn_o") <= 5 && col("rn_p") <= 5, 1)).as("overlap5"),
+        max(when(col("rn_p") === 1, col("nid"))).as("top1_proj_nid"),
+        (round(avg(when(col("rn_o") <= 5, abs(col("cos_p") - col("cos_o")))), 4)
+          + lit(0.0)).as("avg_abs_dcos"))
+      .orderBy(col("qid"))
+  }
+
+  private val knnRandomProjectionSql =
+    """WITH e AS (
+      | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pe AS (
+      | SELECT vec_id, v, list_transform(generate_series(0, 15), j ->
+      |   list_sum(list_transform(generate_series(0, 63), d ->
+      |     v[d + 1] * CAST(CASE WHEN (1103 * (j * 64 + d) + 12289) % 8191 % 2 = 0
+      |       THEN 1 ELSE -1 END AS DOUBLE))) / 4.0) AS p
+      | FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, p AS qp FROM pe WHERE vec_id <= 5),
+      |c AS (
+      | SELECT qid, vec_id AS nid,
+      |  list_dot_product(qv, v) /
+      |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos_o,
+      |  list_dot_product(qp, p) /
+      |   (sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(p, p))) AS cos_p
+      | FROM q JOIN pe ON pe.vec_id <> qid),
+      |r AS (
+      | SELECT *,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_o DESC, nid) AS rn_o,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_p DESC, nid) AS rn_p
+      | FROM c)
+      |SELECT qid,
+      | count(CASE WHEN rn_o <= 5 AND rn_p <= 5 THEN 1 END) AS overlap5,
+      | max(CASE WHEN rn_p = 1 THEN nid END) AS top1_proj_nid,
+      | round(avg(CASE WHEN rn_o <= 5 THEN abs(cos_p - cos_o) END), 4) + 0
+      |   AS avg_abs_dcos
+      |FROM r WHERE rn_o <= 5 OR rn_p <= 5
+      |GROUP BY qid ORDER BY qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivfpq_residual" -> (knnIvfPqResidual _),
+    "knn_random_projection" -> (knnRandomProjection _),
     "knn_binary_hamming" -> (knnBinaryHamming _),
     "knn_exact_pruned" -> (knnExactPruned _),
     "knn_centroid_ood" -> (knnCentroidOod _),
@@ -1170,6 +1327,8 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_ivfpq_residual" -> knnIvfTrainedSql, // same contract: residual PQ changes the index, not the reference
+    "knn_random_projection" -> knnRandomProjectionSql,
     "knn_binary_hamming" -> knnBinaryHammingSql,
     "knn_exact_pruned" -> knnExactPrunedSql,
     "knn_centroid_ood" -> knnCentroidOodSql,

@@ -506,7 +506,69 @@ object SourceQueries {
       | CAST(len(text) AS BIGINT) AS text_len, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // H13 — COMMIT-LOG table format (the Delta/Iceberg transaction
+  // pattern built from nothing but parquet + a JSON log): a table
+  // VERSION is the file set its log entry pins — never a directory
+  // listing (list-after-write is the race every lakehouse log
+  // exists to close, and on object storage the listing itself costs
+  // more than the read). v0 commits f0; v1 appends f1. The reader
+  // resolves each snapshot FROM THE LOG and reads exactly those
+  // files — a file present in the directory but absent from the log
+  // (f_orphan, planted below) must be invisible, which is what
+  // separates log-resolved reads from spark.read.parquet(dir). The
+  // two snapshots aggregate side by side; the oracle derives both
+  // states from the base table, so green proves version isolation.
+  // At scale the log is the H11 manifest's big sibling: O(commits)
+  // JSON rows, read on the driver, pruning the task list before any
+  // scan launches.
+  private def srcTxnLog(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("txnlog")
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/data/f0")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.mode("overwrite").parquet(s"$tmp/data/f1")
+    // an orphan data file no commit references — compaction debris /
+    // a failed writer; snapshot reads must not see it
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("overwrite").parquet(s"$tmp/data/f_orphan")
+    val log = new java.io.File(s"$tmp/_log")
+    log.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_log/0.json"),
+      """{"version": 0, "files": ["f0"]}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_log/1.json"),
+      """{"version": 1, "files": ["f0", "f1"]}""")
+    def snapshot(v: Int): DataFrame = {
+      val entry = s.read
+        .schema("version LONG, files ARRAY<STRING>")
+        .json(s"$tmp/_log/$v.json")
+        .head() // the log entry is one driver-side row, like H11's manifest
+      val files = entry.getSeq[String](1).map(f => s"$tmp/data/$f")
+      s.read.parquet(files: _*)
+    }
+    Seq(0, 1).map { v =>
+      snapshot(v).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .withColumn("version", lit(v.toLong))
+        .select(col("version"), col("n_rows"), col("sum_price"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private val srcTxnLogSql =
+    """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+      | round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+      | round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_txn_log" -> (srcTxnLog _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "src_manifest_pruning" -> (srcManifestPruning _),
     "src_csv_escapes" -> (srcCsvEscapes _),
@@ -521,6 +583,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_txn_log" -> srcTxnLogSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "src_manifest_pruning" -> srcManifestPruningSql,
     "src_csv_escapes" -> srcCsvEscapesSql,

@@ -42,6 +42,14 @@ case class PackAssign(source: String, doc_id: Long, n_tokens: Long,
 case class DocIn(doc_id: Long, h: String)
 case class DocDecision(doc_id: Long, admitted: Boolean, canonical_id: Long)
 
+/** Rows/state/outputs for the streaming EWMA anomaly maintainer (G23). */
+case class EwmaEvent(event_type: String, event_id: Long, ts_us: Long,
+    value: Double)
+case class EwmaState(buf: List[Double], n_scored: Long, n_anom: Long,
+    max_dev: Double)
+case class EwmaSummary(event_type: String, n_scored: Long, n_anom: Long,
+    max_dev: Double)
+
 case class CdcEvent(user_id: Long, event_id: Long, ts_us: Long, op: String,
     value: Double)
 case class CdcSnap(user_id: Long, last_event_id: Long, last_ts_us: Long,
@@ -462,6 +470,149 @@ object StreamQueries {
       | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       | CAST(sum(CASE WHEN ok THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** G23 — streaming EWMA ANOMALY detection (the live telemetry gate:
+    * flag events whose value breaks from the recent per-key level).
+    * The detector is a 16-tap FIR EWMA — weights (1−α)^j over the
+    * trailing 16 values, α = 0.25 — deliberately FINITE so the exact
+    * same number is computable three ways: the streaming maintainer's
+    * ring buffer, the batch window formula, and the DuckDB oracle.
+    * An infinite-horizon EWMA would be a per-row recurrence no SQL
+    * window replays. Anomaly rule: |v − ewma| > 2.5·σ₁₆ with both
+    * sides rounded to 6dp before comparing (σ from the same 16-value
+    * power sums in both engines, so a borderline comparison can't
+    * flip on engine-internal summation order). State per key = 16
+    * doubles + 3 counters — O(keys), TTL-able, RocksDB-friendly.
+    */
+  private[graft] val EwmaAlpha = 0.25
+  private[graft] val EwmaTaps = 16
+
+  // BigDecimal.valueOf (shortest-decimal), not new BigDecimal(double)
+  // (exact-binary): Spark's Round expression goes through valueOf, and
+  // the two disagree exactly at the .xxx5 boundaries rounding exists
+  // to police.
+  private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  private def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  class EwmaProcessor extends StatefulProcessor[String, EwmaEvent, EwmaSummary] {
+    @transient private var state: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[EwmaEvent],
+        timers: TimerValues): Iterator[EwmaSummary] = {
+      var cur = if (state.exists()) state.get()
+        else EwmaState(Nil, 0L, 0L, 0.0)
+      // event-time order within the micro-batch (the spec feeds
+      // batches in ts order across batch boundaries)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (cur.buf.length == EwmaTaps) {
+          // buf is oldest-first; identical fold order to the batch
+          // window formula (index i=0 oldest → weight 0.75^(15-i))
+          var acc = 0.0
+          var s1 = 0.0
+          var s2 = 0.0
+          var i = 0
+          cur.buf.foreach { x =>
+            acc += x * math.pow(1.0 - EwmaAlpha, EwmaTaps - 1 - i)
+            s1 += x; s2 += x * x
+            i += 1
+          }
+          val ewma = acc /
+            ((1.0 - math.pow(1.0 - EwmaAlpha, EwmaTaps)) / EwmaAlpha)
+          val sd = math.sqrt(math.max(0.0,
+            s2 / EwmaTaps - (s1 / EwmaTaps) * (s1 / EwmaTaps)))
+          val dev = math.abs(e.value - ewma)
+          val anom = round6(dev) > round6(sd * 2.5)
+          cur = cur.copy(n_scored = cur.n_scored + 1,
+            n_anom = cur.n_anom + (if (anom) 1L else 0L),
+            max_dev = math.max(cur.max_dev, dev))
+        }
+        val buf2 = (cur.buf :+ e.value).takeRight(EwmaTaps)
+        cur = cur.copy(buf = buf2)
+      }
+      state.update(cur)
+      Iterator.single(EwmaSummary(key, cur.n_scored, cur.n_anom,
+        round4(cur.max_dev)))
+    }
+  }
+
+  def ewmaAnomalyStream(feed: Dataset[EwmaEvent]): Dataset[EwmaSummary] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.event_type)
+      .transformWithState(new EwmaProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G23 batch equivalent: the same 16-tap detector as one window
+    * pass — collect_list over a 16-row frame keeps each score's
+    * arithmetic identical (same fold order) to the maintainer's. Per
+    * event_type the window is a single partition; at scale the frame
+    * sub-buckets by day with a 16-row boundary stitch, the q25/q44
+    * pattern.
+    */
+  private[graft] def ewmaAnomalyBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(-EwmaTaps, -1)
+    val norm = (1.0 - math.pow(1.0 - EwmaAlpha, EwmaTaps)) / EwmaAlpha
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        col("value").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lag16", collect_list(col("v")).over(wf))
+      .filter(col("rn") > EwmaTaps)
+      .withColumn("ewma", expr(
+        s"""aggregate(sequence(1, $EwmaTaps), 0D,
+           | (acc, i) -> acc + element_at(lag16, i) *
+           |   pow(${1.0 - EwmaAlpha}D, $EwmaTaps - i))""".stripMargin)
+        / lit(norm))
+      .withColumn("s1", expr("aggregate(lag16, 0D, (acc, x) -> acc + x)"))
+      .withColumn("s2", expr("aggregate(lag16, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("sd", sqrt(greatest(lit(0.0),
+        col("s2") / EwmaTaps
+          - (col("s1") / EwmaTaps) * (col("s1") / EwmaTaps))))
+      .withColumn("dev", abs(col("v") - col("ewma")))
+      .withColumn("anom", round(col("dev"), 6) > round(col("sd") * 2.5, 6))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"),
+        (round(max(col("dev")), 4) + lit(0.0)).as("max_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  private def streamEwmaAnomaly(s: SparkSession, dir: String): DataFrame =
+    ewmaAnomalyBatch(Tables.load(s, dir, "events"))
+
+  private val streamEwmaAnomalySql =
+    """WITH e AS (
+      | SELECT event_type, ts, event_id, value AS v FROM events),
+      |r AS (
+      | SELECT *,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+      |  list(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS lag16
+      | FROM e),
+      |s AS (
+      | SELECT event_type, v,
+      |  list_sum(list_transform(range(1, 17), i ->
+      |    lag16[i] * pow(0.75, 16 - i))) / ((1.0 - pow(0.75, 16)) / 0.25)
+      |    AS ewma,
+      |  list_sum(lag16) AS s1,
+      |  list_sum(list_transform(lag16, x -> x * x)) AS s2
+      | FROM r WHERE rn > 16),
+      |d AS (
+      | SELECT event_type, abs(v - ewma) AS dev,
+      |  sqrt(greatest(0.0, s2 / 16 - (s1 / 16) * (s1 / 16))) AS sd
+      | FROM s)
+      |SELECT event_type, count(*) AS n_scored,
+      | CAST(sum(CASE WHEN round(dev, 6) > round(sd * 2.5, 6)
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+      | round(max(dev), 4) + 0 AS max_dev
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** G20 — CDC APPLY (the lake-maintenance loop: a change feed of
     * upserts and deletes folds into a queryable latest-state
@@ -1490,6 +1641,7 @@ object StreamQueries {
     "stream_text_gate" -> (streamTextGate _),
     "stream_pack" -> (streamPack _),
     "stream_cdc_apply" -> (streamCdcApply _),
+    "stream_ewma_anomaly" -> (streamEwmaAnomaly _),
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
@@ -1514,5 +1666,6 @@ object StreamQueries {
     "stream_text_gate" -> streamTextGateSql,
     "stream_pack" -> streamPackSql,
     "stream_cdc_apply" -> streamCdcApplySql,
+    "stream_ewma_anomaly" -> streamEwmaAnomalySql,
     "stream_file_ingest" -> streamFileIngestSql)
 }

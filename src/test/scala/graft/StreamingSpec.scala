@@ -1180,4 +1180,54 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count(!_.admitted) == 90)
     } finally q.stop()
   }
+
+  test("EWMA anomaly maintainer == batch 16-tap window detector") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    // two keys, 60 events each: a smooth ramp with planted spikes at
+    // every 20th event (far outside 2.5 sigma of the trailing 16)
+    val evs = for {
+      (key, base) <- Seq(("a", 10.0), ("b", 50.0))
+      i <- 0 until 60
+    } yield EwmaEvent(key, i.toLong + (if (key == "a") 0L else 1000L),
+      i.toLong * 1000L,
+      base + math.sin(i * 0.37) + (if (i % 20 == 19) 40.0 else 0.0))
+    // three ts-ordered micro-batches (event-time order across batches)
+    val batches = evs.groupBy(_.ts_us / 20000L).toSeq.sortBy(_._1).map(_._2)
+    val input = MemoryStream[EwmaEvent]
+    val q = StreamQueries.ewmaAnomalyStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("ewma_out").as[EwmaSummary].collect()
+        .groupBy(_.event_type).map { case (k, ss) =>
+          k -> ss.maxBy(_.n_scored)
+        }
+      val batch = StreamQueries.ewmaAnomalyBatch(
+        evs.toDF()
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+          .drop("ts_us"))
+        .collect().map { r =>
+          r.getAs[String]("event_type") ->
+            ((r.getAs[Long]("n_scored"), r.getAs[Long]("n_anom"),
+              r.getAs[Double]("max_dev")))
+        }.toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, s0) =>
+        assert((s0.n_scored, s0.n_anom, s0.max_dev) == batch(k),
+          s"key $k: streaming EWMA summary must equal the batch window run")
+      }
+      // all three planted spikes (i = 19, 39, 59) land after the
+      // 16-row warmup, and each is ~40 off a trailing window whose
+      // 2.5 sigma never exceeds ~25 even when a prior spike inflates it
+      assert(streamed.values.forall(_.n_anom >= 3L))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
