@@ -673,7 +673,56 @@ object EcsQueries {
       |SELECT 2, 'update', 2 * n_move, round(2 * dx, 2) FROM per
       |ORDER BY step, action""".stripMargin
 
+  /** A16: archetype CATALOG stats — the store-introspection view
+    * (information_schema for an ECS: which archetypes exist, their
+    * component signatures, live vs latest-frame counts). Exercises
+    * the full table lifecycle in one query: spawn → migrateWhere
+    * (every third entity drops velocity, moving tables) →
+    * despawnWhere (every sixth tombstones in the NEW table). Counts
+    * read the latest-wins resolved view per archetype — tombstones
+    * count as frames but not live — so a green row proves migration
+    * appended to the target, tombstoned the source, and despawn
+    * tombstoned only the migrated table. Per-archetype aggs are one
+    * hash agg over resolved state; the catalog itself is O(archetypes)
+    * driver rows.
+    */
+  def archetypeStats(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_arstats")
+    world.spawnBatch(PosVel, Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("s_suppkey") % 3).cast("double").as("velocity__vx"),
+      lit(0.0).as("velocity__vy")))
+    world.migrateWhere(PosVel, Seq(PosMeta), col("entity_id") % 3 === 0)
+    world.despawnWhere(Seq(PosMeta), col("entity_id") % 6 === 0)
+    val store = world.store
+    store.signatures.toSeq.map { case (h, metas) =>
+      store.resolved(h).agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("is_active"), 1L).otherwise(0L)).as("n_live"))
+        .withColumn("components",
+          lit(metas.map(_.name).sorted.mkString("+")))
+    }.reduce(_ unionByName _)
+      .select(col("components"), col("n_live"), col("n_frames"))
+      .orderBy(col("components"))
+  }
+
+  val archetypeStatsOracle: String =
+    """WITH k AS (SELECT s_suppkey AS k FROM supplier),
+      |c AS (
+      | SELECT count(*) AS n_all,
+      |  CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mig,
+      |  CAST(sum(CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gone
+      | FROM k)
+      |SELECT 'Position' AS components, n_mig - n_gone AS n_live,
+      | n_mig AS n_frames FROM c
+      |UNION ALL
+      |SELECT 'Position+Velocity', n_all - n_mig, n_all FROM c
+      |ORDER BY components""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ecs_archetype_stats" -> (archetypeStats _),
     "ecs_component_diff" -> (componentDiff _),
     "ecs_run_registry" -> (runRegistry _),
     "ecs_vector_search" -> (vectorSearch _),
@@ -691,6 +740,7 @@ object EcsQueries {
     "ecs_flocking" -> (flocking _))
 
   val oracles: Map[String, String] = Map(
+    "ecs_archetype_stats" -> archetypeStatsOracle,
     "ecs_component_diff" -> componentDiffOracle,
     "ecs_run_registry" -> runRegistryOracle,
     "ecs_vector_search" -> vectorSearchOracle,

@@ -1887,7 +1887,141 @@ object RelationalQueries {
       |FROM m JOIN med ON m.l_returnflag = med.l_returnflag
       |WHERE rn = 1 ORDER BY m.l_returnflag""".stripMargin
 
+  // B65 — DAU/WAU: daily active users + 7-day ROLLING distinct users.
+  // Sliding-window COUNT DISTINCT does not decompose (you can't merge
+  // daily distincts), and a global count(DISTINCT) OVER window drags
+  // raw user ids through one partition. The scalable exact shape:
+  // dedup to (user, day) pairs first (map-side combinable — the big
+  // shrink happens in the scan), then CONTRIBUTE each pair to the 7
+  // window anchors it can serve (a fixed ×7 explode of the already-
+  // deduped pairs, not the raw events) and dedup per anchor. Work is
+  // linear with a constant-7 factor; every shuffle key is
+  // (day, user_id). The approximate twin at 100 TB is I7's rolling
+  // HLL with the identical plan minus the second dedup.
+  private def q65Wau(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("t", explode(sequence(lit(0), lit(6))))
+      .select(expr("date_add(day, t)").as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  private val q65Sql =
+    """WITH ud AS (
+      | SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |contrib AS (
+      | SELECT DISTINCT day + CAST(t AS INTEGER) AS day, user_id
+      | FROM ud, (SELECT unnest(generate_series(0, 6)) AS t)),
+      |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+      |SELECT dau.day, dau, wau
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
+  // B66 — INTERVAL OVERLAP self-join (temporal/genomic join: which
+  // validity windows intersect?). All-pairs is O(n²); the scale shape
+  // decomposes each interval into its covering WEEK buckets and
+  // equi-joins on the bucket — work ∝ overlapping bucket co-residents,
+  // never the full cross product. A pair sharing several buckets
+  // would count once per shared bucket, so the join keeps a pair only
+  // in its FIRST shared bucket (bucket = max of the two start
+  // buckets) — the standard dedup-free guard (no distinct needed).
+  // The oracle is the brute-force quadratic join over the same
+  // filtered subset, so a green row proves the decomposition finds
+  // every overlap exactly once.
+  private def q66IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(o_orderdate AS DATE)").as("st"),
+        expr("date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 14 AS INT) + 1)").as("en"))
+      .withColumn("sb", floor(expr("datediff(st, DATE'1995-01-01')") / 7))
+      .withColumn("eb", floor(expr("datediff(en, DATE'1995-01-01')") / 7))
+    val bucketed = iv.withColumn("b", explode(expr("sequence(sb, eb)")))
+    val a = bucketed.select(col("b"), col("k").as("ka"), col("st").as("sa"),
+      col("en").as("ea"), col("sb").as("sba"))
+    val bb = bucketed.select(col("b"), col("k").as("kb"), col("st").as("sbt"),
+      col("en").as("ebt"), col("sb").as("sbb"))
+    a.join(bb, Seq("b"))
+      .filter(col("ka") < col("kb"))
+      .filter(col("sa") < col("ebt") && col("sbt") < col("ea"))
+      .filter(col("b") === greatest(col("sba"), col("sbb")))
+      .select(
+        expr("datediff(least(ea, ebt), greatest(sa, sbt))").cast("long")
+          .as("overlap_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("overlap_days")).as("total_overlap_days"),
+        max(col("overlap_days")).as("max_overlap_days"))
+  }
+
+  private val q66Sql =
+    """WITH iv AS (
+      | SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS st,
+      |  CAST(o_orderdate AS DATE) + CAST(o_orderkey % 14 AS INT) + 1 AS en
+      | FROM orders WHERE o_orderkey % 37 = 0),
+      |p AS (
+      | SELECT a.k, date_diff('day', greatest(a.st, b.st), least(a.en, b.en))
+      |   AS overlap_days
+      | FROM iv a JOIN iv b ON a.k < b.k AND a.st < b.en AND b.st < a.en)
+      |SELECT count(*) AS n_pairs,
+      | CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days,
+      | CAST(max(overlap_days) AS BIGINT) AS max_overlap_days
+      |FROM p""".stripMargin
+
+  // B67 — COHORT RETENTION matrix (the product-analytics staple): a
+  // user's cohort is their first-activity week; retention at offset k
+  // = the share of that cohort active k weeks later. Three hash aggs,
+  // all map-side combinable: (user → first week), dedup (user, week),
+  // then (cohort, offset) counts joined to cohort sizes. Shuffle keys
+  // are (user) then (cohort, offset) — never raw events — and the
+  // matrix is O(weeks²) rows regardless of data volume. Weeks are
+  // integer epoch-day/7 buckets (identical floor arithmetic both
+  // engines, no engine week-of-year semantics).
+  private def q67Retention(s: SparkSession, dir: String): DataFrame = {
+    val uw = t(s, dir, "events")
+      .select(col("user_id"),
+        floor(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')") / 7)
+          .as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohorts, Seq("user_id"))
+      .withColumn("offset", col("wk") - col("cohort"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("cohort_users"),
+        round(col("n_active") / col("cohort_users"), 6).as("retention"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  private val q67Sql =
+    """WITH uw AS (
+      | SELECT DISTINCT user_id,
+      |  (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+      | FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+      |sz AS (SELECT cohort, count(*) AS cohort_users FROM c GROUP BY cohort),
+      |act AS (
+      | SELECT cohort, wk - cohort AS "offset", count(*) AS n_active
+      | FROM uw JOIN c USING (user_id) GROUP BY cohort, wk - cohort)
+      |SELECT cohort, "offset", n_active, cohort_users,
+      | round(n_active * 1.0 / cohort_users, 6) AS retention
+      |FROM act JOIN sz USING (cohort)
+      |ORDER BY cohort, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_retention" -> (q67Retention _),
+    "q65_wau" -> (q65Wau _),
+    "q66_interval_join" -> (q66IntervalJoin _),
     "q61_hierarchy" -> (q61Hierarchy _),
     "q62_moments" -> (q62Moments _),
     "q63_histogram" -> (q63Histogram _),
@@ -1954,6 +2088,9 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q67_retention" -> q67Sql,
+    "q65_wau" -> q65Sql,
+    "q66_interval_join" -> q66Sql,
     "q61_hierarchy" -> q61Sql,
     "q62_moments" -> q62Sql,
     "q63_histogram" -> q63Sql,

@@ -42,6 +42,18 @@ case class PackAssign(source: String, doc_id: Long, n_tokens: Long,
 case class DocIn(doc_id: Long, h: String)
 case class DocDecision(doc_id: Long, admitted: Boolean, canonical_id: Long)
 
+/** Rows/state/outputs for the streaming token-bucket limiter (G25). */
+case class RateEvent(event_type: String, event_id: Long, ts_us: Long)
+case class RateState(credit_us: Long, last_ts_us: Long, n_admit: Long,
+    n_throttle: Long)
+case class RateSummary(event_type: String, n_events: Long, n_admitted: Long,
+    n_throttled: Long)
+
+/** Rows/state/outputs for the streaming late-data auditor (G24). */
+case class LateEvent(event_type: String, arrival_seq: Long, ts_us: Long)
+case class LateState(max_ts_us: Long, n_events: Long, n_late: Long)
+case class LateSummary(event_type: String, n_events: Long, n_late: Long)
+
 /** Rows/state/outputs for the streaming EWMA anomaly maintainer (G23). */
 case class EwmaEvent(event_type: String, event_id: Long, ts_us: Long,
     value: Double)
@@ -470,6 +482,231 @@ object StreamQueries {
       | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       | CAST(sum(CASE WHEN ok THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** G25 — TOKEN-BUCKET rate limiter (admission control as a stream
+    * operator: cap each key at `Cap` events per `PeriodUs`, with
+    * burst up to the bucket size — the API-gateway/ingest-throttle
+    * semantics). Credit is tracked in INTEGER microseconds (credit +=
+    * elapsed, clamped at Cap·Period; admit costs Period), so the fold
+    * is exact long arithmetic that three engines replay identically:
+    * the transformWithState maintainer (state = 2 longs + 2
+    * counters), the batch twin's per-key sorted mapPartitions scan
+    * (the honest O(n) shape for a non-associative recurrence —
+    * stream_pack's precedent), and the DuckDB recursive-CTE oracle
+    * stepping rn → rn+1 per key.
+    */
+  private[graft] val RatePeriodUs = 3600L * 1000000L // 1 token per hour
+  private[graft] val RateCap = 4L
+
+  class RateProcessor extends StatefulProcessor[String, RateEvent, RateSummary] {
+    @transient private var state: ValueState[RateState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RateState]("rate",
+        org.apache.spark.sql.Encoders.product[RateState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[RateEvent],
+        timers: TimerValues): Iterator[RateSummary] = {
+      var cur = if (state.exists()) state.get()
+        else RateState(RateCap * RatePeriodUs, Long.MinValue, 0L, 0L)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val refilled =
+          if (cur.last_ts_us == Long.MinValue) RateCap * RatePeriodUs
+          else math.min(RateCap * RatePeriodUs,
+            cur.credit_us + math.max(0L, e.ts_us - cur.last_ts_us))
+        val admit = refilled >= RatePeriodUs
+        cur = RateState(
+          if (admit) refilled - RatePeriodUs else refilled,
+          e.ts_us,
+          cur.n_admit + (if (admit) 1L else 0L),
+          cur.n_throttle + (if (admit) 0L else 1L))
+      }
+      state.update(cur)
+      Iterator.single(RateSummary(key, cur.n_admit + cur.n_throttle,
+        cur.n_admit, cur.n_throttle))
+    }
+  }
+
+  def rateLimitStream(feed: Dataset[RateEvent]): Dataset[RateSummary] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.event_type)
+      .transformWithState(new RateProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G25 batch equivalent: per-key sorted scan folding the same
+    * integer credit recurrence.
+    */
+  private[graft] def rateLimitBatch(feed: DataFrame): DataFrame = {
+    import feed.sparkSession.implicits._
+    val parts = feed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    feed.select(col("event_type"), col("event_id"), col("ts_us"))
+      .as[(String, Long, Long)]
+      .repartition(parts, col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var credit = 0L
+        var last = Long.MinValue
+        var nAdmit = 0L
+        var nThrottle = 0L
+        val out = scala.collection.mutable.Map[String, (Long, Long)]()
+        def flush(): Unit = if (curKey != null)
+          out(curKey) = (nAdmit, nThrottle)
+        it.foreach { case (k, id, ts) =>
+          if (k != curKey) {
+            flush(); curKey = k
+            credit = RateCap * RatePeriodUs; last = Long.MinValue
+            nAdmit = 0L; nThrottle = 0L
+          }
+          val refilled =
+            if (last == Long.MinValue) RateCap * RatePeriodUs
+            else math.min(RateCap * RatePeriodUs,
+              credit + math.max(0L, ts - last))
+          val admit = refilled >= RatePeriodUs
+          credit = if (admit) refilled - RatePeriodUs else refilled
+          last = ts
+          if (admit) nAdmit += 1 else nThrottle += 1
+        }
+        flush()
+        out.iterator.map { case (k, (a, t)) => (k, a + t, a, t) }
+      }.toDF("event_type", "n_events", "n_admitted", "n_throttled")
+      .orderBy(col("event_type"))
+  }
+
+  private def streamRateLimit(s: SparkSession, dir: String): DataFrame =
+    rateLimitBatch(Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us")))
+
+  private val streamRateLimitSql =
+    """WITH RECURSIVE e AS (
+      | SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY epoch_us(ts), event_id) AS rn
+      | FROM events),
+      |walk(event_type, rn, credit, ts_us, n_admit, n_throttle) AS (
+      | SELECT event_type, rn,
+      |  CASE WHEN 4 * 3600000000 >= 3600000000
+      |    THEN 4 * 3600000000 - 3600000000 ELSE 4 * 3600000000 END,
+      |  ts_us, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      | FROM e WHERE rn = 1
+      | UNION ALL
+      | SELECT s.event_type, s.rn,
+      |  CASE WHEN least(4 * 3600000000,
+      |      w.credit + greatest(0, s.ts_us - w.ts_us)) >= 3600000000
+      |    THEN least(4 * 3600000000,
+      |      w.credit + greatest(0, s.ts_us - w.ts_us)) - 3600000000
+      |    ELSE least(4 * 3600000000,
+      |      w.credit + greatest(0, s.ts_us - w.ts_us)) END,
+      |  s.ts_us,
+      |  w.n_admit + CASE WHEN least(4 * 3600000000,
+      |      w.credit + greatest(0, s.ts_us - w.ts_us)) >= 3600000000
+      |    THEN 1 ELSE 0 END,
+      |  w.n_throttle + CASE WHEN least(4 * 3600000000,
+      |      w.credit + greatest(0, s.ts_us - w.ts_us)) >= 3600000000
+      |    THEN 0 ELSE 1 END
+      | FROM walk w JOIN e s ON s.event_type = w.event_type AND s.rn = w.rn + 1
+      |)
+      |SELECT event_type, CAST(max(rn) AS BIGINT) AS n_events,
+      | CAST(max(n_admit) AS BIGINT) AS n_admitted,
+      | CAST(max(n_throttle) AS BIGINT) AS n_throttled
+      |FROM walk GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** G24 — LATE-DATA audit (what the watermark would have dropped):
+    * per key, a row is LATE if its event time trails the running max
+    * event time of everything that ARRIVED before it by more than the
+    * 30-minute watermark delay — exactly Structured Streaming's drop
+    * rule, surfaced as per-key metrics instead of silent discards
+    * (the observability every production watermark needs: "how much
+    * am I losing, per source, at this delay?"). The generator emits
+    * events in perfect ts order, so arrival order is DERIVED: a
+    * deterministic md5 shuffle WITHIN each hour (out-of-orderness
+    * bounded by 1h against a 30-min delay ⇒ real lateness, exactly
+    * reproducible in SQL). State per key = one long + two counters;
+    * the batch twin is a running-max window per key (parallel across
+    * keys — the per-partition-watermark shape, not a global order).
+    */
+  private[graft] val LateDelayUs = 30L * 60 * 1000 * 1000
+
+  class LateProcessor extends StatefulProcessor[String, LateEvent, LateSummary] {
+    @transient private var state: ValueState[LateState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LateState]("late",
+        org.apache.spark.sql.Encoders.product[LateState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[LateEvent],
+        timers: TimerValues): Iterator[LateSummary] = {
+      var cur = if (state.exists()) state.get()
+        else LateState(Long.MinValue, 0L, 0L)
+      rows.toSeq.sortBy(_.arrival_seq).foreach { e =>
+        val late = cur.n_events > 0 && e.ts_us < cur.max_ts_us - LateDelayUs
+        cur = LateState(math.max(cur.max_ts_us, e.ts_us),
+          cur.n_events + 1, cur.n_late + (if (late) 1L else 0L))
+      }
+      state.update(cur)
+      Iterator.single(LateSummary(key, cur.n_events, cur.n_late))
+    }
+  }
+
+  def lateAuditStream(feed: Dataset[LateEvent]): Dataset[LateSummary] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.event_type)
+      .transformWithState(new LateProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G24 batch equivalent over (event_type, arrival_seq, ts_us). */
+  private[graft] def lateAuditBatch(arrivals: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("arrival_seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    arrivals
+      .withColumn("runmax", max(col("ts_us")).over(w))
+      .withColumn("late",
+        col("runmax").isNotNull && col("ts_us") < col("runmax") - LateDelayUs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .orderBy(col("event_type"))
+  }
+
+  private def streamLateMetrics(s: SparkSession, dir: String): DataFrame = {
+    // derived deterministic arrival order: hour-bucket ‖ md5(event_id)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hr"), col("ak"), col("event_id"))
+    val arrivals = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        date_trunc("hour", col("ts")).as("hr"),
+        md5(col("event_id").cast("string")).as("ak"))
+      .withColumn("arrival_seq", row_number().over(w).cast("long"))
+      .select(col("event_type"), col("arrival_seq"), col("ts_us"))
+    lateAuditBatch(arrivals)
+      .withColumn("late_share",
+        round(col("n_late") / col("n_events"), 6) + lit(0.0))
+  }
+
+  private val streamLateMetricsSql =
+    """WITH e AS (
+      | SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+      |  date_trunc('hour', ts) AS hr, md5(CAST(event_id AS VARCHAR)) AS ak
+      | FROM events),
+      |r AS (
+      | SELECT event_type, ts_us,
+      |  max(ts_us) OVER (PARTITION BY event_type ORDER BY hr, ak, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      | FROM e),
+      |a AS (
+      | SELECT event_type,
+      |  CASE WHEN runmax IS NOT NULL AND ts_us < runmax - 1800000000
+      |    THEN 1 ELSE 0 END AS late
+      | FROM r)
+      |SELECT event_type, count(*) AS n_events,
+      | CAST(sum(late) AS BIGINT) AS n_late,
+      | round(sum(late) * 1.0 / count(*), 6) + 0 AS late_share
+      |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** G23 — streaming EWMA ANOMALY detection (the live telemetry gate:
     * flag events whose value breaks from the recent per-key level).
@@ -1642,6 +1879,8 @@ object StreamQueries {
     "stream_pack" -> (streamPack _),
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_ewma_anomaly" -> (streamEwmaAnomaly _),
+    "stream_late_metrics" -> (streamLateMetrics _),
+    "stream_rate_limit" -> (streamRateLimit _),
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
@@ -1667,5 +1906,7 @@ object StreamQueries {
     "stream_pack" -> streamPackSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_ewma_anomaly" -> streamEwmaAnomalySql,
+    "stream_late_metrics" -> streamLateMetricsSql,
+    "stream_rate_limit" -> streamRateLimitSql,
     "stream_file_ingest" -> streamFileIngestSql)
 }

@@ -1277,7 +1277,93 @@ object TextQueries {
       | round(n_latin * 1.0 / greatest(1, n), 4) + 0 AS latin_share
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // E25 — RAKE keyword extraction (Rose et al. 2010: candidate
+  // phrases are maximal stopword-free token runs; a word scores
+  // deg/freq where deg sums the lengths of every phrase containing
+  // it; a phrase scores the sum of its word scores). The runs come
+  // from gaps-and-islands (pos − row_number over non-stop tokens —
+  // pure window algebra, no per-row loop), and every shuffle key is
+  // (doc_id, …) so the whole extraction is doc-local and
+  // embarrassingly parallel at 100 TB. Word scores are rounded to
+  // integer 1e4-scaled units BEFORE the phrase sum — one IEEE
+  // division each, identical in both engines — so phrase scores and
+  // the (score DESC, phrase ASC) top-1 tie-break are exact integer
+  // comparisons that can never flip on float summation order.
+  private def textRakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "a", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+        .as(Seq("pos", "tok")))
+    val ns = toks.filter(!col("tok").isin(stop: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("island", col("pos") - col("rn"))
+    val isl = ns.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("plen"))
+    val wl = ns.join(isl, Seq("doc_id", "island"))
+    val ws = wl.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val sc = wl.join(ws, Seq("doc_id", "tok"))
+      .withColumn("wscore",
+        round(lit(10000.0) * col("deg") / col("freq")).cast("long"))
+    val ph = sc.groupBy(col("doc_id"), col("island"))
+      .agg(sum(col("wscore")).as("score_scaled"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("phrase"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("phrase").asc)
+    ph.withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("phrase").as("top_phrase"),
+        col("score_scaled"), col("n_candidates"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val textRakeKeywordsSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '[^a-z0-9]+'), x -> x <> '') AS toks
+      | FROM documents),
+      |e AS (
+      | SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      | FROM t, (SELECT unnest(generate_series(1, 256)) AS i)
+      | WHERE i <= len(toks)),
+      |ns AS (
+      | SELECT doc_id, pos, tok,
+      |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      | FROM e WHERE tok NOT IN ('the', 'and', 'a', 'of', 'to', 'in', 'is',
+      |   'it', 'that', 'for', 'on', 'with', 'as')),
+      |isl AS (
+      | SELECT doc_id, island, count(*) AS plen FROM ns GROUP BY 1, 2),
+      |wl AS (SELECT ns.*, plen FROM ns JOIN isl USING (doc_id, island)),
+      |ws AS (
+      | SELECT doc_id, tok, count(*) AS freq,
+      |  CAST(sum(plen) AS BIGINT) AS deg
+      | FROM wl GROUP BY 1, 2),
+      |sc AS (
+      | SELECT wl.doc_id, wl.island, wl.pos, wl.tok,
+      |  CAST(round(10000.0 * deg / freq) AS BIGINT) AS wscore
+      | FROM wl JOIN ws USING (doc_id, tok)),
+      |ph AS (
+      | SELECT doc_id, island, CAST(sum(wscore) AS BIGINT) AS score_scaled,
+      |  string_agg(tok, ' ' ORDER BY pos) AS phrase
+      | FROM sc GROUP BY 1, 2),
+      |top AS (
+      | SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_scaled DESC, phrase) AS rn,
+      |  count(*) OVER (PARTITION BY doc_id) AS n_candidates
+      | FROM ph)
+      |SELECT doc_id, phrase AS top_phrase, score_scaled,
+      | CAST(n_candidates AS BIGINT) AS n_candidates
+      |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (textRakeKeywords _),
     "text_code_detect" -> (textCodeDetect _),
     "text_script_profile" -> (textScriptProfile _),
     "text_readability" -> (textReadability _),
@@ -1303,6 +1389,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_rake_keywords" -> textRakeKeywordsSql,
     "text_code_detect" -> textCodeDetectSql,
     "text_script_profile" -> textScriptProfileSql,
     "text_readability" -> textReadabilitySql,

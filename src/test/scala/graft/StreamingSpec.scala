@@ -1181,6 +1181,91 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token-bucket limiter == batch sorted fold, burst then throttle") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val hour = 3600L * 1000000L
+    // key "fast": 12 events 10 min apart — the 4-token burst admits
+    // the head, then 1/hour refill throttles most of the tail;
+    // key "slow": 6 events 2 h apart — always admitted
+    val evs =
+      (0 until 12).map(i => RateEvent("fast", i.toLong, i * hour / 6)) ++
+        (0 until 6).map(i => RateEvent("slow", 100L + i, i * 2 * hour))
+    val batches = Seq(evs.filter(_.ts_us < 2 * hour), evs.filter(_.ts_us >= 2 * hour))
+    val input = MemoryStream[RateEvent]
+    val q = StreamQueries.rateLimitStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rate_out").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("rate_out").as[RateSummary].collect()
+        .groupBy(_.event_type).map { case (k, ss) => k -> ss.maxBy(_.n_events) }
+      val batch = StreamQueries.rateLimitBatch(evs.toDF())
+        .collect().map { r =>
+          r.getAs[String]("event_type") ->
+            ((r.getAs[Long]("n_events"), r.getAs[Long]("n_admitted"),
+              r.getAs[Long]("n_throttled")))
+        }.toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, s0) =>
+        assert((s0.n_events, s0.n_admitted, s0.n_throttled) == batch(k),
+          s"key $k: streaming rate limit must equal the batch fold")
+      }
+      val slow = streamed("slow")
+      assert(slow.n_throttled == 0L, "2h-spaced events never throttle")
+      val fast = streamed("fast")
+      assert(fast.n_throttled > 0L, "10min-spaced events must throttle")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("late-data auditor == batch running-max window, counts real lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    // two keys; arrival order deliberately out of ts order: every 5th
+    // arrival carries an event time 45 min older than the running max
+    // (late at a 30-min delay), others advance by 10 min each
+    val evs = for {
+      key <- Seq("x", "y")
+      i <- 0 until 40
+    } yield {
+      val base = i.toLong * 10 * 60 * 1000000L
+      LateEvent(key, i.toLong,
+        if (i % 5 == 4) base - 45L * 60 * 1000000L else base)
+    }
+    val batches = evs.groupBy(_.arrival_seq / 15L).toSeq.sortBy(_._1).map(_._2)
+    val input = MemoryStream[LateEvent]
+    val q = StreamQueries.lateAuditStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("late_out").as[LateSummary].collect()
+        .groupBy(_.event_type).map { case (k, ss) => k -> ss.maxBy(_.n_events) }
+      val batch = StreamQueries.lateAuditBatch(evs.toDF())
+        .collect().map { r =>
+          r.getAs[String]("event_type") ->
+            ((r.getAs[Long]("n_events"), r.getAs[Long]("n_late")))
+        }.toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, s0) =>
+        assert((s0.n_events, s0.n_late) == batch(k),
+          s"key $k: streaming late audit must equal the batch window run")
+      }
+      // every 5th arrival (after the first) is 45 min late: 8 per key
+      assert(streamed.values.forall(_.n_late == 8L))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("EWMA anomaly maintainer == batch 16-tap window detector") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
