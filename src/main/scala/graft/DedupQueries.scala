@@ -988,7 +988,153 @@ object DedupQueries {
       |FROM base b LEFT JOIN pd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // C14 — LSH BAND-PARAMETER SWEEP (the tuning table behind C2's
+  // 8×8 choice, measured by the engine on its own corpus): the same
+  // 64 minhash values re-band under rows-per-band r ∈ {4, 8, 16}
+  // (16/8/4 bands — collision prob 1−(1−J^r)^(64/r), so small r
+  // recalls low-Jaccard pairs at the cost of candidate volume). One
+  // pipeline computes all three configs (bands key on (r, band_id)),
+  // and each config's candidates are audited against the EXACT
+  // ground truth — word-3-shingle Jaccard ≥ 0.5, decided by the
+  // integer test 3·|A∩B| ≥ |A|+|B| (no float threshold to disagree
+  // on) — over the same id-window C4 uses, so the truth set is
+  // bounded and fully replayable. Output: candidates / windowed
+  // candidates / true-found / recall per config — the
+  // precision-recall evidence that picks (b, r) at 100 TB instead of
+  // folklore.
+  private def dedupLshSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = docs(s, dir).groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val vals = minhashValuesFor(reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact windowed ground truth over the same shingle universe
+    val digests = reps.withColumn("toks", tokensCol)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(0, greatest(size(toks) - 3, 0)),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin))
+        .as("shingle"))
+      .withColumn("p", expr(
+        """aggregate(
+          |  transform(sequence(1, length(shingle)), i -> ascii(substring(shingle, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      .select(col("doc_id"), col("p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = digests.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val shared = digests.select(col("doc_id").as("id_a"), col("p"))
+      .join(digests.select(col("doc_id").as("id_b"), col("p")), Seq("p"))
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10)
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("nshared"))
+    val truth = shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .filter(col("nshared") * 3 >= col("na") + col("nb"))
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+    // one banding pipeline for every config: key = (r, band_id)
+    val rs = Seq(4, 8, 16).toDF("r")
+    val bands = vals.crossJoin(broadcast(rs))
+      .groupBy(col("r"), col("doc_id"), expr("j DIV r").as("band_id"))
+      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
+    val cand = bands
+      .select(col("r"), col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+      .join(bands.select(col("r"), col("band_id"), col("band_hash"),
+        col("doc_id").as("id_b")), Seq("r", "band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("r"), col("id_a"), col("id_b")).distinct()
+    val out = cand
+      .withColumn("in_window", col("id_b") <= col("id_a") + 10)
+      .join(truth.withColumn("is_true", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("in_window"), 1L).otherwise(0L)).as("n_window_candidates"),
+        sum(when(col("in_window") && col("is_true").isNotNull, 1L)
+          .otherwise(0L)).as("n_true_found"))
+      .withColumn("n_true_total", lit(nTruth))
+      .withColumn("recall",
+        when(lit(nTruth) === 0, 1.0)
+          .otherwise(round(col("n_true_found") / col("n_true_total"), 4)
+            + lit(0.0)))
+      .select((lit(64) / col("r")).cast("long").as("bands"),
+        col("r").cast("long").as("rows_per_band"), col("n_candidates"),
+        col("n_window_candidates"), col("n_true_found"),
+        col("n_true_total"), col("recall"))
+      .orderBy(col("rows_per_band"))
+      .localCheckpoint(eager = true)
+    vals.unpersist(false)
+    digests.unpersist(false)
+    truth.unpersist(false)
+    out
+  }
+
+  private val dedupLshSweepSql =
+    """WITH reps AS (
+      | SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+      |), toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS tk
+      | FROM reps
+      |), sh AS (
+      | SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(0, greatest(len(tk) - 3, 0)),
+      |    i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+      |  FROM toks)
+      |), ph AS (
+      | SELECT DISTINCT doc_id, list_reduce(
+      |   list_prepend(7::BIGINT, list_transform(generate_series(1, length(shingle)),
+      |     i -> ascii(substring(shingle, i, 1))::BIGINT)),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS p
+      | FROM sh
+      |), sizes AS (SELECT doc_id, count(*) AS nsh FROM ph GROUP BY doc_id),
+      |shared AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared
+      | FROM ph a JOIN ph b USING (p)
+      | WHERE b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+      | GROUP BY 1, 2
+      |), truth AS (
+      | SELECT id_a, id_b FROM shared
+      | JOIN sizes sa ON sa.doc_id = id_a
+      | JOIN sizes sb ON sb.doc_id = id_b
+      | WHERE nshared * 3 >= sa.nsh + sb.nsh
+      |), nt AS (SELECT count(*) AS n_true_total FROM truth),
+      |hj AS (
+      | SELECT doc_id, j, min((p * (2*j+1) + (7919*j+13)) % 1000000007) AS m
+      | FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+      | GROUP BY doc_id, j
+      |), bands AS (
+      | SELECT r, doc_id, j // r AS band_id,
+      |  bit_xor((m * 131 + j) % 1000000007) AS band_hash
+      | FROM hj CROSS JOIN (SELECT unnest([4, 8, 16]) AS r) rs
+      | GROUP BY r, doc_id, j // r
+      |), cand AS (
+      | SELECT DISTINCT r, a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM bands a JOIN bands b USING (r, band_id, band_hash)
+      | WHERE a.doc_id < b.doc_id
+      |), audited AS (
+      | SELECT c.r, c.id_a, c.id_b,
+      |  c.id_b <= c.id_a + 10 AS in_window,
+      |  t.id_a IS NOT NULL AS is_true
+      | FROM cand c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+      |)
+      |SELECT CAST(64 / r AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+      | count(*) AS n_candidates,
+      | CAST(sum(CASE WHEN in_window THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_window_candidates,
+      | CAST(sum(CASE WHEN in_window AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_true_found,
+      | CAST(max(n_true_total) AS BIGINT) AS n_true_total,
+      | CASE WHEN max(n_true_total) = 0 THEN 1.0
+      |      ELSE round(sum(CASE WHEN in_window AND is_true THEN 1 ELSE 0 END)
+      |        * 1.0 / max(n_true_total), 4) + 0 END AS recall
+      |FROM audited CROSS JOIN nt
+      |GROUP BY r ORDER BY rows_per_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_lines" -> (dedupLines _),
     "dedup_prefix_filter" -> (dedupPrefixFilter _),
@@ -1004,6 +1150,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_lsh_sweep" -> dedupLshSweepSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_prefix_filter" -> dedupPrefixFilterSql,

@@ -924,7 +924,66 @@ object MultimodalQueries {
       |GROUP BY d.doc_id, d.w, d.h
       |ORDER BY d.doc_id""".stripMargin
 
+  // F16 — SHARD MANIFEST for sequential media training IO (the
+  // WebDataset/tar-shard layout: training readers stream whole shards
+  // sequentially instead of issuing one random GET per sample —
+  // at 100 TB the difference between saturating object-storage
+  // bandwidth and dying on request latency). Per source, payloads
+  // pack NEXT-FIT in doc order into ≤4 KiB shards; the manifest rows
+  // (doc → shard, byte offset, length) are exactly what the reader
+  // needs to seek inside a shard. The fold is the honest per-key
+  // sorted mapPartitions scan (a non-associative recurrence —
+  // stream_pack's precedent, here with the byte-offset prefix carried
+  // along); the oracle replays it as a recursive CTE. Only (source,
+  // id, n_bytes) ride the shuffle — payload bytes never move.
+  private def mmShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 4096L
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .as[(String, Long, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .mapPartitions { it =>
+        var curSrc: String = null
+        var shard = 0L
+        var fill = 0L
+        it.map { case (src, id, n) =>
+          if (src != curSrc) { curSrc = src; shard = 0L; fill = 0L }
+          if (fill > 0L && fill + n > cap) { shard += 1L; fill = 0L }
+          val off = fill
+          fill += n
+          (src, id, n, shard, off)
+        }
+      }.toDF("source", "doc_id", "n_bytes", "shard_id", "offset")
+      .transform(QueryShape.stagedSort(_, col("source"), col("doc_id")))
+  }
+
+  private val mmShardManifestSql =
+    """WITH RECURSIVE sc AS (
+      | SELECT source, doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      | FROM documents),
+      |walk(source, rn, doc_id, n, shard, off, fill) AS (
+      | SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n
+      | FROM sc WHERE rn = 1
+      | UNION ALL
+      | SELECT s.source, s.rn, s.doc_id, s.n,
+      |  CASE WHEN w.fill > 0 AND w.fill + s.n > 4096
+      |    THEN w.shard + 1 ELSE w.shard END,
+      |  CASE WHEN w.fill > 0 AND w.fill + s.n > 4096
+      |    THEN CAST(0 AS BIGINT) ELSE w.fill END,
+      |  CASE WHEN w.fill > 0 AND w.fill + s.n > 4096
+      |    THEN s.n ELSE w.fill + s.n END
+      | FROM walk w JOIN sc s ON s.source = w.source AND s.rn = w.rn + 1)
+      |SELECT source, doc_id, n AS n_bytes, shard AS shard_id,
+      | off AS "offset"
+      |FROM walk ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_manifest" -> (mmShardManifest _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_audio_resample" -> (mmAudioResample _),
     "mm_jpeg_decode" -> (mmJpegDecode _),
@@ -942,6 +1001,7 @@ object MultimodalQueries {
     "mm_png_decode" -> (mmPngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm_shard_manifest" -> mmShardManifestSql,
     "mm_image_resize" -> mmImageResizeSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_phash_groups" -> mmPhashGroupsSql,

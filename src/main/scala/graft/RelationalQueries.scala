@@ -2018,7 +2018,87 @@ object RelationalQueries {
       |FROM act JOIN sz USING (cohort)
       |ORDER BY cohort, "offset"""".stripMargin
 
+  // B68 — period-over-period deltas (the MoM/YoY reporting staple):
+  // monthly revenue, % change vs previous month and vs same month
+  // last year, via lag(1)/lag(12) over the month series. The series
+  // has FIXED cardinality (one row per month whatever the data
+  // volume), so the single-partition window is a non-issue — all the
+  // heavy lifting is the map-side-combining month aggregation under
+  // it. Revenue is rounded to cents BEFORE the ratios, so both
+  // engines divide identical numbers.
+  private def q68MomChange(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(expr("CAST(date_trunc('month', o_orderdate) AS DATE)").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .withColumn("prev_yr", lag(col("revenue"), 12).over(w))
+      .select(col("month"), col("revenue"), col("n_orders"),
+        round((col("revenue") - col("prev")) / col("prev") * 100, 4)
+          .as("mom_pct"),
+        round((col("revenue") - col("prev_yr")) / col("prev_yr") * 100, 4)
+          .as("yoy_pct"))
+      .orderBy(col("month"))
+  }
+
+  private val q68Sql =
+    """WITH m AS (
+      | SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      | FROM orders GROUP BY 1),
+      |l AS (
+      | SELECT *, lag(revenue, 1) OVER (ORDER BY month) AS prev,
+      |  lag(revenue, 12) OVER (ORDER BY month) AS prev_yr
+      | FROM m)
+      |SELECT month, revenue, n_orders,
+      | round((revenue - prev) / prev * 100, 4) AS mom_pct,
+      | round((revenue - prev_yr) / prev_yr * 100, 4) AS yoy_pct
+      |FROM l ORDER BY month""".stripMargin
+
+  // B69 — event TRANSITION matrix (the Markov/sankey view of user
+  // journeys): lag(event_type) per user over event time gives the
+  // (from, to) edge stream; two hash aggs produce counts and
+  // row-normalized transition probabilities. The window partitions by
+  // user_id — millions of small independent partitions at scale, the
+  // OPPOSITE of a global-order window — and the matrix output is
+  // O(|types|²) rows regardless of volume.
+  private def q69Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = edges.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    counts.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n") / col("row_total"), 6).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  private val q69Sql =
+    """WITH e AS (
+      | SELECT prev_type, event_type FROM (
+      |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      | WHERE prev_type IS NOT NULL),
+      |c AS (SELECT prev_type, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+      |      FROM c GROUP BY 1)
+      |SELECT prev_type, event_type, n,
+      | round(n * 1.0 / row_total, 6) AS p
+      |FROM c JOIN t USING (prev_type)
+      |ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_mom_change" -> (q68MomChange _),
+    "q69_transitions" -> (q69Transitions _),
     "q67_retention" -> (q67Retention _),
     "q65_wau" -> (q65Wau _),
     "q66_interval_join" -> (q66IntervalJoin _),
@@ -2088,6 +2168,8 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q68_mom_change" -> q68Sql,
+    "q69_transitions" -> q69Sql,
     "q67_retention" -> q67Sql,
     "q65_wau" -> q65Sql,
     "q66_interval_join" -> q66Sql,

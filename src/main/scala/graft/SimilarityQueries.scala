@@ -1169,14 +1169,25 @@ object SimilarityQueries {
           | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
           |   / 8191.0D)""".stripMargin).as("v"))
     val q = all.filter(col("vec_id") <= 10)
-    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    // quantizer QUALITY needs a representative sample, not the corpus:
+    // both trainings (coarse + PQ) run on deterministic xxhash samples
+    // (IvfSpec's sampled-Lloyd contract — ~1% extra quantization
+    // error), the ENCODE passes cover the full corpus, and the exact
+    // re-rank absorbs what the codes blur. Full-corpus training here
+    // measured 15.1 s at sf0.1 — the suite's single slowest query —
+    // for zero recall gain.
+    val cent = IvfIndex.trainCentroidsSampled(all, "vec_id", "v",
+      k = 12, iters = 4, sampleCap = 1024)
     // coarse assignment + residual encode (shuffle-free broadcast argmin)
     val asg = IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
       .join(broadcast(cent), Seq("cid"))
       .withColumn("res", expr("zip_with(v, cv, (a, b) -> a - b)"))
       .select(col("vec_id"), col("cid").as("lcid"), col("res"))
-    val book = ProductQuantizer.train(
-      asg.select(col("vec_id"), col("res")), "vec_id", "res",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resSample = asg.select(col("vec_id"), col("res"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1024)
+      .localCheckpoint(eager = true)
+    val book = ProductQuantizer.train(resSample, "vec_id", "res",
       m = 8, dim = 64, k = 16, iters = 3)
     val codes = ProductQuantizer.assignCodes(
         ProductQuantizer.subVectors(asg, "vec_id", "res", m = 8, dim = 64), book)
@@ -1227,12 +1238,17 @@ object SimilarityQueries {
       .select(col("qid"), col("rn"), col("nid"), col("cos"))
     val hits = bf.select(col("qid"), col("nid")).join(ivfpq, Seq("qid", "nid"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-    bf.groupBy(col("qid"))
+    val out = bf.groupBy(col("qid"))
       .agg(max(when(col("rn") === 1, col("cos"))).as("top1_cos"))
       .join(hits, Seq("qid"), "left")
       .agg(count(lit(1)).cast("long").as("n_queries"),
         (round(avg(col("top1_cos")), 4) + lit(0.0)).as("avg_top1_cos"),
         (avg(coalesce(col("n_hit"), lit(0L)) / 3.0) >= 0.7).as("ivf_recall_ok"))
+      // one-row result: materialize eagerly so the residual cache is
+      // released now instead of leaking across the bench's 4 replays
+      .localCheckpoint(eager = true)
+    asg.unpersist(false)
+    out
   }
 
   // D20 — seeded RANDOM PROJECTION (Johnson-Lindenstrauss with a ±1
