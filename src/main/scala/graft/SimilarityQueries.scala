@@ -1320,7 +1320,117 @@ object SimilarityQueries {
       |FROM r WHERE rn_o <= 5 OR rn_p <= 5
       |GROUP BY qid ORDER BY qid""".stripMargin
 
+  // D21 — NPROBE RECALL/COST CURVE (the IVF tuning table, C14's
+  // similarity-tier sibling): the same seeded index (centroids =
+  // vec_id < 16, D5's replayable contract) searched at nprobe ∈
+  // {1, 2, 4} in ONE pipeline — probes key on (np, qid) — reporting
+  // per config the scanned-candidate volume (the cost axis) and
+  // recall@3 against exact brute force (the quality axis). Every step
+  // is deterministic integer/argmin algebra, so unlike the trained
+  // tiers the whole curve — index, probes, recall — replays in SQL:
+  // the oracle checks the NUMBERS, not a contract. This is the table
+  // that picks nprobe at 100 TB: recall climbs with np, cost climbs
+  // linearly, and the engine measures both on its own corpus.
+  private def knnNprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select(col("vec_id"), col("v"))
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val lists = graft.operators.IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+    // probe ranks kept explicit so one frame serves every nprobe
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+    val probeRanks = all.filter(col("vec_id") <= 10)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", // the |v|²−2v·c+|c|² expansion the oracle replays
+        VectorOps.dot(col("v"), col("v"))
+          - lit(2.0) * VectorOps.dot(col("v"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"), col("crn"))
+    val nps = Seq(1, 2, 4).toDF("np")
+    val probes = probeRanks.crossJoin(broadcast(nps))
+      .filter(col("crn") <= col("np"))
+    val wR = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val cand = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+    val scanned = cand.groupBy(col("np"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val ivfTop = cand.withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= 3).select(col("np"), col("qid"), col("nid"))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val bf = all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(all.filter(col("vec_id") <= 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"))
+    val hits = ivfTop.join(bf, Seq("qid", "nid"))
+      .groupBy(col("np"), col("qid")).agg(count(lit(1)).as("n_hit"))
+    val perQ = probes.select(col("np"), col("qid")).distinct()
+      .join(hits, Seq("np", "qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+    perQ.groupBy(col("np"))
+      .agg(count(lit(1)).as("n_queries"),
+        (round(avg(col("n_hit") / 3.0), 4) + lit(0.0)).as("avg_recall3"),
+        sum(when(col("n_hit") === 3, 1L).otherwise(0L)).as("n_full_recall"))
+      .join(scanned, Seq("np"))
+      .select(col("np").cast("long").as("nprobe"), col("n_queries"),
+        col("n_scanned"), col("avg_recall3"), col("n_full_recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val knnNprobeCurveSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |ad AS (SELECT e.vec_id, e.v, cent.cid,
+      |         list_dot_product(e.v, e.v)
+      |         - 2 * list_dot_product(e.v, cent.cv)
+      |         + list_dot_product(cent.cv, cent.cv) AS dist2
+      |       FROM e CROSS JOIN cent),
+      |ar AS (SELECT vec_id, v, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crn
+      |       FROM ad),
+      |lists AS (SELECT vec_id AS nid, v AS nv, cid FROM ar WHERE crn = 1),
+      |pr AS (SELECT vec_id AS qid, v AS qv, cid, crn FROM ar
+      |       WHERE crn <= 4 AND vec_id <= 10),
+      |probes AS (SELECT np, qid, qv, cid FROM pr
+      |           CROSS JOIN (SELECT unnest([1, 2, 4]) AS np) ns
+      |           WHERE crn <= np),
+      |cand AS (SELECT p.np, p.qid, l.nid,
+      |        list_dot_product(p.qv, l.nv) /
+      |        (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))) AS cos
+      |      FROM lists l JOIN probes p USING (cid) WHERE l.nid <> p.qid),
+      |scanned AS (SELECT np, count(*) AS n_scanned FROM cand GROUP BY np),
+      |itop AS (SELECT np, qid, nid FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY np, qid
+      |          ORDER BY cos DESC, nid) AS rn FROM cand) WHERE rn <= 3),
+      |bfs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |        list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id <= 10),
+      |bf AS (SELECT qid, nid FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY qid
+      |          ORDER BY cos DESC, nid) AS rn FROM bfs) WHERE rn <= 3),
+      |hits AS (SELECT np, qid, count(*) AS n_hit
+      |         FROM itop JOIN bf USING (qid, nid) GROUP BY np, qid),
+      |perq AS (SELECT np, qid, coalesce(n_hit, 0) AS n_hit FROM
+      |         (SELECT DISTINCT np, qid FROM probes) p LEFT JOIN hits USING (np, qid))
+      |SELECT CAST(np AS BIGINT) AS nprobe, count(*) AS n_queries,
+      | CAST(max(n_scanned) AS BIGINT) AS n_scanned,
+      | round(avg(n_hit / 3.0), 4) + 0 AS avg_recall3,
+      | CAST(sum(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_full_recall
+      |FROM perq JOIN scanned USING (np)
+      |GROUP BY np ORDER BY nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_nprobe_curve" -> (knnNprobeCurve _),
     "knn_ivfpq_residual" -> (knnIvfPqResidual _),
     "knn_random_projection" -> (knnRandomProjection _),
     "knn_binary_hamming" -> (knnBinaryHamming _),
@@ -1343,6 +1453,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_nprobe_curve" -> knnNprobeCurveSql,
     "knn_ivfpq_residual" -> knnIvfTrainedSql, // same contract: residual PQ changes the index, not the reference
     "knn_random_projection" -> knnRandomProjectionSql,
     "knn_binary_hamming" -> knnBinaryHammingSql,
