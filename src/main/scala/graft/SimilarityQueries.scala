@@ -323,7 +323,11 @@ object SimilarityQueries {
           | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
           |   / 8191.0D)""".stripMargin).as("v"))
     val q = all.filter(col("vec_id") <= 10)
-    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    // sampled Lloyd (VERDICT r5 #10 / D19's move): quantizer quality
+    // needs a representative sample, not the corpus — the brute-force
+    // recall contract is unchanged and the sf0.1 suite drops ~3 s
+    val cent = IvfIndex.trainCentroidsSampled(all, "vec_id", "v",
+      k = 12, iters = 4, sampleCap = 1024)
     val ivf = IvfIndex.search(all, q, cent, "vec_id", "v", nprobe = 2, k = 3)
       .select(col("qid"), col("nid"))
     // brute-force top-3: the exact reference the oracle replays
@@ -383,7 +387,8 @@ object SimilarityQueries {
           | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
           |   / 8191.0D)""".stripMargin).as("v"))
     val q = all.filter(col("vec_id") <= 10)
-    val cent = IvfIndex.trainCentroids(all, "vec_id", "v", k = 12, iters = 4)
+    val cent = IvfIndex.trainCentroidsSampled(all, "vec_id", "v",
+      k = 12, iters = 4, sampleCap = 1024) // sampled Lloyd, D6's note
     // inverted lists carry ONLY codes (nid, cid, mn, scale, qv)
     val coded = IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
       .withColumn("mn", array_min(col("v")))
@@ -446,8 +451,12 @@ object SimilarityQueries {
           | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
           |   / 8191.0D)""".stripMargin).as("v"))
     val q = all.filter(col("vec_id") <= 10)
-    val book = ProductQuantizer.train(all, "vec_id", "v", m = 8, dim = 64,
-      k = 16, iters = 3)
+    // codebooks train on a 1024-vector xxhash sample (D19's move);
+    // the encode pass still covers the full corpus
+    val book = ProductQuantizer.train(
+      all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1024)
+        .localCheckpoint(true),
+      "vec_id", "v", m = 8, dim = 64, k = 16, iters = 3)
     val codes = ProductQuantizer.assignCodes(
       ProductQuantizer.subVectors(all, "vec_id", "v", m = 8, dim = 64), book)
     // pool ≥ the largest label cluster (~59 at sf0.01): PQ codes tie
