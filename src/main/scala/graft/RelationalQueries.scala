@@ -1721,31 +1721,14 @@ object RelationalQueries {
   // real WITH RECURSIVE walking ONE hop per step, so a green row
   // proves the log-round contraction equals the linear recursion.
   private def q61Hierarchy(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "supplier").select(
+    val edges = t(s, dir, "supplier").select(
       col("s_suppkey").as("node"),
       when(col("s_suppkey") === 0, lit(0L))
-        .otherwise(expr("CAST((s_suppkey - 1) / 2 AS BIGINT)")).as("anc"),
-      when(col("s_suppkey") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
-    val sc = s.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
-    // eager checkpoints truncate the lineage each round (the jumped
-    // frame references itself twice — un-truncated, the plan doubles
-    // per round), dedup_cluster's idiom
-    var f = base.checkpoint(eager = true)
-    var pending = f.filter(col("anc") =!= 0).count()
-    while (pending > 0) {
-      val g = f.select(col("node").as("g_node"), col("anc").as("g_anc"),
-        col("d").as("g_d"))
-      f = f.join(g, col("anc") === col("g_node"))
-        .select(col("node"), col("g_anc").as("anc"),
-          (col("d") + col("g_d")).as("d"))
-        .checkpoint(eager = true)
-      pending = f.filter(col("anc") =!= 0).count()
-    }
-    f.select(col("node").as("s_suppkey"), col("d").as("depth"),
-      col("anc").as("root_key")).orderBy("s_suppkey")
+        .otherwise(expr("CAST((s_suppkey - 1) / 2 AS BIGINT)")).as("parent"))
+    graft.operators.PointerJumping.resolve(s, edges)
+      .select(col("node").as("s_suppkey"), col("depth"),
+        col("root").as("root_key"))
+      .orderBy("s_suppkey")
   }
 
   private val q61Sql =

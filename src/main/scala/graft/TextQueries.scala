@@ -1289,10 +1289,16 @@ object TextQueries {
   // division each, identical in both engines — so phrase scores and
   // the (score DESC, phrase ASC) top-1 tie-break are exact integer
   // comparisons that can never flip on float summation order.
-  private def textRakeKeywords(s: SparkSession, dir: String): DataFrame = {
+  private def textRakeKeywords(s: SparkSession, dir: String): DataFrame =
+    rakeFor(docs(s, dir))
+
+  /** The RAKE pipeline over any (doc_id, text) frame — shared with
+    * RakeSpec, which plants known keyword phrases.
+    */
+  private[graft] def rakeFor(docFrame: DataFrame): DataFrame = {
     val stop = Seq("the", "and", "a", "of", "to", "in", "is", "it",
       "that", "for", "on", "with", "as")
-    val toks = docs(s, dir)
+    val toks = docFrame
       .select(col("doc_id"), posexplode(expr(
         "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
         .as(Seq("pos", "tok")))
