@@ -42,6 +42,14 @@ case class PackAssign(source: String, doc_id: Long, n_tokens: Long,
 case class DocIn(doc_id: Long, h: String)
 case class DocDecision(doc_id: Long, admitted: Boolean, canonical_id: Long)
 
+/** Rows/state/outputs for the streaming gap/silence detector (G26). */
+case class GapEvent(event_type: String, event_id: Long, ts_us: Long,
+    ts: java.sql.Timestamp)
+case class GapState(last_ts_us: Long, n_events: Long, n_gaps: Long,
+    max_gap_us: Long)
+case class GapReport(event_type: String, n_events: Long, n_gaps: Long,
+    max_gap_min: Double, silent_alert: Boolean)
+
 /** Rows/state/outputs for the streaming token-bucket limiter (G25). */
 case class RateEvent(event_type: String, event_id: Long, ts_us: Long)
 case class RateState(credit_us: Long, last_ts_us: Long, n_admit: Long,
@@ -482,6 +490,118 @@ object StreamQueries {
       | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       | CAST(sum(CASE WHEN ok THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** G26 — GAP / SILENT-SOURCE detection (the pipeline-health monitor:
+    * which feeds stalled?). Two complementary signals: (a) CLOSED gaps
+    * — on each arrival, the event-time distance to the key's previous
+    * event, counted when > 1 h (exact integer micros, replayed by the
+    * batch lag window and the oracle); (b) OPEN silence — a key with
+    * NO next event ever. (b) is undetectable by any per-arrival fold;
+    * it needs EVENT-TIME TIMERS: after each batch the maintainer arms
+    * a timer at last_seen + threshold, re-arming on new data, so the
+    * timer fires only when the watermark passes a still-silent key —
+    * the first use of handleExpiredTimer in the suite. The batch twin
+    * mirrors (b) as silence against the feed's global max ts.
+    */
+  private[graft] val GapThresholdUs = 3600L * 1000000L
+
+  class GapProcessor extends StatefulProcessor[String, GapEvent, GapReport] {
+    @transient private var state: ValueState[GapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GapState]("gap",
+        org.apache.spark.sql.Encoders.product[GapState], TTLConfig.NONE)
+
+    private def report(key: String, s: GapState, alert: Boolean) =
+      GapReport(key, s.n_events, s.n_gaps,
+        java.math.BigDecimal.valueOf(s.max_gap_us / 60e6)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue,
+        alert)
+
+    override def handleInputRows(key: String, rows: Iterator[GapEvent],
+        timers: TimerValues): Iterator[GapReport] = {
+      var cur = if (state.exists()) state.get()
+        else GapState(Long.MinValue, 0L, 0L, 0L)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (cur.last_ts_us != Long.MinValue && e.ts_us > cur.last_ts_us) {
+          val gap = e.ts_us - cur.last_ts_us
+          cur = cur.copy(
+            n_gaps = cur.n_gaps + (if (gap > GapThresholdUs) 1L else 0L),
+            max_gap_us = math.max(cur.max_gap_us, gap))
+        }
+        cur = cur.copy(last_ts_us = math.max(cur.last_ts_us, e.ts_us),
+          n_events = cur.n_events + 1)
+      }
+      state.update(cur)
+      // re-arm the silence timer at last_seen + threshold (event time)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (cur.last_ts_us != Long.MinValue)
+        getHandle.registerTimer(cur.last_ts_us / 1000 + GapThresholdUs / 1000)
+      Iterator.single(report(key, cur, alert = false))
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[GapReport] = {
+      val cur = state.get()
+      Iterator.single(report(key, cur, alert = true))
+    }
+  }
+
+  def gapDetectStream(feed: Dataset[GapEvent]): Dataset[GapReport] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.event_type)
+      .transformWithState(new GapProcessor(),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** G26 batch equivalent: lag window per key + end-of-feed silence
+    * against the global max event time.
+    */
+  private[graft] def gapDetectBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = events.select(col("event_type"), col("event_id"), col("ts_us"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+    val feedEnd = gaps.agg(max(col("ts_us")).as("feed_max"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") > GapThresholdUs, 1L).otherwise(0L)).as("n_gaps"),
+        (round(coalesce(max(col("gap")), lit(0L)) / 60e6, 4) + lit(0.0))
+          .as("max_gap_min"),
+        max(col("ts_us")).as("last_ts"))
+      .crossJoin(broadcast(feedEnd))
+      .withColumn("silent_alert",
+        col("feed_max") - col("last_ts") > GapThresholdUs)
+      .select(col("event_type"), col("n_events"), col("n_gaps"),
+        col("max_gap_min"), col("silent_alert"))
+      .orderBy(col("event_type"))
+  }
+
+  private def streamGapDetect(s: SparkSession, dir: String): DataFrame =
+    gapDetectBatch(Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us")))
+
+  private val streamGapDetectSql =
+    """WITH e AS (
+      | SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+      |g AS (
+      | SELECT event_type, ts_us,
+      |  ts_us - lag(ts_us) OVER (PARTITION BY event_type
+      |    ORDER BY ts_us, event_id) AS gap
+      | FROM e),
+      |agg AS (
+      | SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_gaps,
+      |  round(coalesce(max(gap), 0) / 60e6, 4) + 0 AS max_gap_min,
+      |  max(ts_us) AS last_ts
+      | FROM g GROUP BY event_type),
+      |fe AS (SELECT max(ts_us) AS feed_max FROM e)
+      |SELECT event_type, n_events, n_gaps, max_gap_min,
+      | feed_max - last_ts > 3600000000 AS silent_alert
+      |FROM agg CROSS JOIN fe ORDER BY event_type""".stripMargin
 
   /** G25 — TOKEN-BUCKET rate limiter (admission control as a stream
     * operator: cap each key at `Cap` events per `PeriodUs`, with
@@ -1881,6 +2001,7 @@ object StreamQueries {
     "stream_ewma_anomaly" -> (streamEwmaAnomaly _),
     "stream_late_metrics" -> (streamLateMetrics _),
     "stream_rate_limit" -> (streamRateLimit _),
+    "stream_gap_detect" -> (streamGapDetect _),
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
@@ -1908,5 +2029,6 @@ object StreamQueries {
     "stream_ewma_anomaly" -> streamEwmaAnomalySql,
     "stream_late_metrics" -> streamLateMetricsSql,
     "stream_rate_limit" -> streamRateLimitSql,
+    "stream_gap_detect" -> streamGapDetectSql,
     "stream_file_ingest" -> streamFileIngestSql)
 }

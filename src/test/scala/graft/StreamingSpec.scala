@@ -1181,6 +1181,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap detector: closed gaps match batch; event-time timer flags the silent source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val hour = 3600L * 1000000L
+    def ev(k: String, id: Long, us: Long) =
+      GapEvent(k, id, us, new java.sql.Timestamp(us / 1000))
+    // "alive" keeps emitting (with two planted >1h gaps); "dead" stops
+    // after t=1h — only the event-time timer can notice that
+    // nothing at ts<=0: rows at the initial watermark are dropped as late
+    val batch1 = Seq(
+      ev("alive", 1, hour), ev("alive", 2, hour * 3 / 2), ev("alive", 3, hour * 2),
+      ev("alive", 4, hour * 7 / 2), // closed gap 1.5h
+      ev("alive", 5, hour * 4),
+      ev("dead", 10, hour), ev("dead", 11, hour * 2))
+    val batch2 = Seq( // closed gap 3h; watermark (4h) passes dead's 3h timer
+      ev("alive", 6, hour * 7), ev("alive", 7, hour * 36 / 5))
+    val batch3 = Seq(ev("alive", 8, hour * 8))
+    val all = batch1 ++ batch2 ++ batch3
+    val input = MemoryStream[GapEvent]
+    val q = StreamQueries.gapDetectStream(
+        input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gap_out").start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val rows = spark.table("gap_out").as[GapReport].collect()
+      val alerts = rows.filter(_.silent_alert)
+      assert(alerts.map(_.event_type).toSet == Set("dead"),
+        "only the stalled key's timer may fire")
+      assert(alerts.head.n_events == 2L)
+      val finals = rows.filter(!_.silent_alert)
+        .groupBy(_.event_type).map { case (k, ss) => k -> ss.maxBy(_.n_events) }
+      val batch = StreamQueries.gapDetectBatch(
+        all.toDF().select(col("event_type"), col("event_id"), col("ts_us")))
+        .collect().map { r =>
+          r.getAs[String]("event_type") ->
+            ((r.getAs[Long]("n_events"), r.getAs[Long]("n_gaps"),
+              r.getAs[Double]("max_gap_min"), r.getAs[Boolean]("silent_alert")))
+        }.toMap
+      finals.foreach { case (k, s0) =>
+        val (ne, ng, mx, _) = batch(k)
+        assert((s0.n_events, s0.n_gaps, s0.max_gap_min) == ((ne, ng, mx)),
+          s"key $k: streaming gap stats must equal the batch lag window")
+      }
+      // batch end-of-feed silence agrees with the timer verdict
+      assert(batch("dead")._4 && !batch("alive")._4)
+      assert(finals("alive").n_gaps == 2L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("token-bucket limiter == batch sorted fold, burst then throttle") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
