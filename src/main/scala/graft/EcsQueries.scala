@@ -721,7 +721,54 @@ object EcsQueries {
       |SELECT 'Position+Velocity', n_all - n_mig, n_all FROM c
       |ORDER BY components""".stripMargin
 
+  /** A17: cross-RUN drift comparison — two runs of the same
+    * simulation (minted through A14's time-sortable run ids), seeded
+    * identically, stepped differently (2 vs 3 movement steps); the
+    * comparison joins both runs' FINAL store states on entity_id and
+    * reports per-velocity-class drift. This is the A/B harness a
+    * simulation engine owes its users: same world, divergent
+    * schedules, exact answer to "how far apart did they end up?".
+    * Drift is exact integer-grid arithmetic (0.5·vx per extra step),
+    * so the oracle replays it from supplier keys; the join shuffles
+    * O(entities) narrow rows.
+    */
+  def runCompare(spark: SparkSession, dir: String): DataFrame = {
+    val sim = "sim_compare"
+    val t0 = 1700000100000L
+    def seed() = Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("s_suppkey") % 3).cast("double").as("velocity__vx"),
+      lit(0.0).as("velocity__vy"))
+    val runs = Seq(2, 3).zipWithIndex.map { case (steps, k) =>
+      val w = World.makeRun(spark, sim, t0 + k * 1000L, k)
+      w.addProcessor(MovementProcessor)
+      w.spawnBatch(PosVel, seed())
+      (1 to steps).foreach(_ => w.step(0.5))
+      w
+    }
+    val fa = runs(0).query(PosVel)(PosVelHash)
+      .select(col("entity_id"), col("position__x").as("xa"))
+    val fb = runs(1).query(PosVel)(PosVelHash)
+      .select(col("entity_id"), col("position__x").as("xb"))
+    fa.join(fb, Seq("entity_id"))
+      .withColumn("drift", col("xb") - col("xa"))
+      .groupBy((col("entity_id") % 3).as("vclass"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("drift")), 2).as("total_drift"),
+        round(max(col("drift")), 2).as("max_drift"))
+      .orderBy(col("vclass"))
+  }
+
+  val runCompareOracle: String =
+    """SELECT s_suppkey % 3 AS vclass, count(*) AS n,
+      | round(sum(0.5 * (s_suppkey % 3)), 2) AS total_drift,
+      | round(max(0.5 * (s_suppkey % 3)), 2) AS max_drift
+      |FROM supplier GROUP BY s_suppkey % 3 ORDER BY vclass""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ecs_run_compare" -> (runCompare _),
     "ecs_archetype_stats" -> (archetypeStats _),
     "ecs_component_diff" -> (componentDiff _),
     "ecs_run_registry" -> (runRegistry _),
@@ -740,6 +787,7 @@ object EcsQueries {
     "ecs_flocking" -> (flocking _))
 
   val oracles: Map[String, String] = Map(
+    "ecs_run_compare" -> runCompareOracle,
     "ecs_archetype_stats" -> archetypeStatsOracle,
     "ecs_component_diff" -> componentDiffOracle,
     "ecs_run_registry" -> runRegistryOracle,

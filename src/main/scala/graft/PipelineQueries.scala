@@ -1309,7 +1309,81 @@ object PipelineQueries {
       | substring(skey, 1, 1) AS bucket
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // J23 — T5-style SPAN CORRUPTION planning (the MLM/denoising
+  // pre-processing step: ~15% of tokens masked, CONSECUTIVE masked
+  // tokens collapse into one sentinel): mask selection is a
+  // small-modulus integer hash of (doc_id, pos) — the
+  // distributed-reproducible stand-in for a seeded RNG (same mask
+  // every epoch, every engine, every retry — which is exactly what a
+  // resumable 100 TB corruption job needs); spans come from
+  // gaps-and-islands over the masked positions (pos − rank, pure
+  // window algebra, doc-local). Output per doc: token/mask/span
+  // counts, mask ratio, and the corrupted length n_tokens − n_masked
+  // + n_spans (each span becomes one sentinel token) — the number
+  // that sizes the denoising batch. Map-only until the per-doc agg;
+  // every shuffle key is doc_id.
+  private def pipelineT5Spans(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+        .as(Seq("pos", "tok")))
+    val masked = toks
+      .withColumn("m",
+        (lit(1103) * (col("doc_id") * 1000 + col("pos")) + 12289) % 97 < 15)
+    val spans = masked.filter(col("m"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("island"))
+      .agg(count(lit(1)).as("span_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("n_masked"))
+    masked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("mask_ratio",
+        round(col("n_masked") / col("n_tokens"), 4) + lit(0.0))
+      .withColumn("corrupted_len",
+        col("n_tokens") - col("n_masked") + col("n_spans"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val pipelineT5SpansSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '[^a-z0-9]+'), x -> x <> '') AS toks
+      | FROM documents),
+      |e AS (
+      | SELECT doc_id, i - 1 AS pos
+      | FROM t, (SELECT unnest(generate_series(1, 256)) AS i)
+      | WHERE i <= len(toks)),
+      |m AS (
+      | SELECT doc_id, pos,
+      |  (1103 * (doc_id * 1000 + pos) + 12289) % 97 < 15 AS msk
+      | FROM e),
+      |sp AS (
+      | SELECT doc_id, island, count(*) AS span_len FROM (
+      |  SELECT doc_id, pos,
+      |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m WHERE msk)
+      | GROUP BY doc_id, island),
+      |sd AS (
+      | SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(span_len) AS BIGINT) AS n_masked
+      | FROM sp GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_tokens FROM m GROUP BY doc_id)
+      |SELECT tot.doc_id, n_tokens,
+      | coalesce(n_masked, 0) AS n_masked,
+      | coalesce(n_spans, 0) AS n_spans,
+      | round(coalesce(n_masked, 0) * 1.0 / n_tokens, 4) + 0 AS mask_ratio,
+      | n_tokens - coalesce(n_masked, 0) + coalesce(n_spans, 0)
+      |   AS corrupted_len
+      |FROM tot LEFT JOIN sd ON tot.doc_id = sd.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_t5_spans" -> (pipelineT5Spans _),
     "pipeline_shard_assign" -> (pipelineShardAssign _),
     "pipeline_global_shuffle" -> (pipelineGlobalShuffle _),
     "pipeline_incremental_dedup" -> (pipelineIncrementalDedup _),
@@ -1334,6 +1408,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_t5_spans" -> pipelineT5SpansSql,
     "pipeline_shard_assign" -> pipelineShardAssignSql,
     "pipeline_global_shuffle" -> pipelineGlobalShuffleSql,
     "pipeline_incremental_dedup" -> pipelineIncrementalDedupSql,
