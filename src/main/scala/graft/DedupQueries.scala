@@ -1133,7 +1133,58 @@ object DedupQueries {
       |FROM audited CROSS JOIN nt
       |GROUP BY r ORDER BY rows_per_band""".stripMargin
 
+  // C15 — EDIT-DISTANCE near-dup audit (record-linkage semantics the
+  // token/shingle tiers can't express: transpositions, small in-place
+  // edits). The scale discipline is the LENGTH lower bound —
+  // |len(a) − len(b)| ≤ lev(a, b) — applied BEFORE the quadratic-cost
+  // levenshtein: candidates are id-window pairs passing the cheap
+  // length test, and only those pay the DP. Both engines ship the
+  // same unit-cost levenshtein (codegen'd in Spark), and the 20%
+  // threshold is the exact integer test lev·5 ≤ max(len) — no float.
+  // Exact-content families collapse to representatives first (C1's
+  // trick), so identical texts never reach the DP. Output = every
+  // audited candidate with its bound and distance — the oracle
+  // equality proves the bound never lied (a row where bound > lev
+  // would diverge).
+  private def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val reps = docs(s, dir).groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val a = reps.select(col("doc_id").as("id_a"), col("text").as("ta"),
+      col("len").as("len_a"))
+    val b = reps.select(col("doc_id").as("id_b"), col("text").as("tb"),
+      col("len").as("len_b"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+      .withColumn("bound", abs(col("len_a") - col("len_b")))
+      .filter(col("bound") * 5 <= lit(2) * greatest(col("len_a"), col("len_b")))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .select(col("id_a"), col("id_b"),
+        col("len_a").cast("long").as("len_a"),
+        col("len_b").cast("long").as("len_b"),
+        col("bound").cast("long").as("bound"),
+        col("lev").cast("long").as("lev"),
+        (col("lev") * 5 <= greatest(col("len_a"), col("len_b")))
+          .as("near_dup"))
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
+  }
+
+  private val dedupEditDistanceSql =
+    """WITH reps AS (
+      | SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |r AS (SELECT doc_id, text, length(text) AS len FROM reps),
+      |p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb,
+      |  a.len AS len_a, b.len AS len_b, abs(a.len - b.len) AS bound
+      | FROM r a JOIN r b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+      | WHERE abs(a.len - b.len) * 5 <= 2 * greatest(a.len, b.len))
+      |SELECT id_a, id_b, CAST(len_a AS BIGINT) AS len_a,
+      | CAST(len_b AS BIGINT) AS len_b, CAST(bound AS BIGINT) AS bound,
+      | CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+      | levenshtein(ta, tb) * 5 <= greatest(len_a, len_b) AS near_dup
+      |FROM p ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_lines" -> (dedupLines _),
@@ -1150,6 +1201,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_lsh_sweep" -> dedupLshSweepSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_lines" -> dedupLinesSql,

@@ -2079,7 +2079,179 @@ object RelationalQueries {
       |FROM c JOIN t USING (prev_type)
       |ORDER BY prev_type, event_type""".stripMargin
 
+  // B70 — WELCH's t-TEST from sufficient statistics (the A/B-test
+  // primitive): URGENT-priority orders vs the rest on o_totalprice.
+  // Engines' stddev/var builtins differ in bias correction and
+  // summation algorithm, so both sides fold the same (n, Σx, Σx²)
+  // power sums — one map-side-combining agg, shuffle = 3 doubles per
+  // arm at ANY scale — and apply Welch's t and the Welch–
+  // Satterthwaite df formula explicitly. Prices are pre-scaled ×1e-3
+  // (B62's headroom trick).
+  private def q70AbTtest(s: SparkSession, dir: String): DataFrame = {
+    val armed = t(s, dir, "orders")
+      .select(when(col("o_orderpriority") === "1-URGENT", "urgent")
+        .otherwise("rest").as("arm"),
+        (col("o_totalprice") / 1000.0).as("x"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("x*x")).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      // unbiased sample variance from power sums
+      .withColumn("v",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    val u = armed.filter(col("arm") === "urgent")
+      .select(col("n").as("nu"), col("mean").as("mu"), col("v").as("vu"))
+    val r = armed.filter(col("arm") === "rest")
+      .select(col("n").as("nr"), col("mean").as("mr"), col("v").as("vr"))
+    u.crossJoin(r)
+      .withColumn("se2", col("vu") / col("nu") + col("vr") / col("nr"))
+      .withColumn("t_stat",
+        (col("mu") - col("mr")) / sqrt(col("se2")))
+      .withColumn("welch_df",
+        col("se2") * col("se2") /
+          (col("vu") * col("vu") / (col("nu") * col("nu") * (col("nu") - 1))
+            + col("vr") * col("vr") / (col("nr") * col("nr") * (col("nr") - 1))))
+      .select(col("nu"), col("nr"),
+        round(col("mu"), 4).as("mean_urgent"),
+        round(col("mr"), 4).as("mean_rest"),
+        round(col("t_stat"), 4).as("t_stat"),
+        round(col("welch_df"), 2).as("welch_df"),
+        (abs(col("t_stat")) >= 1.96).as("significant_5pct"))
+  }
+
+  private val q70Sql =
+    """WITH a AS (
+      | SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+      |   ELSE 'rest' END AS arm, o_totalprice / 1000.0 AS x
+      | FROM orders),
+      |g AS (
+      | SELECT arm, count(*) AS n, sum(x) AS s1, sum(x*x) AS s2 FROM a
+      | GROUP BY arm),
+      |st AS (
+      | SELECT arm, n, s1 / n AS mean,
+      |  (s2 - s1 * s1 / n) / (n - 1) AS v
+      | FROM g),
+      |u AS (SELECT n AS nu, mean AS mu, v AS vu FROM st WHERE arm = 'urgent'),
+      |r AS (SELECT n AS nr, mean AS mr, v AS vr FROM st WHERE arm = 'rest'),
+      |w AS (
+      | SELECT *, vu / nu + vr / nr AS se2 FROM u CROSS JOIN r)
+      |SELECT nu, nr, round(mu, 4) AS mean_urgent, round(mr, 4) AS mean_rest,
+      | round((mu - mr) / sqrt(se2), 4) AS t_stat,
+      | round(se2 * se2 / (vu * vu / (nu * nu * (nu - 1))
+      |   + vr * vr / (nr * nr * (nr - 1))), 2) AS welch_df,
+      | abs((mu - mr) / sqrt(se2)) >= 1.96 AS significant_5pct
+      |FROM w""".stripMargin
+
+  // B71 — Pearson CORRELATION matrix from one pass of cross power
+  // sums (Σx, Σy, Σxy per pair): the engines' corr() builtins use
+  // different one/two-pass algorithms, so the formula is applied
+  // explicitly to identical sums. The UNPIVOTED pair layout (one row
+  // per (var_a, var_b)) is the shape a 100-column feature audit
+  // needs — pairs explode map-side, the shuffle carries one 5-double
+  // row per pair, never the data.
+  private def q71CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val base = t(s, dir, "lineitem").select(
+      vars.map { case (a, c) => (col(c) / 100.0).as(a) }: _*)
+    val pairs = for {
+      (a, ia) <- vars.map(_._1).zipWithIndex
+      (b, ib) <- vars.map(_._1).zipWithIndex if ib > ia
+    } yield (a, b)
+    val exploded = base.select(pairs.map { case (a, b) =>
+      struct(lit(a).as("va"), lit(b).as("vb"), col(a).as("x"), col(b).as("y"))
+        .as(s"${a}_$b")
+    }: _*)
+      .select(explode(array(pairs.map { case (a, b) => col(s"${a}_$b") }: _*))
+        .as("p"))
+      .select(col("p.va"), col("p.vb"), col("p.x"), col("p.y"))
+    exploded.groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_xy",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+      .select(col("va"), col("vb"), col("n"),
+        (round(col("corr_xy"), 4) + lit(0.0)).as("pearson_r"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  private val q71Sql =
+    """WITH b AS (
+      | SELECT l_quantity / 100.0 AS qty, l_extendedprice / 100.0 AS price,
+      |  l_discount / 100.0 AS disc, l_tax / 100.0 AS tax
+      | FROM lineitem),
+      |e AS (
+      | SELECT 'disc' AS va, 'tax' AS vb, disc AS x, tax AS y FROM b
+      | UNION ALL SELECT 'price', 'disc', price, disc FROM b
+      | UNION ALL SELECT 'price', 'tax', price, tax FROM b
+      | UNION ALL SELECT 'qty', 'price', qty, price FROM b
+      | UNION ALL SELECT 'qty', 'disc', qty, disc FROM b
+      | UNION ALL SELECT 'qty', 'tax', qty, tax FROM b),
+      |g AS (
+      | SELECT va, vb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      | FROM e GROUP BY va, vb)
+      |SELECT va, vb, n,
+      | round((sxy - sx * sy / n) /
+      |   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 4) + 0
+      |   AS pearson_r
+      |FROM g ORDER BY va, vb""".stripMargin
+
+  // B72 — OLS simple regression from sufficient statistics (price ~
+  // quantity per return flag): slope, intercept, R² from the same
+  // five power sums as B71 — the one-pass, map-side-combinable shape
+  // that scales to any row count (a GLM on 100 TB starts exactly
+  // here: X'X and X'y are power sums). Closed-form two-variable OLS;
+  // both engines apply the identical algebra.
+  private def q72Ols(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        (col("l_extendedprice") / 1000.0).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("r2",
+        pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("l_returnflag"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 4).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
+  private val q72Sql =
+    """WITH g AS (
+      | SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sx,
+      |  sum(l_extendedprice / 1000.0) AS sy,
+      |  sum(l_quantity * (l_extendedprice / 1000.0)) AS sxy,
+      |  sum(l_quantity * l_quantity) AS sxx,
+      |  sum((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)) AS syy
+      | FROM lineitem GROUP BY l_returnflag),
+      |o AS (
+      | SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      | FROM g)
+      |SELECT l_returnflag, n, round(slope, 6) AS slope,
+      | round((sy - slope * sx) / n, 4) AS intercept,
+      | round(pow(n * sxy - sx * sy, 2) /
+      |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM o ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_ab_ttest" -> (q70AbTtest _),
+    "q71_corr_matrix" -> (q71CorrMatrix _),
+    "q72_ols" -> (q72Ols _),
     "q68_mom_change" -> (q68MomChange _),
     "q69_transitions" -> (q69Transitions _),
     "q67_retention" -> (q67Retention _),
@@ -2151,6 +2323,9 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q70_ab_ttest" -> q70Sql,
+    "q71_corr_matrix" -> q71Sql,
+    "q72_ols" -> q72Sql,
     "q68_mom_change" -> q68Sql,
     "q69_transitions" -> q69Sql,
     "q67_retention" -> q67Sql,
