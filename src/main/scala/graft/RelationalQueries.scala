@@ -2248,7 +2248,58 @@ object RelationalQueries {
       |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       |FROM o ORDER BY l_returnflag""".stripMargin
 
+  // B73 — MEDIAN ABSOLUTE DEVIATION (robust dispersion + outlier
+  // gate): MAD = median(|x − median(x)|), immune to the heavy tails
+  // that poison B62's moment-based σ. Two exact percentile passes
+  // (group median joined back — q24's percentile/quantile_cont parity
+  // pair), then the standard 3·1.4826·MAD outlier fence with both
+  // sides rounded before comparing so the flag can't flip on float
+  // noise. Shuffles: two group aggs + one broadcast-sized join of
+  // per-group medians.
+  private def q73Mad(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"), count(lit(1)).as("n"))
+    dev.join(broadcast(mad.select(col("l_returnflag"), col("mad"))),
+        Seq("l_returnflag"))
+      .withColumn("is_out",
+        round(col("adev"), 4) > round(col("mad") * 3 * 1.4826, 4))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("median_qty"),
+        round(max(col("mad")), 4).as("mad_qty"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("median_qty", col("median_qty") + lit(0.0))
+      .withColumn("mad_qty", col("mad_qty") + lit(0.0))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q73Sql =
+    """WITH li AS (SELECT l_returnflag, l_quantity AS x FROM lineitem),
+      |med AS (
+      | SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM li
+      | GROUP BY l_returnflag),
+      |dev AS (
+      | SELECT li.l_returnflag, x, abs(x - med) AS adev, med
+      | FROM li JOIN med USING (l_returnflag)),
+      |mad AS (
+      | SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad FROM dev
+      | GROUP BY l_returnflag)
+      |SELECT dev.l_returnflag, count(*) AS n,
+      | round(max(med), 4) + 0 AS median_qty,
+      | round(max(mad), 4) + 0 AS mad_qty,
+      | CAST(sum(CASE WHEN round(adev, 4) > round(mad * 3 * 1.4826, 4)
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (l_returnflag)
+      |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_mad" -> (q73Mad _),
     "q70_ab_ttest" -> (q70AbTtest _),
     "q71_corr_matrix" -> (q71CorrMatrix _),
     "q72_ols" -> (q72Ols _),
@@ -2323,6 +2374,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q73_mad" -> q73Sql,
     "q70_ab_ttest" -> q70Sql,
     "q71_corr_matrix" -> q71Sql,
     "q72_ols" -> q72Sql,

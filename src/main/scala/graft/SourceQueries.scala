@@ -567,8 +567,81 @@ object SourceQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY version""".stripMargin
 
+  // H14 — WRITE AUDIT from parquet footers (the trust-but-verify step
+  // after any large write: did every row land, with the key range the
+  // planner will prune on?): orders are written partitioned by a
+  // derived key, then each partition is audited from FOOTER METADATA
+  // ONLY — per-file row counts and o_orderkey min/max statistics, no
+  // data pages read — and reconciled against per-partition aggregates
+  // computed from the source. At 100 TB this is the difference
+  // between a free audit (footers are KBs) and a second full scan;
+  // it's also the statistics surface H11's manifest pruning trusts,
+  // so the audit doubles as a stats-integrity check. Footer walking
+  // is driver-side O(files), the same machinery as the events-schema
+  // sniffer.
+  private def srcWriteAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = TmpDir.scratch("writeaudit")
+    val src = Tables.load(s, dir, "orders")
+      .withColumn("part", (col("o_orderkey") % 4).cast("int"))
+    // hash-cluster by the partition key first: each part value lands in
+    // exactly one task ⇒ exactly one file per partition dir (the
+    // n_files column is then deterministic for the oracle)
+    src.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new Path(tmp).getFileSystem(conf)
+    val audited = (0 until 4).map { p =>
+      val files = fs.listStatus(new Path(s"$tmp/part=$p")).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      var rows = 0L
+      var minK = Long.MaxValue
+      var maxK = Long.MinValue
+      files.foreach { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          r.getFooter.getBlocks.forEach { blk =>
+            rows += blk.getRowCount
+            blk.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "o_orderkey") {
+                val st = c.getStatistics
+                minK = math.min(minK, st.genericGetMin.asInstanceOf[Long])
+                maxK = math.max(maxK, st.genericGetMax.asInstanceOf[Long])
+              }
+            }
+          }
+        } finally r.close()
+      }
+      (p, files.length.toLong, rows, minK, maxK)
+    }
+    val footer = audited
+      .toDF("part", "n_files", "rows_footer", "min_key_footer", "max_key_footer")
+    val source = src.groupBy(col("part"))
+      .agg(count(lit(1)).as("rows_source"),
+        min(col("o_orderkey")).as("min_key_source"),
+        max(col("o_orderkey")).as("max_key_source"))
+    footer.join(source, Seq("part"))
+      .select(col("part").cast("long").as("part"), col("n_files"),
+        col("rows_footer"), col("rows_source"),
+        (col("rows_footer") === col("rows_source") &&
+          col("min_key_footer") === col("min_key_source") &&
+          col("max_key_footer") === col("max_key_source")).as("audit_ok"))
+      .orderBy(col("part"))
+  }
+
+  private val srcWriteAuditSql =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS part,
+      | CAST(1 AS BIGINT) AS n_files,
+      | count(*) AS rows_footer, count(*) AS rows_source,
+      | true AS audit_ok
+      |FROM orders GROUP BY o_orderkey % 4 ORDER BY part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_txn_log" -> (srcTxnLog _),
+    "src_write_audit" -> (srcWriteAudit _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "src_manifest_pruning" -> (srcManifestPruning _),
     "src_csv_escapes" -> (srcCsvEscapes _),
@@ -584,6 +657,7 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "src_txn_log" -> srcTxnLogSql,
+    "src_write_audit" -> srcWriteAuditSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "src_manifest_pruning" -> srcManifestPruningSql,
     "src_csv_escapes" -> srcCsvEscapesSql,
