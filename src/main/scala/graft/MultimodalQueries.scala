@@ -982,7 +982,64 @@ object MultimodalQueries {
       | off AS "offset"
       |FROM walk ORDER BY source, doc_id""".stripMargin
 
+  // F17 — MODALITY ROUTER (the ingest front door the decode tiers
+  // F10-F13 assume has already run): classify every opaque payload by
+  // its MAGIC BYTES — PNG ‖ BMP ‖ RIFF ‖ JPEG — and report the per-
+  // modality census that decides downstream batch shapes. The corpus
+  // is a deterministic mix (doc_id mod 4 picks the container, real
+  // magic prefixes over the text bytes), and the ORACLE replays the
+  // mod-4 construction arithmetically — so the Spark side only
+  // matches if the byte-sniffing CASE classifies every payload
+  // exactly. Sniffing is a codegen'd hex(substring) prefix compare:
+  // map-only, reads 4 bytes per row, the shape that routes 100 TB of
+  // mixed media without decoding anything.
+  private def mmModalityRouter(s: SparkSession, dir: String): DataFrame = {
+    val png = lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47))
+    val bmp = lit(Array[Byte](0x42, 0x4D))
+    val riff = lit(Array[Byte](0x52, 0x49, 0x46, 0x46))
+    val jpg = lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
+    val payloads = docs(s, dir).withColumn("payload",
+      when(col("doc_id") % 4 === 0, concat(png, col("text").cast("binary")))
+        .when(col("doc_id") % 4 === 1, concat(bmp, col("text").cast("binary")))
+        .when(col("doc_id") % 4 === 2, concat(riff, col("text").cast("binary")))
+        .otherwise(concat(jpg, col("text").cast("binary"))))
+    val total = payloads.agg(count(lit(1)).as("n_total"))
+    payloads
+      .withColumn("modality",
+        when(hex(substring(col("payload"), 1, 4)) === "89504E47", "png")
+          .when(hex(substring(col("payload"), 1, 2)) === "424D", "bmp")
+          .when(hex(substring(col("payload"), 1, 4)) === "52494646", "riff")
+          .when(hex(substring(col("payload"), 1, 3)) === "FFD8FF", "jpeg")
+          .otherwise("unknown"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+        min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(total))
+      .select(col("modality"), col("n"), col("total_bytes"),
+        col("first_doc"), round(col("n") / col("n_total"), 6).as("share"))
+      .orderBy(col("modality"))
+  }
+
+  private val mmModalityRouterSql =
+    """WITH m AS (
+      | SELECT doc_id, octet_length(encode(text)) AS nb,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+      |    WHEN 2 THEN 'riff' ELSE 'jpeg' END AS modality,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 3 END AS magic
+      | FROM documents),
+      |t AS (SELECT count(*) AS n_total FROM m)
+      |SELECT modality, count(*) AS n,
+      | CAST(sum(nb + magic) AS BIGINT) AS total_bytes,
+      | min(doc_id) AS first_doc,
+      | round(count(*) * 1.0 / max(n_total), 6) AS share
+      |FROM m CROSS JOIN t
+      |GROUP BY modality ORDER BY modality""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_modality_router" -> (mmModalityRouter _),
     "mm_shard_manifest" -> (mmShardManifest _),
     "mm_image_resize" -> (mmImageResize _),
     "mm_audio_resample" -> (mmAudioResample _),
@@ -1001,6 +1058,7 @@ object MultimodalQueries {
     "mm_png_decode" -> (mmPngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm_modality_router" -> mmModalityRouterSql,
     "mm_shard_manifest" -> mmShardManifestSql,
     "mm_image_resize" -> mmImageResizeSql,
     "mm_audio_resample" -> mmAudioResampleSql,

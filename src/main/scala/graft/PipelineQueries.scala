@@ -1382,7 +1382,61 @@ object PipelineQueries {
       |FROM tot LEFT JOIN sd ON tot.doc_id = sd.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // J24 — distribution DRIFT detection via KL divergence (the
+  // train/serve and source-vs-corpus drift monitor): per source, the
+  // character distribution's KL divergence against the corpus-wide
+  // distribution, from EXACT integer (source, char) counts — one
+  // map-side-combining hash agg whose shuffle is ≤ |alphabet| rows
+  // per source (E21's shape), then a broadcast join of the corpus
+  // reference. Zero-probability chars can't blow up: KL sums only
+  // over chars the source actually emits, and the corpus marginal
+  // dominates every source (a source char IS a corpus char). One
+  // terminal 6dp rounding; log2 on identical ratios both engines.
+  private def pipelineDriftKl(s: SparkSession, dir: String): DataFrame = {
+    val chars = docs(s, dir)
+      .select(col("source"), posexplode(split(col("text"), ""))
+        .as(Seq("i", "ch")))
+      .filter(col("ch") =!= "")
+      .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
+    val srcTot = chars.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val corp = chars.groupBy(col("ch")).agg(sum(col("c")).as("cc"))
+    val corpTot = corp.agg(sum(col("cc")).as("n_corp"))
+    chars.join(srcTot, Seq("source"))
+      .join(broadcast(corp), Seq("ch"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("term",
+        (col("c") / col("n_src")) *
+          log2((col("c") / col("n_src")) / (col("cc") / col("n_corp"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        (round(sum(col("term")), 6) + lit(0.0)).as("kl_bits"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineDriftKlSql =
+    """WITH ch AS (
+      | SELECT source, unnest(string_split(text, '')) AS ch FROM documents),
+      |cnt AS (
+      | SELECT source, ch, count(*) AS c FROM ch WHERE ch <> ''
+      | GROUP BY source, ch),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM cnt
+      |       GROUP BY source),
+      |co AS (SELECT ch, CAST(sum(c) AS BIGINT) AS cc FROM cnt GROUP BY ch),
+      |ct AS (SELECT CAST(sum(cc) AS BIGINT) AS n_corp FROM co),
+      |t AS (
+      | SELECT cnt.source,
+      |  (c * 1.0 / n_src) * log2((c * 1.0 / n_src) / (cc * 1.0 / n_corp))
+      |    AS term
+      | FROM cnt JOIN st USING (source) JOIN co USING (ch) CROSS JOIN ct)
+      |SELECT t.source, max(n_src) AS n_chars,
+      | count(*) AS n_distinct_chars,
+      | round(sum(term), 6) + 0 AS kl_bits
+      |FROM t JOIN st ON t.source = st.source
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_drift_kl" -> (pipelineDriftKl _),
     "pipeline_t5_spans" -> (pipelineT5Spans _),
     "pipeline_shard_assign" -> (pipelineShardAssign _),
     "pipeline_global_shuffle" -> (pipelineGlobalShuffle _),
@@ -1408,6 +1462,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_drift_kl" -> pipelineDriftKlSql,
     "pipeline_t5_spans" -> pipelineT5SpansSql,
     "pipeline_shard_assign" -> pipelineShardAssignSql,
     "pipeline_global_shuffle" -> pipelineGlobalShuffleSql,
