@@ -2298,7 +2298,90 @@ object RelationalQueries {
       |FROM dev JOIN mad USING (l_returnflag)
       |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin
 
+  // B74 — GINI coefficient per group (revenue-concentration /
+  // inequality analytics): the rank-weighted formula G =
+  // (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over values sorted ascending.
+  // Ranks come from a per-group window (groups are few and balanced
+  // here; the single-group variant would ride DistributedPrefixSum,
+  // J21's scalable ranking). Money is rounded to cents before the
+  // rank-weighted sum so both engines weight identical values; the
+  // final ratio gets one 6dp rounding.
+  private def q74Gini(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("x"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("sx"), 2).as("total"),
+        (round(lit(2.0) * col("six") / (col("n") * col("sx"))
+          - (col("n") + 1.0) / col("n"), 6) + lit(0.0)).as("gini"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q74Sql =
+    """WITH r AS (
+      | SELECT o_orderpriority, round(o_totalprice, 2) AS x,
+      |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY round(o_totalprice, 2), o_orderkey) AS BIGINT) AS i
+      | FROM orders),
+      |g AS (
+      | SELECT o_orderpriority, count(*) AS n, sum(x) AS sx,
+      |  sum(i * x) AS six
+      | FROM r GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n, round(sx, 2) AS total,
+      | round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) + 0 AS gini
+      |FROM g ORDER BY o_orderpriority""".stripMargin
+
+  // B75 — TIME-WEIGHTED average (TWAP — the "average over TIME, not
+  // over ticks" every billing/finance/telemetry pipeline needs when
+  // observations arrive unevenly): each value holds until the next
+  // event, so its weight is the exact integer-microsecond interval to
+  // the successor (lead over the per-user event-time order; the last
+  // observation carries zero weight — a closed integral over the
+  // observed span). All weights are exact longs; one window + one
+  // hash agg, partitioned by user — millions of independent small
+  // partitions at scale.
+  private def q75Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("value").as("v"))
+      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_us"),
+        (round(sum(col("v") * col("dt")) / sum(col("dt")), 4) + lit(0.0))
+          .as("twap"))
+      .filter(col("span_us") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  private val q75Sql =
+    """WITH e AS (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value AS v
+      | FROM events),
+      |l AS (
+      | SELECT user_id, v,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |    - ts_us AS dt
+      | FROM e)
+      |SELECT user_id, count(*) AS n_intervals,
+      | CAST(sum(dt) AS BIGINT) AS span_us,
+      | round(sum(v * dt) / sum(dt), 4) + 0 AS twap
+      |FROM l WHERE dt IS NOT NULL
+      |GROUP BY user_id HAVING sum(dt) > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_gini" -> (q74Gini _),
+    "q75_twap" -> (q75Twap _),
     "q73_mad" -> (q73Mad _),
     "q70_ab_ttest" -> (q70AbTtest _),
     "q71_corr_matrix" -> (q71CorrMatrix _),
@@ -2374,6 +2457,8 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q74_gini" -> q74Sql,
+    "q75_twap" -> q75Sql,
     "q73_mad" -> q73Sql,
     "q70_ab_ttest" -> q70Sql,
     "q71_corr_matrix" -> q71Sql,

@@ -1368,7 +1368,81 @@ object TextQueries {
       | CAST(n_candidates AS BIGINT) AS n_candidates
       |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // E26 — PMI COLLOCATIONS (corpus-level bigram association — the
+  // classic collocation extractor and the phrase-mining complement to
+  // E25's per-doc RAKE): PMI(a,b) = log2(p(ab) / (p(a)·p(b))) from
+  // exact corpus unigram/bigram counts (two map-side-combining hash
+  // aggs over the token stream — shuffles carry (token, count), never
+  // text), with a min-count floor (c_ab ≥ 5: PMI's famous
+  // rare-pair instability is a data bug, not an implementation
+  // detail). Ranking compares ROUNDED PMI (6dp) with a lexical
+  // tie-break, so the top-20 can't flip on float summation order.
+  private def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).withColumn("toks",
+      expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val uniTot = uni.agg(sum(col("cw")).as("n1"))
+    val bi = toks
+      .select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          | ELSE transform(sequence(1, size(toks) - 1),
+          |   i -> named_struct('a', element_at(toks, i),
+          |                     'b', element_at(toks, i + 1)))
+          | END""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val biTot = toks
+      .select(greatest(size(col("toks")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n2"))
+    val scored = bi
+      .join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .withColumn("pmi", round(log2(
+        (col("cab") / col("n2")) /
+          ((col("ca") / col("n1")) * (col("cb") / col("n1")))), 6) + lit(0.0))
+      .withColumn("bigram", concat(col("a"), lit(" "), col("b")))
+    val w = Window.orderBy(col("pmi").desc, col("bigram").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("bigram"), col("cab"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  private val textPmiCollocationsSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '[^a-z0-9]+'), x -> x <> '') AS toks
+      | FROM documents),
+      |uni AS (
+      | SELECT w, count(*) AS cw FROM (
+      |  SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |n1 AS (SELECT CAST(sum(cw) AS BIGINT) AS n1 FROM uni),
+      |bi AS (
+      | SELECT bg, count(*) AS cab FROM (
+      |  SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+      |    ELSE list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1]) END) AS bg
+      |  FROM t) GROUP BY bg HAVING count(*) >= 5),
+      |n2 AS (
+      | SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n2 FROM t),
+      |sc AS (
+      | SELECT bg AS bigram, cab,
+      |  round(log2((cab * 1.0 / n2) /
+      |    ((ua.cw * 1.0 / n1) * (ub.cw * 1.0 / n1))), 6) + 0 AS pmi
+      | FROM bi
+      | JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+      | JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
+      | CROSS JOIN n1 CROSS JOIN n2)
+      |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT)
+      |   AS rank, bigram, cab, pmi
+      |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_collocations" -> (textPmiCollocations _),
     "text_rake_keywords" -> (textRakeKeywords _),
     "text_code_detect" -> (textCodeDetect _),
     "text_script_profile" -> (textScriptProfile _),
@@ -1395,6 +1469,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_pmi_collocations" -> textPmiCollocationsSql,
     "text_rake_keywords" -> textRakeKeywordsSql,
     "text_code_detect" -> textCodeDetectSql,
     "text_script_profile" -> textScriptProfileSql,
