@@ -1435,7 +1435,77 @@ object PipelineQueries {
       |FROM t JOIN st ON t.source = st.source
       |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  // J25 — the STANDING DIGEST INDEX as a bucketed table (the physical
+  // layout J20's SURVEY row promises at 100 TB, made concrete and
+  // plan-asserted): the corpus's md5 digests persist bucketed BY
+  // DIGEST, so when a crawl batch arrives, the dup-vs-corpus join
+  // shuffles ONLY the batch — the corpus side reads its buckets in
+  // place, no exchange, however many petabytes it indexes. The
+  // require() pins exactly ONE `Exchange hashpartitioning` in the
+  // join plan (the batch side) — a regression that re-shuffles the
+  // standing index fails correctness, not just a benchmark. Output =
+  // J20-shaped per-source admission report (batch size, corpus dups,
+  // new docs).
+  private def pipelineDigestIndex(s: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val idxTbl = s"graft_digest_idx_$tag"
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("digest"),
+      (col("doc_id") % 5 === 0).as("is_batch"))
+    d.filter(!col("is_batch")).select(col("digest")).distinct()
+      .write.bucketBy(8, "digest").sortBy("digest").saveAsTable(idxTbl)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAutoScan = s.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val batch = d.filter(col("is_batch"))
+        .select(col("doc_id"), col("source"), col("digest"))
+      val joined = batch.join(
+        s.table(idxTbl).withColumn("hit", lit(1)), Seq("digest"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      require(exchanges == 1,
+        s"standing digest index must not shuffle: $exchanges exchanges " +
+          "in the join plan (want 1 — the batch side only)")
+      val out = TmpDir.scratch("digestidx")
+      joined.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup_corpus"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_new"))
+        .withColumn("dup_share",
+          round(col("n_dup_corpus") / col("n_batch"), 6) + lit(0.0))
+        .orderBy(col("source"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy(col("source"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAutoScan)
+      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    }
+  }
+
+  private val pipelineDigestIndexSql =
+    """WITH d AS (
+      | SELECT doc_id, source, md5(text) AS digest,
+      |  doc_id % 5 = 0 AS is_batch
+      | FROM documents),
+      |corpus AS (SELECT DISTINCT digest FROM d WHERE NOT is_batch),
+      |b AS (
+      | SELECT source, digest,
+      |  digest IN (SELECT digest FROM corpus) AS hit
+      | FROM d WHERE is_batch)
+      |SELECT source, count(*) AS n_batch,
+      | CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+      | CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+      | round(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0
+      |   AS dup_share
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_digest_index" -> (pipelineDigestIndex _),
     "pipeline_drift_kl" -> (pipelineDriftKl _),
     "pipeline_t5_spans" -> (pipelineT5Spans _),
     "pipeline_shard_assign" -> (pipelineShardAssign _),
@@ -1462,6 +1532,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_digest_index" -> pipelineDigestIndexSql,
     "pipeline_drift_kl" -> pipelineDriftKlSql,
     "pipeline_t5_spans" -> pipelineT5SpansSql,
     "pipeline_shard_assign" -> pipelineShardAssignSql,
