@@ -2379,7 +2379,70 @@ object RelationalQueries {
       |GROUP BY user_id HAVING sum(dt) > 0
       |ORDER BY user_id""".stripMargin
 
+  // B76 — TWO-PROPORTION z-TEST (B70's categorical sibling — the
+  // conversion-rate A/B test): arms = user_id parity, conversion =
+  // "user purchased ≥ 14 times" (the median — "ever purchased"
+  // saturates this corpus at 100% and the pooled variance would be
+  // 0). Per-user conversion is one hash agg, arms reduce to four
+  // integers, and the pooled-variance z statistic is closed-form
+  // algebra both engines apply to identical counts. The entire
+  // statistical surface that ships to the decision is (n₁, x₁, n₂,
+  // x₂) — at 100 TB the shuffle is still four longs.
+  private def q76ConversionZtest(s: SparkSession, dir: String): DataFrame = {
+    val conv = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).cast("long").as("converted"))
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val arms = conv.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val e = arms.filter(col("arm") === "even")
+      .select(col("n").as("n1"), col("x").as("x1"))
+    val o = arms.filter(col("arm") === "odd")
+      .select(col("n").as("n2"), col("x").as("x2"))
+    e.crossJoin(o)
+      .withColumn("p1", col("x1") / col("n1"))
+      .withColumn("p2", col("x2") / col("n2"))
+      .withColumn("pp", (col("x1") + col("x2")) / (col("n1") + col("n2")))
+      .withColumn("z",
+        (col("p1") - col("p2")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        round(col("p1"), 6).as("rate_even"),
+        round(col("p2"), 6).as("rate_odd"),
+        round(col("z"), 4).as("z_stat"),
+        (abs(col("z")) >= 1.96).as("significant_5pct"))
+  }
+
+  private val q76Sql =
+    """WITH conv AS (
+      | SELECT user_id,
+      |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    >= 14 THEN 1 ELSE 0 END AS converted,
+      |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm
+      | FROM events GROUP BY user_id),
+      |a AS (
+      | SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+      | FROM conv GROUP BY arm),
+      |e AS (SELECT n AS n1, x AS x1 FROM a WHERE arm = 'even'),
+      |o AS (SELECT n AS n2, x AS x2 FROM a WHERE arm = 'odd'),
+      |c AS (
+      | SELECT *, x1 * 1.0 / n1 AS p1, x2 * 1.0 / n2 AS p2,
+      |  (x1 + x2) * 1.0 / (n1 + n2) AS pp
+      | FROM e CROSS JOIN o),
+      |zc AS (
+      | SELECT *, (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+      |   AS z
+      | FROM c)
+      |SELECT n1, x1, n2, x2,
+      | round(p1, 6) AS rate_even, round(p2, 6) AS rate_odd,
+      | round(z, 4) AS z_stat, abs(z) >= 1.96 AS significant_5pct
+      |FROM zc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_conversion_ztest" -> (q76ConversionZtest _),
     "q74_gini" -> (q74Gini _),
     "q75_twap" -> (q75Twap _),
     "q73_mad" -> (q73Mad _),
@@ -2457,6 +2520,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q76_conversion_ztest" -> q76Sql,
     "q74_gini" -> q74Sql,
     "q75_twap" -> q75Sql,
     "q73_mad" -> q73Sql,
