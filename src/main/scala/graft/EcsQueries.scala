@@ -767,7 +767,58 @@ object EcsQueries {
       | round(max(0.5 * (s_suppkey % 3)), 2) AS max_drift
       |FROM supplier GROUP BY s_suppkey % 3 ORDER BY vclass""".stripMargin
 
+  /** A18: EAGER-step parity — [[World.stepEager]] materializes each
+    * archetype's update as a concurrent Spark job (wall time = the
+    * processor DAG's critical path) and CLAIMS state identical to the
+    * sequential [[World.step]]; this query PROVES it on the live
+    * store: two runs of the same sim, same seed, one stepped
+    * sequentially and one eagerly, final states full-outer-joined on
+    * entity_id and compared exactly (doubles bit-for-bit — movement
+    * is exact on the integer grid). n_mismatch lands in the OUTPUT,
+    * so a divergence fails the oracle row, not just a spec. The
+    * reproducibility guarantee every simulation user assumes, audited
+    * by the engine itself.
+    */
+  def eagerParity(spark: SparkSession, dir: String): DataFrame = {
+    val sim = "sim_eager"
+    val t0 = 1700000200000L
+    def seed() = Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("s_suppkey") % 3).cast("double").as("velocity__vx"),
+      (col("s_suppkey") % 2).cast("double").as("velocity__vy"))
+    val seq0 = World.makeRun(spark, sim, t0, 0)
+    seq0.addProcessor(MovementProcessor)
+    seq0.spawnBatch(PosVel, seed())
+    (1 to 3).foreach(_ => seq0.step(0.5))
+    val eag = World.makeRun(spark, sim, t0 + 1000L, 1)
+    eag.addProcessor(MovementProcessor)
+    eag.spawnBatch(PosVel, seed())
+    (1 to 3).foreach(_ => eag.stepEager(0.5))
+    val a = seq0.query(PosVel)(PosVelHash)
+      .select(col("entity_id"), col("position__x").as("xa"),
+        col("position__y").as("ya"))
+    val b = eag.query(PosVel)(PosVelHash)
+      .select(col("entity_id"), col("position__x").as("xb"),
+        col("position__y").as("yb"))
+    a.join(b, Seq("entity_id"), "full_outer")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(when(col("xa").isNull || col("xb").isNull ||
+          col("xa") =!= col("xb") || col("ya") =!= col("yb"), 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        round(sum(col("xa")), 2).as("checksum_x"),
+        round(sum(col("ya")), 2).as("checksum_y"))
+  }
+
+  val eagerParityOracle: String =
+    """SELECT count(*) AS n_entities, CAST(0 AS BIGINT) AS n_mismatch,
+      | round(sum(floor(s_acctbal) + 1.5 * (s_suppkey % 3)), 2) AS checksum_x,
+      | round(sum(1.5 * (s_suppkey % 2)), 2) AS checksum_y
+      |FROM supplier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ecs_eager_parity" -> (eagerParity _),
     "ecs_run_compare" -> (runCompare _),
     "ecs_archetype_stats" -> (archetypeStats _),
     "ecs_component_diff" -> (componentDiff _),
@@ -787,6 +838,7 @@ object EcsQueries {
     "ecs_flocking" -> (flocking _))
 
   val oracles: Map[String, String] = Map(
+    "ecs_eager_parity" -> eagerParityOracle,
     "ecs_run_compare" -> runCompareOracle,
     "ecs_archetype_stats" -> archetypeStatsOracle,
     "ecs_component_diff" -> componentDiffOracle,

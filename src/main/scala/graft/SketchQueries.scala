@@ -295,7 +295,59 @@ object SketchQueries {
       | sample_min_user, sample_max_user
       |FROM j""".stripMargin
 
+  // I9 — BLOOM FPR CURVE (the I-tier's tuning table, completing the
+  // sweep-family triptych with C14's band sweep and D21's nprobe
+  // curve): the same ~1000-key member set builds three filters at 2 /
+  // 8 / 32 bits per key (k = 3 hashes), probed with 5000 GUARANTEED
+  // non-members (ids offset by 10⁹) and with every member. Everything
+  // is deterministic — fixed hash family, fixed sets — so the
+  // measured false-positive counts are exact numbers, asserted
+  // against 2× the analytic (1 − e^(−kn/m))^k rate (+10 slack for
+  // small counts). no_false_negatives is the bloom CONTRACT — a
+  // single miss fails the gate. This is the table that sizes a
+  // distributed bloom pre-filter (I3 / J20's corpus index) instead of
+  // guessing bits-per-key.
+  private def sketchBloomFprCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom, bloomContains}
+    import s.implicits._
+    val members = Tables.load(s, dir, "orders")
+      .select(col("o_custkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMembers = members.count()
+    val probes = s.range(1000000000L, 1000005000L).toDF("probe_id")
+    val rows = Seq(2048, 8192, 32768).map { numBits =>
+      val bf = members.agg(
+        bloom(col("o_custkey"), numBits, numHashes = 3).as("bf"))
+      val fp = probes.crossJoin(broadcast(bf))
+        .agg(sum(when(bloomContains(col("bf"), col("probe_id")), 1L)
+          .otherwise(0L)).as("n_fp"))
+      val fn = members.crossJoin(broadcast(bf))
+        .agg(sum(when(!bloomContains(col("bf"), col("o_custkey")), 1L)
+          .otherwise(0L)).as("n_fn"))
+      val theory = math.pow(
+        1.0 - math.exp(-3.0 * nMembers / numBits), 3.0)
+      fp.crossJoin(fn)
+        .select(lit(numBits.toLong).as("num_bits"),
+          lit(nMembers).as("n_members"),
+          lit(5000L).as("n_probes"),
+          (col("n_fn") === 0L).as("no_false_negatives"),
+          (col("n_fp") <= lit(2.0 * theory * 5000 + 10)).as("fpr_within_2x_theory"))
+    }.reduce(_ unionByName _).orderBy(col("num_bits"))
+    val out = rows.localCheckpoint(eager = true)
+    members.unpersist(false)
+    out
+  }
+
+  private val sketchBloomFprCurveSql =
+    """WITH n AS (SELECT count(DISTINCT o_custkey) AS nm FROM orders)
+      |SELECT CAST(b AS BIGINT) AS num_bits, CAST(nm AS BIGINT) AS n_members,
+      | CAST(5000 AS BIGINT) AS n_probes,
+      | true AS no_false_negatives, true AS fpr_within_2x_theory
+      |FROM n, (SELECT unnest([2048, 8192, 32768]) AS b)
+      |ORDER BY num_bits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bloom_fpr_curve" -> (sketchBloomFprCurve _),
     "sketch_bottomk_sample" -> (sketchBottomkSample _),
     "sketch_hll_rolling" -> (sketchHllRolling _),
     "sketch_set_ops" -> (sketchSetOps _),
@@ -306,6 +358,7 @@ object SketchQueries {
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_bloom_fpr_curve" -> sketchBloomFprCurveSql,
     "sketch_bottomk_sample" -> sketchBottomkSampleSql,
     "sketch_hll_rolling" -> sketchHllRollingSql,
     "sketch_set_ops" -> sketchSetOpsSql,
