@@ -2441,7 +2441,297 @@ object RelationalQueries {
       | round(z, 4) AS z_stat, abs(z) >= 1.96 AS significant_5pct
       |FROM zc""".stripMargin
 
+  // B77 — CHI-SQUARE test of independence (the categorical×categorical
+  // sibling of B70/B76): is order status independent of order
+  // priority?  Observed counts are one hash agg over the fact table;
+  // expected counts E = row_tot·col_tot/N come from two broadcast-
+  // sized marginal aggs — the statistical surface that rides the
+  // shuffle is r·c cells, never rows, so the same plan serves 100 TB.
+  // All counts are exact longs; the only doubles are the final E and
+  // (O−E)²/E divisions, identical algebra both engines. df here is
+  // (3−1)(5−1)=8; the 5% critical value 15.5073 is a shared literal
+  // (neither engine has a chi² CDF — shipping the threshold with the
+  // statistic is what a decision pipeline does anyway).
+  private def q77Chisq(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy(col("o_orderstatus"))
+      .agg(sum(col("observed")).as("row_tot"))
+    val colT = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("observed")).as("col_tot"))
+    val tot = cells.agg(sum(col("observed")).as("n"),
+      countDistinct(col("o_orderstatus")).as("r"),
+      countDistinct(col("o_orderpriority")).as("c"))
+    val scored = cells
+      .join(broadcast(rowT), Seq("o_orderstatus"))
+      .join(broadcast(colT), Seq("o_orderpriority"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("row_tot").cast("double") * col("col_tot") / col("n"))
+      .withColumn("contrib",
+        pow(col("observed") - col("expected"), 2) / col("expected"))
+    val chi2 = scored.agg(round(sum(col("contrib")), 4).as("chi2"))
+    scored.crossJoin(broadcast(chi2))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("observed"),
+        round(col("expected"), 4).as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        (col("chi2") >= 15.5073).as("significant_5pct"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val q77Sql =
+    """WITH cells AS (
+      | SELECT o_orderstatus, o_orderpriority, count(*) AS observed
+      | FROM orders GROUP BY o_orderstatus, o_orderpriority),
+      |rt AS (SELECT o_orderstatus, sum(observed) AS row_tot
+      |       FROM cells GROUP BY o_orderstatus),
+      |ct AS (SELECT o_orderpriority, sum(observed) AS col_tot
+      |       FROM cells GROUP BY o_orderpriority),
+      |tot AS (SELECT sum(observed) AS n,
+      |        count(DISTINCT o_orderstatus) AS r,
+      |        count(DISTINCT o_orderpriority) AS c FROM cells),
+      |sc AS (
+      | SELECT cells.*, row_tot, col_tot, n, r, c,
+      |  CAST(row_tot AS DOUBLE) * col_tot / n AS expected
+      | FROM cells JOIN rt USING (o_orderstatus)
+      |  JOIN ct USING (o_orderpriority) CROSS JOIN tot),
+      |sc2 AS (
+      | SELECT *, pow(observed - expected, 2) / expected AS contrib FROM sc),
+      |x2 AS (SELECT round(sum(contrib), 4) AS chi2 FROM sc2)
+      |SELECT o_orderstatus, o_orderpriority, observed,
+      | round(expected, 4) AS expected, round(contrib, 6) AS contrib,
+      | chi2, (r - 1) * (c - 1) AS df, chi2 >= 15.5073 AS significant_5pct
+      |FROM sc2 CROSS JOIN x2
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // B78 — MANN-WHITNEY U (Wilcoxon rank-sum), the nonparametric A/B
+  // test for when B70's t-test assumptions fail: compares
+  // l_extendedprice between return flags R and A on RANKS, so heavy
+  // tails can't dominate. The whole statistic is EXACT INTEGER
+  // algebra until the final z: prices become cents (longs), ranks
+  // are doubled (2·avg-tie-rank = 2·count_less + t + 1 — an integer
+  // even for half-ranks), and the rank-sum rides per-VALUE counts —
+  // the shuffle carries one row per distinct value, never rows. The
+  // global cumulative count_less uses DistributedPrefixSum (no
+  // single-partition window; distinct-value count is unbounded at
+  // 100 TB). Tie-corrected variance; z in doubles at the very end.
+  private def q78MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val byVal = v.groupBy(col("cents"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("tr"))
+    val cum = graft.operators.DistributedPrefixSum
+      .withRunningTotal(byVal, col("t"), "cum_incl", col("cents"))
+      .withColumn("cum_less", col("cum_incl") - col("t"))
+    val agg = cum.agg(
+      sum(col("tr")).as("n1"),
+      sum(col("t") - col("tr")).as("n2"),
+      // Σ tr · (2·count_less + t + 1) = twice the R-group rank sum
+      sum(col("tr") * (lit(2) * col("cum_less") + col("t") + 1)).as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    agg
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("u1", (col("r1x2") - col("n1") * (col("n1") + 1)) / 2.0)
+      .withColumn("mu", col("n1").cast("double") * col("n2") / 2.0)
+      .withColumn("var_u",
+        col("n1").cast("double") * col("n2") / 12.0 *
+          ((col("n") + lit(1.0)) -
+            col("tie3").cast("double") / (col("n") * (col("n") - lit(1.0)))))
+      .withColumn("z", (col("u1") - col("mu")) / sqrt(col("var_u")))
+      .select(col("n1"), col("n2"), col("u1"),
+        round(col("z"), 4).as("z_stat"),
+        (abs(col("z")) >= 1.96).as("significant_5pct"))
+  }
+
+  private val q78Sql =
+    """WITH v AS (
+      | SELECT l_returnflag AS g,
+      |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      | FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      |bv AS (
+      | SELECT cents, count(*) AS t,
+      |  sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS tr
+      | FROM v GROUP BY cents),
+      |c AS (
+      | SELECT *, sum(t) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS cum_less
+      | FROM bv),
+      |a AS (
+      | SELECT CAST(sum(tr) AS BIGINT) AS n1,
+      |  CAST(sum(t - tr) AS BIGINT) AS n2,
+      |  CAST(sum(tr * (2 * cum_less + t + 1)) AS BIGINT) AS r1x2,
+      |  CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      | FROM c),
+      |s AS (
+      | SELECT *, n1 + n2 AS n,
+      |  (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+      |  CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu
+      | FROM a),
+      |z AS (
+      | SELECT *, (u1 - mu) / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+      |   ((n + 1.0) - CAST(tie3 AS DOUBLE) / (n * (n - 1.0)))) AS zs
+      | FROM s)
+      |SELECT n1, n2, u1, round(zs, 4) AS z_stat,
+      | abs(zs) >= 1.96 AS significant_5pct
+      |FROM z""".stripMargin
+
+  // B79 — DECILE LIFT / GAINS table (the model-evaluation staple):
+  // customers ranked by 1995 spend into deciles, outcome = ordered
+  // again in 1996; per decile conversion rate, lift vs the base rate,
+  // and cumulative converter capture. Deciles come from
+  // DistributedNtile (exact SQL-ntile semantics, no single-partition
+  // window — the ranking shuffle is range-partitioned), spend is
+  // exact cents, and the (spend DESC, custkey) order is total so
+  // assignment is deterministic. The decile frame itself is 10 rows —
+  // its cumulative window is trivially safe at any scale.
+  private def q79DecileLift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val spend95 = o
+      .filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1996-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend_cents"))
+    val buyers96 = o
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+      .select(col("o_custkey")).distinct()
+      .withColumn("converted", lit(1L))
+    val scored = graft.operators.DistributedNtile
+      .withNtile(spend95, 10, "decile",
+        col("spend_cents").desc, col("o_custkey"))
+      .join(buyers96, Seq("o_custkey"), "left")
+      .withColumn("converted", coalesce(col("converted"), lit(0L)))
+    val perDecile = scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("converted")).as("n_converted"))
+    val base = perDecile.agg(sum(col("n_customers")).as("tot_n"),
+      sum(col("n_converted")).as("tot_conv"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile.crossJoin(broadcast(base))
+      .withColumn("cum_conv", sum(col("n_converted")).over(wCum))
+      .select(col("decile"), col("n_customers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_customers"), 6)
+          .as("conv_rate"),
+        round(col("n_converted").cast("double") * col("tot_n") /
+          (col("n_customers") * col("tot_conv")), 4).as("lift"),
+        round(col("cum_conv").cast("double") / col("tot_conv"), 6)
+          .as("cum_capture"))
+      .orderBy(col("decile"))
+  }
+
+  private val q79Sql =
+    """WITH s95 AS (
+      | SELECT o_custkey,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+      | FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      | GROUP BY o_custkey),
+      |b96 AS (
+      | SELECT DISTINCT o_custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |d AS (
+      | SELECT s95.o_custkey, spend_cents,
+      |  CAST(ntile(10) OVER (ORDER BY spend_cents DESC, s95.o_custkey)
+      |    AS BIGINT) AS decile,
+      |  CASE WHEN b96.o_custkey IS NULL THEN 0 ELSE 1 END AS converted
+      | FROM s95 LEFT JOIN b96 ON s95.o_custkey = b96.o_custkey),
+      |pd AS (
+      | SELECT decile, count(*) AS n_customers,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted
+      | FROM d GROUP BY decile),
+      |base AS (SELECT sum(n_customers) AS tot_n,
+      |         sum(n_converted) AS tot_conv FROM pd)
+      |SELECT decile, n_customers, n_converted,
+      | round(CAST(n_converted AS DOUBLE) / n_customers, 6) AS conv_rate,
+      | round(CAST(n_converted AS DOUBLE) * tot_n /
+      |   (n_customers * tot_conv), 4) AS lift,
+      | round(CAST(sum(n_converted) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   / tot_conv, 6) AS cum_capture
+      |FROM pd CROSS JOIN base
+      |ORDER BY decile""".stripMargin
+
+  // B80 — KAPLAN-MEIER survival estimate (churn/retention analytics
+  // with CENSORING — B67's retention grid can't say "still alive,
+  // just not observed long enough"): per customer, lifetime = months
+  // from first to last order; churned if the last order predates
+  // 2001-03 (within 6 months of the corpus end = still at risk ⇒
+  // censored). The KM table is one hash agg to per-month (d, censored)
+  // counts — the frame is bounded by the corpus month span (~80
+  // rows), so its windows are safe at any scale; rows never ride
+  // them. n_at_risk(t) = suffix sum, S(t) = Π(1 − d/n) as an ORDERED
+  // LEFT FOLD over collected factors (aggregate() over a window
+  // collect_list) — DuckDB's windowed product() folds in the same
+  // order, so the doubles multiply in the identical sequence and the
+  // 6dp round is belt-and-braces, not load-bearing.
+  private def q80Survival(s: SparkSession, dir: String): DataFrame = {
+    val life = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("m0"),
+        date_trunc("month", max(col("o_orderdate"))).as("m1"))
+      .withColumn("t_months", months_between(col("m1"), col("m0")).cast("long"))
+      .withColumn("churned",
+        when(col("m1") < ts("2001-03-01"), 1L).otherwise(0L))
+    val km = life.groupBy(col("t_months"))
+      .agg(sum(col("churned")).as("d"),
+        sum(lit(1L) - col("churned")).as("censored"))
+    val wRisk = Window.orderBy(col("t_months"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km
+      .withColumn("n_at_risk", sum(col("d") + col("censored")).over(wRisk))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_at_risk"))
+      .withColumn("fs", collect_list(col("factor")).over(wCum))
+      .withColumn("s_km",
+        expr("aggregate(fs, CAST(1.0 AS DOUBLE), (a, x) -> a * x)"))
+      .select(col("t_months"), col("n_at_risk"), col("d"), col("censored"),
+        round(col("s_km"), 6).as("s_km"))
+      .orderBy(col("t_months"))
+  }
+
+  private val q80Sql =
+    """WITH life AS (
+      | SELECT o_custkey,
+      |  date_trunc('month', min(o_orderdate)) AS m0,
+      |  date_trunc('month', max(o_orderdate)) AS m1
+      | FROM orders GROUP BY o_custkey),
+      |lt AS (
+      | SELECT o_custkey, date_diff('month', m0, m1) AS t_months,
+      |  CASE WHEN m1 < TIMESTAMP '2001-03-01 00:00:00' THEN 1 ELSE 0 END
+      |    AS churned
+      | FROM life),
+      |km AS (
+      | SELECT t_months, CAST(sum(churned) AS BIGINT) AS d,
+      |  CAST(sum(1 - churned) AS BIGINT) AS censored
+      | FROM lt GROUP BY t_months),
+      |r AS (
+      | SELECT *, CAST(sum(d + censored) OVER (ORDER BY t_months
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |   AS n_at_risk
+      | FROM km),
+      |f AS (
+      | SELECT *, 1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor FROM r)
+      |SELECT t_months, n_at_risk, d, censored,
+      | round(product(factor) OVER (ORDER BY t_months
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_km
+      |FROM f ORDER BY t_months""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_chisq" -> (q77Chisq _),
+    "q78_mannwhitney" -> (q78MannWhitney _),
+    "q79_decile_lift" -> (q79DecileLift _),
+    "q80_survival" -> (q80Survival _),
     "q76_conversion_ztest" -> (q76ConversionZtest _),
     "q74_gini" -> (q74Gini _),
     "q75_twap" -> (q75Twap _),
@@ -2520,6 +2810,10 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q77_chisq" -> q77Sql,
+    "q78_mannwhitney" -> q78Sql,
+    "q79_decile_lift" -> q79Sql,
+    "q80_survival" -> q80Sql,
     "q76_conversion_ztest" -> q76Sql,
     "q74_gini" -> q74Sql,
     "q75_twap" -> q75Sql,

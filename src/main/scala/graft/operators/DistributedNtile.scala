@@ -39,12 +39,20 @@ object DistributedNtile {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // localCheckpoint pins ONE materialization of the stamped layout:
+    // the counts/offsets/total subqueries and the final projection
+    // otherwise evaluate `stamped` as separate jobs, and
+    // repartitionByRange's boundary sample depends on upstream row
+    // order — not deterministic across jobs below a shuffle/hash-agg
+    // parent — so the two evaluations could disagree on partition
+    // boundaries and corrupt every global rank.
     val stamped = df
       .repartitionByRange(parts, sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__idx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(eager = true)
 
     // Tiny frame: one row per partition. Cumulative offsets + grand
     // total via a triangular self-join (≤ parts² rows — trivial).

@@ -27,12 +27,20 @@ object DistributedPrefixSum {
   def withRunningTotal(df: DataFrame, value: Column, outCol: String,
       sort: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins ONE materialization of the stamped layout.
+    // Without it the offsets subquery (broadcast job) and the main
+    // join would evaluate `stamped` as two independent jobs — and
+    // repartitionByRange's boundary SAMPLE depends on upstream row
+    // order, which a shuffle/hash-agg parent does not make
+    // deterministic across jobs: the two evaluations can disagree on
+    // partition boundaries, making every global rank silently wrong.
     val stamped = df
       .repartitionByRange(parts, sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__v", value)
+      .localCheckpoint(eager = true)
     val wIn = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sums = stamped.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
