@@ -544,6 +544,80 @@ object EcsQueries {
       |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin
 
+  case class Balance(bal: Double) extends Component
+  val BalMeta: ComponentMeta = ComponentMeta.of[Balance]
+  val BalHash: String = Archetype.hashOf(Seq(BalMeta))
+
+  /** A19: SCALAR INDEX over a live ECS component — the BTree scalar
+    * index the reference gets from LanceDB's `create_scalar_index`
+    * (store.py:14 lancedb.index import; the vector sibling is A13).
+    * The Spark-native re-expression: the ACTIVE component frame is
+    * range-clustered on the indexed field (each file owns a
+    * contiguous value slice, so parquet footer min/max are tight) and
+    * a driver-side manifest of those footer statistics prunes the
+    * task list before any scan launches — H11's table-format pattern
+    * applied to store state. A despawned slice proves the index reads
+    * LIVE rows, and the require() proves the range predicate really
+    * skipped files; the oracle replays the same predicate over the
+    * surviving construction, so green means pruning lost no row.
+    */
+  def scalarIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val world = World.make(spark, "sim_graft", "run_scalaridx")
+    val seed = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("entity_id"),
+      col("c_acctbal").cast("double").as("balance__bal"))
+    world.spawnBatch(Seq(BalMeta), seed)
+    world.despawnWhere(Seq(BalMeta), col("entity_id") % 7 === 2)
+    val live = world.query(Seq(BalMeta))(BalHash)
+      .select(col("entity_id"), col("balance__bal"))
+    val tmp = TmpDir.scratch("ecs_scalaridx")
+    val nFiles = 8
+    live.repartitionByRange(nFiles, col("balance__bal"))
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(tmp).getFileSystem(conf)
+    val manifest: Seq[(String, Double, Double)] = fs.listStatus(new Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+      .map { p =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          var lo = Double.MaxValue; var hi = Double.MinValue
+          r.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "balance__bal") {
+                val st = c.getStatistics
+                lo = math.min(lo, st.genericGetMin.asInstanceOf[Number].doubleValue)
+                hi = math.max(hi, st.genericGetMax.asInstanceOf[Number].doubleValue)
+              }
+            }
+          }
+          (p.toString, lo, hi)
+        } finally r.close()
+      }
+    val (qLo, qHi) = (1000.0, 3000.0)
+    val picked = manifest.filter { case (_, lo, hi) => hi >= qLo && lo < qHi }
+    require(picked.nonEmpty && picked.size < manifest.size,
+      s"scalar index pruned nothing: ${picked.size} of ${manifest.size} files")
+    val pruned = spark.read.parquet(picked.map(_._1): _*)
+      .filter(col("balance__bal") >= qLo && col("balance__bal") < qHi)
+      .groupBy((floor(col("balance__bal") / 500) * 500).cast("long")
+        .as("bal_bucket"))
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum(col("balance__bal")), 2).as("sum_bal"))
+      .orderBy(col("bal_bucket"))
+    TmpDir.releasing(pruned, tmp)
+  }
+
+  val scalarIndexOracle: String =
+    """SELECT CAST(floor(c_acctbal / 500) * 500 AS BIGINT) AS bal_bucket,
+      | count(*) AS n_entities, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |WHERE c_custkey % 7 <> 2 AND c_acctbal >= 1000 AND c_acctbal < 3000
+      |GROUP BY bal_bucket ORDER BY bal_bucket""".stripMargin
+
   /** A14: RUN-MANAGEMENT SUGAR — the reference auto-mints ULID run
     * ids and created-at timestamps at store init (store.py:32-44);
     * graft previously required explicit run strings (VERDICT r5
@@ -824,6 +898,7 @@ object EcsQueries {
     "ecs_component_diff" -> (componentDiff _),
     "ecs_run_registry" -> (runRegistry _),
     "ecs_vector_search" -> (vectorSearch _),
+    "ecs_scalar_index" -> (scalarIndex _),
     "ecs_spawn_query" -> (spawnQuery _),
     "ecs_movement_sim" -> (movementSim _),
     "ecs_history" -> (history _),
@@ -844,6 +919,7 @@ object EcsQueries {
     "ecs_component_diff" -> componentDiffOracle,
     "ecs_run_registry" -> runRegistryOracle,
     "ecs_vector_search" -> vectorSearchOracle,
+    "ecs_scalar_index" -> scalarIndexOracle,
     "ecs_spawn_query" -> spawnQueryOracle,
     "ecs_movement_sim" -> movementSimOracle,
     "ecs_history" -> historyOracle,

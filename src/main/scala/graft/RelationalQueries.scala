@@ -2727,7 +2727,54 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_km
       |FROM f ORDER BY t_months""".stripMargin
 
+  // B81 — BLOOM-PREFILTER JOIN (the runtime-row-filter pattern Spark
+  // plans as `runtimeFilterBloomFilter` and Iceberg/Delta readers get
+  // from dynamic filtering): the selective dim side's JOIN-KEY DOMAIN
+  // is aggregated into one bloom (partials OR-merge map-side),
+  // broadcast, and probed on the fact side BEFORE the join — fact
+  // rows that cannot match never enter the join's hash relation. The
+  // final join is exact, so bloom false positives cost only wasted
+  // probe rows, never wrong rows — the RESULT is identical to the
+  // plain join, which is exactly what the oracle checks; the
+  // require() proves the prefilter genuinely pruned (i.e. the bloom
+  // is wired into the plan, not decorative). At 100 TB this is the
+  // difference between shuffling/building a hash relation over the
+  // full fact table and over the ~selectivity fraction that survives.
+  private def q81BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom, bloomContains}
+    val dim = t(s, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_name"))
+    val bloomDf = dim.agg(bloom(col("p_partkey"), 65536, 4).as("bf"))
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val pre = fact.crossJoin(broadcast(bloomDf))
+      .filter(bloomContains(col("bf"), col("l_partkey")))
+      .drop("bf")
+    // prove the bloom pruned: survivors must be well under the fact
+    // count (ECONOMY parts are ~1/5 of the domain; 4-hash/64Kbit FPR
+    // is far below the 50% headroom this leaves)
+    val nFact = fact.count()
+    val nPre = pre.count()
+    require(nPre * 2 < nFact,
+      s"bloom prefilter did not prune: $nPre of $nFact rows survived")
+    pre.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("p_name"))
+  }
+
+  private val q81Sql =
+    """SELECT p_name, count(*) AS n_lines,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'ECONOMY'
+      |GROUP BY p_name ORDER BY p_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_bloom_join" -> (q81BloomJoin _),
     "q77_chisq" -> (q77Chisq _),
     "q78_mannwhitney" -> (q78MannWhitney _),
     "q79_decile_lift" -> (q79DecileLift _),
@@ -2810,6 +2857,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q81_bloom_join" -> q81Sql,
     "q77_chisq" -> q77Sql,
     "q78_mannwhitney" -> q78Sql,
     "q79_decile_lift" -> q79Sql,

@@ -346,7 +346,61 @@ object SketchQueries {
       |FROM n, (SELECT unnest([2048, 8192, 32768]) AS b)
       |ORDER BY num_bits""".stripMargin
 
+  // I10 — AMS "tug-of-war" F2 sketch (Alon-Matias-Szegedy 1996): the
+  // second frequency moment Σf² IS the self-join output size — the
+  // number the join planner needs BEFORE committing to a shuffle
+  // strategy on a 100 TB key column. Exact F2 costs a full
+  // group-by-key shuffle; the sketch costs s=64 counters: every row
+  // adds σ_j(key)=±1 to counter j, E[c_j²]=F2. The ±1 signs come
+  // from a cross-engine-replayable hash (ascii parity of an md5 hex
+  // char), so every counter is an EXACT integer both engines agree
+  // on and the estimate replays bit-for-bit — the within_bound
+  // column then audits the estimator against the exact value the
+  // oracle also computes. Shuffle shape: the (j, σ) contributions
+  // partial-aggregate map-side to 64 rows per partition — the sketch
+  // rides the shuffle, never the keys.
+  private def sketchAmsF2(s: SparkSession, dir: String): DataFrame = {
+    val S = 64
+    val contrib = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"))
+      .select(col("l_partkey"),
+        explode(sequence(lit(0), lit(S - 1))).as("j"))
+      .withColumn("sigma",
+        lit(1L) - lit(2L) * expr(
+          "ascii(substring(md5(concat(cast(l_partkey AS string), ':', cast(j AS string))), 1, 1)) % 2"))
+    val counters = contrib.groupBy(col("j"))
+      .agg(sum(col("sigma")).as("c"))
+    val est = counters.agg(
+      (sum(col("c") * col("c")) / lit(S.toDouble)).as("f2_est"))
+    val exact = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("f2_exact"),
+        (round(col("f2_est"), 4) + lit(0.0)).as("f2_est"),
+        round(abs(col("f2_est") - col("f2_exact")) / col("f2_exact"), 6)
+          .as("rel_err"),
+        (abs(col("f2_est") - col("f2_exact")) <= col("f2_exact") * 0.5)
+          .as("within_bound"))
+  }
+
+  private val sketchAmsF2Sql =
+    """WITH contrib AS (
+      | SELECT l_partkey, j,
+      |  1 - 2 * (ascii(substring(md5(concat(CAST(l_partkey AS VARCHAR), ':',
+      |    CAST(j AS VARCHAR))), 1, 1)) % 2) AS sigma
+      | FROM lineitem, (SELECT unnest(generate_series(0, 63)) AS j)),
+      |cnt AS (SELECT j, CAST(sum(sigma) AS BIGINT) AS c FROM contrib GROUP BY j),
+      |est AS (SELECT sum(c * c) / 64.0 AS f2_est FROM cnt),
+      |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM
+      |  (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey))
+      |SELECT f2_exact, round(f2_est, 4) + 0 AS f2_est,
+      | round(abs(f2_est - f2_exact) / f2_exact, 6) AS rel_err,
+      | abs(f2_est - f2_exact) <= f2_exact * 0.5 AS within_bound
+      |FROM est, ex""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams_f2" -> (sketchAmsF2 _),
     "sketch_bloom_fpr_curve" -> (sketchBloomFprCurve _),
     "sketch_bottomk_sample" -> (sketchBottomkSample _),
     "sketch_hll_rolling" -> (sketchHllRolling _),
@@ -358,6 +412,7 @@ object SketchQueries {
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_ams_f2" -> sketchAmsF2Sql,
     "sketch_bloom_fpr_curve" -> sketchBloomFprCurveSql,
     "sketch_bottomk_sample" -> sketchBottomkSampleSql,
     "sketch_hll_rolling" -> sketchHllRollingSql,

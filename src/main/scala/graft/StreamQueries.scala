@@ -111,6 +111,42 @@ object StreamQueries {
       |FROM events GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Streaming transform (G27): SLIDING 6-hour windows every 2 hours —
+    * each event contributes to THREE overlapping windows (G1 is the
+    * tumbling special case). Spark expands the row to its member
+    * windows map-side and the shuffle carries (window, type) partial
+    * aggregates, so overlap multiplies map output, never state: with
+    * watermarking, state holds only the ≤3 open windows per type.
+    */
+  def slidingWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // G27 batch equivalent — identical logic, no watermark.
+  private def streamSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  // DuckDB replays the window expansion arithmetically: an event at
+  // ts belongs to the 3 slide-aligned starts time_bucket(2h, ts) −
+  // k·2h, k ∈ {0,1,2} (every such window covers ts because slide
+  // divides length exactly 3×).
+  private val streamSlidingWindowSql =
+    """SELECT time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours'
+      |   AS bucket,
+      | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events, (SELECT unnest(generate_series(0, 2)) AS k)
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   /** Streaming transform: first event per (user, event_type) within
     * the watermark — streaming dropDuplicates.
     */
@@ -1977,6 +2013,7 @@ object StreamQueries {
       |FROM j GROUP BY 1 ORDER BY matched""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -2005,6 +2042,7 @@ object StreamQueries {
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
+    "stream_sliding_window" -> streamSlidingWindowSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_asof_enrich" -> streamAsofEnrichSql,
     "stream_window_agg" -> streamWindowAggSql,

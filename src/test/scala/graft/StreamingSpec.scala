@@ -49,6 +49,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_sliding_window: streaming result == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = sampleEvents(300)
+    input.addData(events)
+
+    val q = StreamQueries.slidingWindowStream(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_agg_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_agg_out")
+        .orderBy("bucket", "event_type").collect().toSeq
+      val expected = events.toDF()
+        .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("bucket"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("bucket", "event_type").collect().toSeq
+      assert(streamed == expected)
+      // every event lands in exactly 3 overlapping windows
+      assert(streamed.map(_.getLong(2)).sum == 3L * events.size)
+    } finally q.stop()
+  }
+
   test("stream_session_window: native session windows merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
