@@ -1438,7 +1438,111 @@ object SimilarityQueries {
       |FROM perq JOIN scanned USING (np)
       |GROUP BY np ORDER BY nprobe""".stripMargin
 
+  // D22 — DISTRIBUTED PCA TOP COMPONENT via power iteration: the
+  // embedding-space diagnostic (dominant direction = what a whitening
+  // or mean-ablation step removes; the first step of spectral
+  // methods). The 100 TB decomposition: the corpus is touched ONCE to
+  // build the dim×dim Gram matrix (outer-product contributions
+  // partial-aggregate map-side to ≤dim² rows per partition — the
+  // matrix rides the shuffle, never vectors); power iteration then
+  // runs on the driver over the 64×64 matrix (O(k·dim²) — the same
+  // driver-artifact class as k-means centroids). EXACTNESS: vectors
+  // quantize to integer thousandths, so every Gram entry is an exact
+  // long both engines agree on (no summation-order noise); the
+  // iteration itself is a defined-order LEFT FOLD per dot product
+  // (matching DuckDB's sequential list_dot_product — probed: it is a
+  // strict left fold) and normalization uses the same list-folded
+  // norm, so all 12 iterations replay bit-for-bit in the oracle's
+  // recursive CTE, including the final per-vector projection.
+  private def vecPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val iters = 12
+    val q = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+          .as("qv"))
+    val gram = q
+      .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+    val g = Array.ofDim[Long](dim, dim)
+    gram.collect().foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // power iteration, defined-order folds (sequential j, like
+    // DuckDB's list_dot_product)
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to iters) {
+      val mv = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j).toDouble * v(j); j += 1 }
+        acc
+      }
+      var n2 = 0.0
+      var j = 0
+      while (j < dim) { n2 += mv(j) * mv(j); j += 1 }
+      val n = math.sqrt(n2)
+      v = mv.map(_ / n)
+    }
+    val eigvec = v
+    // Rayleigh quotient λ = vᵀGv (v is unit), same fold order
+    val gv = Array.tabulate(dim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += g(i)(j).toDouble * eigvec(j); j += 1 }
+      acc
+    }
+    var lam = 0.0
+    var jj = 0
+    while (jj < dim) { lam += gv(jj) * eigvec(jj); jj += 1 }
+    val vLit = array(eigvec.map(lit(_)): _*)
+    q.withColumn("pc1", vLit)
+      .withColumn("score", expr(
+        "aggregate(zip_with(qv, pc1, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("vec_id"),
+        (round(col("score"), 4) + lit(0.0)).as("pc1_score"),
+        (round(lit(lam) / 1000000.0, 4) + lit(0.0)).as("eigval_scaled"))
+      .transform(QueryShape.stagedSort(_, col("vec_id")))
+  }
+
+  private val vecPcaPowerSql =
+    """WITH q AS (
+      | SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      | FROM embeddings),
+      |pairs AS (
+      | SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS g
+      | FROM q, (SELECT unnest(generate_series(0, 63)) AS i),
+      |      (SELECT unnest(generate_series(0, 63)) AS j)
+      | GROUP BY i, j),
+      |gm AS (
+      | SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS row
+      | FROM pairs GROUP BY i),
+      |it AS (
+      | WITH RECURSIVE pw(k, v) AS (
+      |  SELECT 0, (SELECT list(CAST(0.125 AS DOUBLE) ORDER BY i) FROM gm)
+      |  UNION ALL
+      |  SELECT k + 1,
+      |   (WITH mv AS (SELECT gm.i, list_dot_product(gm.row, pw.v) AS x
+      |                FROM gm),
+      |    ml AS (SELECT list(x ORDER BY i) AS mvl FROM mv)
+      |    SELECT list_transform(mvl,
+      |      y -> y / sqrt(list_dot_product(mvl, mvl))) FROM ml)
+      |  FROM pw WHERE k < 12)
+      | SELECT v FROM pw WHERE k = 12),
+      |lam AS (
+      | SELECT list_dot_product(
+      |   (SELECT list(list_dot_product(gm.row, it.v) ORDER BY gm.i)
+      |    FROM gm, it), (SELECT v FROM it)) AS l)
+      |SELECT vec_id,
+      | round(list_dot_product(
+      |   list_transform(qv, a -> CAST(a AS DOUBLE)), (SELECT v FROM it)), 4)
+      |   + 0 AS pc1_score,
+      | round(l / 1000000.0, 4) + 0 AS eigval_scaled
+      |FROM q, lam ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_pca_power" -> (vecPcaPower _),
     "knn_nprobe_curve" -> (knnNprobeCurve _),
     "knn_ivfpq_residual" -> (knnIvfPqResidual _),
     "knn_random_projection" -> (knnRandomProjection _),
@@ -1462,6 +1566,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "vec_pca_power" -> vecPcaPowerSql,
     "knn_nprobe_curve" -> knnNprobeCurveSql,
     "knn_ivfpq_residual" -> knnIvfTrainedSql, // same contract: residual PQ changes the index, not the reference
     "knn_random_projection" -> knnRandomProjectionSql,

@@ -639,7 +639,56 @@ object SourceQueries {
       | true AS audit_ok
       |FROM orders GROUP BY o_orderkey % 4 ORDER BY part""".stripMargin
 
+  // H15 — MERGE-ON-READ DELETES via equality-delete files (the
+  // Iceberg v2 / Delta deletion-vector pattern): a DELETE commits no
+  // rewritten data file — it appends a small file of DELETED KEYS,
+  // and readers apply it as an anti-join at scan time. That turns a
+  // 100 TB row-level delete from a rewrite of every touched file
+  // into an append of kilobytes (compaction folds them in later —
+  // H9's job). Two independent delete commits stack; the reader
+  // unions them and anti-joins ONCE. Delete sets are dim-sized here
+  // so the anti-join broadcasts; a mass delete would ride a shuffled
+  // anti-join instead — same plan shape, bigger exchange. The
+  // require() proves rows were genuinely masked, and the oracle
+  // replays both predicates over the source, so green means the
+  // read applied exactly the committed deletes — no more, no fewer.
+  private def srcDeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("delvec")
+    val orders = Tables.load(s, dir, "orders")
+    orders.write.mode("overwrite").parquet(s"$tmp/data")
+    // delete commit 1: all rows of a customer slice (GDPR-shaped)
+    orders.filter(col("o_custkey") % 10 === 7)
+      .select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/deletes/d0")
+    // delete commit 2: a value predicate (data-quality purge)
+    orders.filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/deletes/d1")
+    val data = s.read.parquet(s"$tmp/data")
+    val dels = s.read.parquet(s"$tmp/deletes/d0")
+      .unionByName(s.read.parquet(s"$tmp/deletes/d1"))
+      .distinct()
+    val nData = data.count()
+    val live = data.join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+    val nLive = live.count()
+    require(nLive < nData,
+      s"deletion vectors masked nothing: $nLive of $nData rows")
+    val out = live.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+    TmpDir.releasing(out, tmp)
+  }
+
+  private val srcDeletionVectorsSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |WHERE NOT (o_custkey % 10 = 7) AND NOT (o_totalprice > 450000.0)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_deletion_vectors" -> (srcDeletionVectors _),
     "src_txn_log" -> (srcTxnLog _),
     "src_write_audit" -> (srcWriteAudit _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
@@ -656,6 +705,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_deletion_vectors" -> srcDeletionVectorsSql,
     "src_txn_log" -> srcTxnLogSql,
     "src_write_audit" -> srcWriteAuditSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,

@@ -70,6 +70,12 @@ case class EwmaState(buf: List[Double], n_scored: Long, n_anom: Long,
 case class EwmaSummary(event_type: String, n_scored: Long, n_anom: Long,
     max_dev: Double)
 
+/** Rows/state/outputs for the streaming funnel maintainer (G28). */
+case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long,
+    n_events: Long)
+case class FunnelRow(user_id: Long, funnel_stage: Long, n_events: Long)
+
 case class CdcEvent(user_id: Long, event_id: Long, ts_us: Long, op: String,
     value: Double)
 case class CdcSnap(user_id: Long, last_event_id: Long, last_ts_us: Long,
@@ -146,6 +152,99 @@ object StreamQueries {
       |FROM events, (SELECT unnest(generate_series(0, 2)) AS k)
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
+
+  /** G28 — STREAMING FUNNEL state. The funnel definition is chosen to
+    * be MERGEABLE (the property that makes it incrementally
+    * maintainable at all): per user keep only the MIN event time per
+    * stage type — three longs of state, merge = elementwise min, so
+    * arrival order and batch boundaries cannot change the answer —
+    * and derive the stage from the mins: reached stage 2 iff the
+    * first click is at/after the first view, stage 3 iff the first
+    * purchase is at/after that first click. (A "first click after
+    * the first view" variant needs unbounded per-user history — the
+    * classic non-mergeable funnel trap.) n_events strictly increases
+    * per key, giving tests a latest-update handle.
+    */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timers: TimerValues): Iterator[FunnelRow] = {
+      val M = Long.MaxValue
+      var s = if (state.exists()) state.get() else FunnelState(M, M, M, 0L)
+      rows.foreach { e =>
+        s = e.event_type match {
+          case "view" => s.copy(t_view = math.min(s.t_view, e.ts_us),
+            n_events = s.n_events + 1)
+          case "click" => s.copy(t_click = math.min(s.t_click, e.ts_us),
+            n_events = s.n_events + 1)
+          case "purchase" => s.copy(t_purchase = math.min(s.t_purchase, e.ts_us),
+            n_events = s.n_events + 1)
+          case _ => s.copy(n_events = s.n_events + 1)
+        }
+      }
+      state.update(s)
+      Iterator.single(FunnelRow(key, FunnelProcessor.stageOf(s), s.n_events))
+    }
+  }
+
+  object FunnelProcessor {
+    def stageOf(s: FunnelState): Long = {
+      val M = Long.MaxValue
+      if (s.t_view == M) 0L
+      else if (s.t_click == M || s.t_click < s.t_view) 1L
+      else if (s.t_purchase == M || s.t_purchase < s.t_click) 2L
+      else 3L
+    }
+  }
+
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  // G28 batch equivalent — per-user min-per-type (one hash agg; the
+  // mergeability above is exactly what makes this the same number),
+  // stage derivation, then the stage histogram.
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val mins = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+    mins
+      .withColumn("funnel_stage",
+        when(col("tv").isNull, 0L)
+          .when(col("tc").isNull || col("tc") < col("tv"), 1L)
+          .when(col("tp").isNull || col("tp") < col("tc"), 2L)
+          .otherwise(3L))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_stage"))
+  }
+
+  private val streamFunnelSql =
+    """WITH mins AS (
+      | SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+      |  min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+      |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      | FROM events GROUP BY user_id),
+      |st AS (
+      | SELECT CASE WHEN tv IS NULL THEN 0
+      |   WHEN tc IS NULL OR tc < tv THEN 1
+      |   WHEN tp IS NULL OR tp < tc THEN 2
+      |   ELSE 3 END AS funnel_stage
+      | FROM mins)
+      |SELECT funnel_stage, count(*) AS n_users
+      |FROM st GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
 
   /** Streaming transform: first event per (user, event_type) within
     * the watermark — streaming dropDuplicates.
@@ -2014,6 +2113,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sliding_window" -> (streamSlidingWindow _),
+    "stream_funnel" -> (streamFunnel _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -2043,6 +2143,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_sliding_window" -> streamSlidingWindowSql,
+    "stream_funnel" -> streamFunnelSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_asof_enrich" -> streamAsofEnrichSql,
     "stream_window_agg" -> streamWindowAggSql,

@@ -1084,6 +1084,54 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream_funnel: mergeable funnel state across out-of-order micro-batches == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[FunnelEvent]
+    val all = sampleEvents(400).map(e =>
+      FunnelEvent(e.user_id, e.event_type, e.ts.getTime * 1000L))
+    // split by index PARITY, not time: batch 2 delivers events that
+    // precede batch 1's in event time — the mergeability claim under test
+    val (first, second) = all.zipWithIndex.partition(_._2 % 2 == 0) match {
+      case (a, b) => (a.map(_._1), b.map(_._1))
+    }
+    val q = StreamQueries.funnelStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      val streamed = spark.table("funnel_out")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("funnel_stage"))
+        .orderBy("user_id").collect().toSeq
+      val batch = all.toDS()
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+        .select(col("user_id"),
+          when(col("tv").isNull, 0L)
+            .when(col("tc").isNull || col("tc") < col("tv"), 1L)
+            .when(col("tp").isNull || col("tp") < col("tc"), 2L)
+            .otherwise(3L).as("funnel_stage"))
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batch,
+        "incremental funnel state must equal the batch mins derivation")
+      assert(streamed.map(_.getLong(1)).toSet.size > 1,
+        "corpus should exercise more than one funnel stage")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_tws: transformWithState running stats across micro-batches == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
