@@ -1038,7 +1038,88 @@ object MultimodalQueries {
       |FROM m CROSS JOIN t
       |GROUP BY modality ORDER BY modality""".stripMargin
 
+  // F18 — energy-based VOICE-ACTIVITY DETECTION segments (the speech
+  // curation primitive: cut audio into speech/silence runs before any
+  // model sees it). Same contract as F5: the waveform rides a REAL
+  // WAV encode/decode in-task (mapPartitions — pixels/samples never
+  // shuffle), frames of 32 samples get an exact-rational RMS, a
+  // threshold gates frame activity, and the segmentation is
+  // gaps-and-islands over active frames computed doc-locally. The
+  // corpus plants alternating loud/quiet 160-sample regions (5
+  // aligned frames) keyed off (doc_id, region), so the oracle replays
+  // construction → framing → RMS → threshold → islands arithmetically
+  // and green proves the whole VAD chain to the frame.
+  private def mmVadSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (640 + (id % 7) * 64).toInt
+          val samples = Array.tabulate(n) { i =>
+            val loud = (id + i / 160) % 3 != 0
+            if (loud) (((id * 31 + i * 7) % 201) - 100).toInt
+            else (((id * 13 + i * 3) % 9) - 4).toInt
+          }
+          val d = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(16000, samples))
+          val frames = d.samples.grouped(32).toArray
+          val active = frames.map { f =>
+            val rms = math.sqrt(
+              f.foldLeft(0L)((a, v) => a + v.toLong * v).toDouble / f.length)
+            rms >= 10.0
+          }
+          var nSeg = 0L
+          var longest = 0L
+          var cur = 0L
+          var nActive = 0L
+          active.foreach { a =>
+            if (a) { if (cur == 0) nSeg += 1; cur += 1; nActive += 1
+              if (cur > longest) longest = cur }
+            else cur = 0
+          }
+          MmVadRow(id, frames.length.toLong, nActive, nSeg, longest)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmVadSegmentsSql =
+    """WITH s AS (
+      | SELECT doc_id, i,
+      |  CASE WHEN (doc_id + i // 160) % 3 <> 0
+      |       THEN ((doc_id * 31 + i * 7) % 201) - 100
+      |       ELSE ((doc_id * 13 + i * 3) % 9) - 4 END AS v
+      | FROM documents, LATERAL (
+      |  SELECT unnest(generate_series(0,
+      |    CAST(639 + (doc_id % 7) * 64 AS BIGINT))) AS i) t),
+      |f AS (
+      | SELECT doc_id, i // 32 AS frame_id,
+      |  sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) >= 10.0 AS active
+      | FROM s GROUP BY doc_id, i // 32),
+      |isl AS (
+      | SELECT doc_id, frame_id,
+      |  frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id)
+      |    AS grp
+      | FROM f WHERE active),
+      |seg AS (
+      | SELECT doc_id, grp, count(*) AS seg_len
+      | FROM isl GROUP BY doc_id, grp),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(max(seg_len) AS BIGINT) AS longest_seg,
+      |  CAST(sum(seg_len) AS BIGINT) AS n_active
+      | FROM seg GROUP BY doc_id),
+      |fr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+      |       FROM f GROUP BY doc_id)
+      |SELECT fr.doc_id, n_frames,
+      | coalesce(n_active, 0) AS n_active,
+      | coalesce(n_segments, 0) AS n_segments,
+      | coalesce(longest_seg, 0) AS longest_seg
+      |FROM fr LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_vad_segments" -> (mmVadSegments _),
     "mm_modality_router" -> (mmModalityRouter _),
     "mm_shard_manifest" -> (mmShardManifest _),
     "mm_image_resize" -> (mmImageResize _),
@@ -1058,6 +1139,7 @@ object MultimodalQueries {
     "mm_png_decode" -> (mmPngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm_vad_segments" -> mmVadSegmentsSql,
     "mm_modality_router" -> mmModalityRouterSql,
     "mm_shard_manifest" -> mmShardManifestSql,
     "mm_image_resize" -> mmImageResizeSql,
@@ -1093,6 +1175,8 @@ case class MmImageFeatRow(doc_id: Long, q_tl: Double, q_tr: Double,
 case class MmImagePhashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
     n_bits: Long)
 case class MmAudioFpRow(doc_id: Long, n_frames: Long, fp: Long, n_bits: Long)
+case class MmVadRow(doc_id: Long, n_frames: Long, n_active: Long,
+    n_segments: Long, longest_seg: Long)
 case class MmPngRow(doc_id: Long, width: Long, height: Long, channels: Long,
   mean_r: Double, mean_a: Double)
 case class MmVideoRow(doc_id: Long, n_frames: Long, n_keyframes: Long,

@@ -2773,7 +2773,53 @@ object RelationalQueries {
       |WHERE p_type = 'ECONOMY'
       |GROUP BY p_name ORDER BY p_name""".stripMargin
 
+  // B82 — FIRST/LAST-TOUCH ATTRIBUTION (the marketing-analytics
+  // staple funnels don't answer: which channel gets credit for a
+  // purchase?): per user, a running "first/last non-purchase event
+  // type so far" rides one event-time window (first/last with
+  // ignoreNulls over unbounded-preceding rows — per-USER partitions,
+  // so the window distributes; no global sort anywhere), then each
+  // purchase row reads its credit off the running columns.
+  // Purchases with no preceding touch credit 'none' — the honest
+  // bucket attribution tools hide. One shuffle on user_id; at 100 TB
+  // the same plan holds because the window key is the natural
+  // partition key.
+  private def q82Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    t(s, dir, "events")
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"),
+        col("value"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  private val q82Sql =
+    """WITH r AS (
+      | SELECT event_type, value,
+      |  first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      | FROM events)
+      |SELECT coalesce(first_touch, 'none') AS first_touch,
+      | coalesce(last_touch, 'none') AS last_touch,
+      | count(*) AS n_purchases, round(sum(value), 2) AS attributed_value
+      |FROM r WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_attribution" -> (q82Attribution _),
     "q81_bloom_join" -> (q81BloomJoin _),
     "q77_chisq" -> (q77Chisq _),
     "q78_mannwhitney" -> (q78MannWhitney _),
@@ -2857,6 +2903,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q82_attribution" -> q82Sql,
     "q81_bloom_join" -> q81Sql,
     "q77_chisq" -> q77Sql,
     "q78_mannwhitney" -> q78Sql,

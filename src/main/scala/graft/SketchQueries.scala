@@ -399,7 +399,91 @@ object SketchQueries {
       | abs(f2_est - f2_exact) <= f2_exact * 0.5 AS within_bound
       |FROM est, ex""".stripMargin
 
+  // I11 — KMV SET INTERSECTION (the theta-sketch operation I6's
+  // HLL inclusion-exclusion can't do robustly — I-E variance explodes
+  // as the intersection shrinks): keep the k smallest hashes of each
+  // set (I8's bottom-k, mergeable by construction); θ = k-th smallest
+  // of the UNION sketch, est_union = (k−1)·M/θ, and the intersection
+  // estimate is DIRECT: the fraction ρ of union-sketch members that
+  // belong to BOTH sets, scaled by est_union. Everything below θ is a
+  // uniform sample of the union — the sketch that supports ∩/∖/
+  // Jaccard natively. Deterministic hash family ⇒ the SQL oracle
+  // replays the full estimator; within_bound audits it against the
+  // exact intersection the oracle also computes.
+  private def sketchKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000003L
+    val k = 64
+    val h = (((col("user_id") * col("user_id")) % M) * 104729L
+      + col("user_id") * 7919L + 977L) % M
+    val ev = Tables.load(s, dir, "events")
+    // sets with PARTIAL overlap (every user in this corpus has every
+    // event type, so membership keys off per-user spend, not type):
+    // A = click-value > 600, B = purchase-value > 600
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(col("event_type") === "click", col("value"))), lit(0.0))
+          > 600.0).cast("long").as("in_a"),
+        (coalesce(sum(when(col("event_type") === "purchase", col("value"))), lit(0.0))
+          > 600.0).cast("long").as("in_b"))
+      .filter(col("in_a") === 1L || col("in_b") === 1L)
+      .withColumn("h", h)
+    val union = tagged.orderBy(col("h"), col("user_id")).limit(k)
+    val stats = union.agg(
+      count(lit(1)).as("k_used"), max(col("h")).as("theta"),
+      sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+        .as("k_both"))
+    val exact = tagged.agg(
+      count(lit(1)).as("exact_union"),
+      sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+        .as("exact_inter"))
+    stats.crossJoin(broadcast(exact))
+      .withColumn("est_union",
+        when(col("k_used") < k, col("exact_union").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * M / col("theta")))
+      .withColumn("est_inter",
+        col("k_both").cast("double") / col("k_used") * col("est_union"))
+      .select(col("exact_union"), col("exact_inter"),
+        (round(col("est_union"), 4) + lit(0.0)).as("est_union"),
+        (round(col("est_inter"), 4) + lit(0.0)).as("est_inter"),
+        (abs(col("est_inter") - col("exact_inter"))
+          <= col("exact_union") * 0.25).as("within_bound"))
+  }
+
+  private val sketchKmvIntersectSql =
+    """WITH t AS (
+      | SELECT * FROM (
+      |  SELECT user_id,
+      |   CASE WHEN coalesce(sum(CASE WHEN event_type = 'click'
+      |     THEN value END), 0) > 600 THEN 1 ELSE 0 END AS in_a,
+      |   CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+      |     THEN value END), 0) > 600 THEN 1 ELSE 0 END AS in_b,
+      |   (((user_id * user_id) % 1000003) * 104729 + user_id * 7919 + 977)
+      |     % 1000003 AS h
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY user_id)
+      | WHERE in_a = 1 OR in_b = 1),
+      |un AS (SELECT * FROM t ORDER BY h, user_id LIMIT 64),
+      |st AS (SELECT count(*) AS k_used, max(h) AS theta,
+      |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS k_both FROM un),
+      |ex AS (SELECT count(*) AS exact_union,
+      |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS exact_inter FROM t),
+      |j AS (SELECT *,
+      |  CASE WHEN k_used < 64 THEN CAST(exact_union AS DOUBLE)
+      |       ELSE CAST(63 AS DOUBLE) * 1000003 / theta END AS est_union
+      | FROM st, ex),
+      |j2 AS (SELECT *,
+      |  CAST(k_both AS DOUBLE) / k_used * est_union AS est_inter FROM j)
+      |SELECT exact_union, exact_inter,
+      | round(est_union, 4) + 0 AS est_union,
+      | round(est_inter, 4) + 0 AS est_inter,
+      | abs(est_inter - exact_inter) <= exact_union * 0.25 AS within_bound
+      |FROM j2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "sketch_ams_f2" -> (sketchAmsF2 _),
     "sketch_bloom_fpr_curve" -> (sketchBloomFprCurve _),
     "sketch_bottomk_sample" -> (sketchBottomkSample _),
@@ -412,6 +496,7 @@ object SketchQueries {
     "sketch_kll_quantiles" -> (sketchKllQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_kmv_intersect" -> sketchKmvIntersectSql,
     "sketch_ams_f2" -> sketchAmsF2Sql,
     "sketch_bloom_fpr_curve" -> sketchBloomFprCurveSql,
     "sketch_bottomk_sample" -> sketchBottomkSampleSql,
