@@ -544,6 +544,55 @@ object EcsQueries {
       |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim FROM r WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin
 
+  /** A20: BRANCHED (what-if) SIMULATION — fork run A at an historical
+    * step into run B and evolve the branch under different dynamics,
+    * then compare endpoints. The store's (simulation, run) keying
+    * gives branch isolation for free; the fork itself is one history
+    * read (the step-1 frame) re-spawned into the new run — no copy of
+    * anything but the live frame, which is exactly how a 100 TB store
+    * would branch (state at step k is O(entities), not O(history)).
+    * Trunk: 3 steps of dt=0.25; branch: forked after step 1, 2 more
+    * steps of dt=0.5 — both endpoints closed-form against customer.
+    */
+  def branchRun(spark: SparkSession, dir: String): DataFrame = {
+    val trunk = World.make(spark, "sim_graft", "run_branch_a")
+    trunk.addProcessor(MovementProcessor)
+    trunk.spawnBatch(PosVel, seedCustomers(spark, dir))
+    (1 to 3).foreach(_ => trunk.step(0.25))
+    // fork: the step-1 frame of the trunk's history becomes run B's
+    // spawn state (position AND velocity — the full archetype)
+    val forkFrame = trunk.getHistory(PosVel)(PosVelHash)
+      .filter(col("step") === 1L)
+      .select(col("entity_id"), col("position__x"), col("position__y"),
+        col("velocity__vx"), col("velocity__vy"))
+    val branch = World.make(spark, "sim_graft", "run_branch_b")
+    branch.addProcessor(MovementProcessor)
+    branch.spawnBatch(PosVel, forkFrame)
+    (1 to 2).foreach(_ => branch.step(0.5))
+    def endpoint(w: World, tag: String): DataFrame =
+      w.query(PosVel)(PosVelHash)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("position__x")), 2).as("sum_x"),
+          round(sum(col("position__y")), 2).as("sum_y"))
+        .select(lit(tag).as("branch"), col("n"), col("sum_x"), col("sum_y"))
+    endpoint(trunk, "trunk").unionByName(endpoint(branch, "fork_step1"))
+      .orderBy(col("branch"))
+  }
+
+  // trunk: x0 + 3·0.25·v; branch: (x0 + 0.25·v) + 2·0.5·v = x0 + 1.25·v
+  val branchRunOracle: String =
+    """SELECT * FROM (
+      | SELECT 'fork_step1' AS branch, count(*) AS n,
+      |  round(sum(floor(c_acctbal) + 1.25 * (c_custkey % 7)), 2) AS sum_x,
+      |  round(sum(1.25 * ((c_custkey % 5) - 2)), 2) AS sum_y
+      | FROM customer
+      | UNION ALL
+      | SELECT 'trunk' AS branch, count(*) AS n,
+      |  round(sum(floor(c_acctbal) + 0.75 * (c_custkey % 7)), 2) AS sum_x,
+      |  round(sum(0.75 * ((c_custkey % 5) - 2)), 2) AS sum_y
+      | FROM customer
+      |) ORDER BY branch""".stripMargin
+
   case class Balance(bal: Double) extends Component
   val BalMeta: ComponentMeta = ComponentMeta.of[Balance]
   val BalHash: String = Archetype.hashOf(Seq(BalMeta))
@@ -899,6 +948,7 @@ object EcsQueries {
     "ecs_run_registry" -> (runRegistry _),
     "ecs_vector_search" -> (vectorSearch _),
     "ecs_scalar_index" -> (scalarIndex _),
+    "ecs_branch" -> (branchRun _),
     "ecs_spawn_query" -> (spawnQuery _),
     "ecs_movement_sim" -> (movementSim _),
     "ecs_history" -> (history _),
@@ -920,6 +970,7 @@ object EcsQueries {
     "ecs_run_registry" -> runRegistryOracle,
     "ecs_vector_search" -> vectorSearchOracle,
     "ecs_scalar_index" -> scalarIndexOracle,
+    "ecs_branch" -> branchRunOracle,
     "ecs_spawn_query" -> spawnQueryOracle,
     "ecs_movement_sim" -> movementSimOracle,
     "ecs_history" -> historyOracle,

@@ -1504,7 +1504,48 @@ object PipelineQueries {
       |   AS dup_share
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  // J26 — CHAT LOSS-MASK planning (SFT preprocessing: train on
+  // assistant turns, mask user turns — J23's span corruption is the
+  // pretraining sibling): documents are segmented into alternating
+  // 12-word turns (user first — the corpus has no real chat markup;
+  // the shape is markup-agnostic), and the plan emits per-doc counts
+  // plus the trainable-token ratio. Pure positional arithmetic over
+  // one explode (pos DIV 12 = turn, turn % 2 = role) with map-side-
+  // combining aggregation — the shuffle carries per-doc counters,
+  // never tokens. A packer (J11) consumes exactly this shape.
+  private def pipelineLossMask(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as(Seq("pos", "w")))
+      .withColumn("turn", expr("CAST(pos AS BIGINT) DIV 12"))
+      .withColumn("trainable", (col("turn") % 2 === 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (max(col("turn")) + 1).as("n_turns"),
+        sum(col("trainable")).as("n_trainable"))
+      .withColumn("trainable_ratio",
+        round(col("n_trainable").cast("double") / col("n_tokens"), 4))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private val pipelineLossMaskSql =
+    """WITH t AS (
+      | SELECT doc_id, i - 1 AS pos
+      | FROM (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |       FROM documents),
+      |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u),
+      |m AS (SELECT doc_id, pos // 12 AS turn,
+      |       CASE WHEN (pos // 12) % 2 = 1 THEN 1 ELSE 0 END AS trainable
+      |      FROM t)
+      |SELECT doc_id, count(*) AS n_tokens,
+      | max(turn) + 1 AS n_turns,
+      | CAST(sum(trainable) AS BIGINT) AS n_trainable,
+      | round(CAST(sum(trainable) AS DOUBLE) / count(*), 4) AS trainable_ratio
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_loss_mask" -> (pipelineLossMask _),
     "pipeline_digest_index" -> (pipelineDigestIndex _),
     "pipeline_drift_kl" -> (pipelineDriftKl _),
     "pipeline_t5_spans" -> (pipelineT5Spans _),
@@ -1532,6 +1573,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_loss_mask" -> pipelineLossMaskSql,
     "pipeline_digest_index" -> pipelineDigestIndexSql,
     "pipeline_drift_kl" -> pipelineDriftKlSql,
     "pipeline_t5_spans" -> pipelineT5SpansSql,

@@ -1541,7 +1541,57 @@ object SimilarityQueries {
       | round(l / 1000000.0, 4) + 0 AS eigval_scaled
       |FROM q, lam ORDER BY vec_id""".stripMargin
 
+  // D23 — k-NN GRAPH construction (the OFFLINE all-pairs primitive
+  // under graph-ANN indexes, SemDeDup clustering, and label
+  // propagation — D2 answers one query, this materializes EVERY
+  // node's neighborhood): candidate generation is the same seeded
+  // hyperplane-LSH bucket equi-join (work ∝ bucket co-residency,
+  // never n²), per-node top-3 by exact cosine, then each directed
+  // edge is tagged MUTUAL iff its reverse is also a top-3 edge (one
+  // self-join on the edge list) — mutual-kNN is the standard
+  // symmetrization that graph clustering consumes. Fully
+  // deterministic (seeded planes) ⇒ the oracle replays candidate
+  // generation, ranking, and symmetrization.
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).select(col("vec_id"), col("v"))
+    val edges = graft.operators.RandomHyperplaneLsh
+      .knnGraph(all, "vec_id", "v", k = 3, tables = 8, bits = 8, dim = 64)
+    val rev = edges.select(col("qid").as("nid"), col("nid").as("qid"))
+      .withColumn("mutual", lit(true))
+    edges.join(rev, Seq("qid", "nid"), "left")
+      .select(col("qid"), col("rn"), col("nid"), col("cos_sim"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnGraphSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+      |        CAST(((1103*(p*64+d)+12289) % 8191) - 4095 AS DOUBLE)) AS w
+      |       FROM (SELECT unnest(generate_series(0, 63)) AS p) ps),
+      |bk AS (SELECT e.vec_id, p // 8 AS tbl,
+      |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      |         FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |          AND c.vec_id <> q.vec_id),
+      |sc AS (SELECT qid, nid,
+      |        list_dot_product(x.v, y.v) /
+      |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+      |      FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = nid),
+      |r AS (SELECT qid, nid, cos,
+      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |      FROM sc),
+      |topk AS (SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim
+      |         FROM r WHERE rn <= 3)
+      |SELECT t.qid, t.rn, t.nid, t.cos_sim,
+      | (rv.qid IS NOT NULL) AS mutual
+      |FROM topk t LEFT JOIN (SELECT DISTINCT qid, nid FROM topk) rv
+      |  ON rv.qid = t.nid AND rv.nid = t.qid
+      |ORDER BY t.qid, t.rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> (knnGraph _),
     "vec_pca_power" -> (vecPcaPower _),
     "knn_nprobe_curve" -> (knnNprobeCurve _),
     "knn_ivfpq_residual" -> (knnIvfPqResidual _),
@@ -1567,6 +1617,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "vec_pca_power" -> vecPcaPowerSql,
+    "knn_graph" -> knnGraphSql,
     "knn_nprobe_curve" -> knnNprobeCurveSql,
     "knn_ivfpq_residual" -> knnIvfTrainedSql, // same contract: residual PQ changes the index, not the reference
     "knn_random_projection" -> knnRandomProjectionSql,

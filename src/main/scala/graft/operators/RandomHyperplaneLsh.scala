@@ -112,4 +112,30 @@ object RandomHyperplaneLsh {
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
       .transform(df => graft.QueryShape.stagedSort(df, col("qid"), col("rn")))
   }
+
+  /** All-pairs k-NN GRAPH over one corpus: same bucket-candidate
+    * generation as [[knn]], but the bucket join is a plain SHUFFLE
+    * equi-join — when the "query" side is the whole corpus there is
+    * nothing small to broadcast, and bucket co-residency (not n²)
+    * still bounds the candidate volume. Returns every node's top-k
+    * directed edges (qid, rn, nid, cos_sim).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bucketed(corpus, idCol, vecCol, tables, bits, dim)
+    val cb = b.select(col("tbl"), col("bucket"), col(idCol).as("nid"),
+      col("v").as("nv"))
+    val qb = b.select(col("tbl"), col("bucket"), col(idCol).as("qid"),
+      col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cb.join(qb, Seq("tbl", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+  }
 }
