@@ -593,6 +593,55 @@ object EcsQueries {
       | FROM customer
       |) ORDER BY branch""".stripMargin
 
+  /** A21: HISTORY COMPACTION (checkpoint thinning) — the storage-
+    * management story for a long-running store (the table analogue is
+    * H9; LanceDB's `optimize()` is the reference's version of the
+    * same concern, store.py:27): a 6-step history keeps every step's
+    * frame; the compacted export retains only every 3rd step
+    * (0, 3, 6 — checkpoints plus the tip). The query proves the
+    * compaction is SAFE where it claims to be: the tip frame and the
+    * retained step-3 checkpoint summarize identically from the full
+    * and compacted histories (all four sums closed-form against
+    * supplier), while the row count shows the 7→3 storage shrink.
+    */
+  def historyCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_compact")
+    world.addProcessor(MovementProcessor)
+    val seed = Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("entity_id"),
+      floor(col("s_acctbal")).cast("double").as("position__x"),
+      lit(0.0).as("position__y"),
+      (col("s_suppkey") % 3).cast("double").as("velocity__vx"),
+      lit(1.0).as("velocity__vy"))
+    world.spawnBatch(PosVel, seed)
+    (1 to 6).foreach(_ => world.step(0.5))
+    val full = world.getHistory(PosVel)(PosVelHash)
+    val compacted = full.filter(col("step") % 3 === 0)
+    def summarize(h: DataFrame, tag: String): DataFrame =
+      h.agg(count(lit(1)).as("n_rows"),
+        round(sum(when(col("step") === 6, col("position__x"))), 2).as("sum_x_tip"),
+        round(sum(when(col("step") === 3, col("position__x"))), 2).as("sum_x_ckpt"))
+        .select(lit(tag).as("version"), col("n_rows"),
+          col("sum_x_tip"), col("sum_x_ckpt"))
+    summarize(full, "full").unionByName(summarize(compacted, "compact"))
+      .orderBy(col("version"))
+  }
+
+  // x(step) = floor(acctbal) + 0.5·step·(k mod 3); full history = 7
+  // frames per entity, compacted = 3 (steps 0, 3, 6).
+  val historyCompactionOracle: String =
+    """SELECT * FROM (
+      | SELECT 'compact' AS version, 3 * count(*) AS n_rows,
+      |  round(sum(floor(s_acctbal) + 3.0 * (s_suppkey % 3)), 2) AS sum_x_tip,
+      |  round(sum(floor(s_acctbal) + 1.5 * (s_suppkey % 3)), 2) AS sum_x_ckpt
+      | FROM supplier
+      | UNION ALL
+      | SELECT 'full' AS version, 7 * count(*) AS n_rows,
+      |  round(sum(floor(s_acctbal) + 3.0 * (s_suppkey % 3)), 2) AS sum_x_tip,
+      |  round(sum(floor(s_acctbal) + 1.5 * (s_suppkey % 3)), 2) AS sum_x_ckpt
+      | FROM supplier
+      |) ORDER BY version""".stripMargin
+
   case class Balance(bal: Double) extends Component
   val BalMeta: ComponentMeta = ComponentMeta.of[Balance]
   val BalHash: String = Archetype.hashOf(Seq(BalMeta))
@@ -949,6 +998,7 @@ object EcsQueries {
     "ecs_vector_search" -> (vectorSearch _),
     "ecs_scalar_index" -> (scalarIndex _),
     "ecs_branch" -> (branchRun _),
+    "ecs_history_compaction" -> (historyCompaction _),
     "ecs_spawn_query" -> (spawnQuery _),
     "ecs_movement_sim" -> (movementSim _),
     "ecs_history" -> (history _),
@@ -971,6 +1021,7 @@ object EcsQueries {
     "ecs_vector_search" -> vectorSearchOracle,
     "ecs_scalar_index" -> scalarIndexOracle,
     "ecs_branch" -> branchRunOracle,
+    "ecs_history_compaction" -> historyCompactionOracle,
     "ecs_spawn_query" -> spawnQueryOracle,
     "ecs_movement_sim" -> movementSimOracle,
     "ecs_history" -> historyOracle,

@@ -1544,7 +1544,52 @@ object PipelineQueries {
       | round(CAST(sum(trainable) AS DOUBLE) / count(*), 4) AS trainable_ratio
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // J27 — TEMPERATURE-SCALED source mixing (the multilingual-LM
+  // α-sampling rule: sample source i ∝ n_i^α, α<1 upweights small
+  // sources — J5's domain mix fixes target shares by hand; this
+  // DERIVES them from corpus mass): per-source token mass is one
+  // hash agg; α = 0.5 so the reweight is sqrt — IEEE-exact in both
+  // engines (a general pow(x, 0.7) is not guaranteed correctly
+  // rounded cross-libm, which is a parity bug waiting to happen).
+  // Output: raw vs temperature share and the effective epoch
+  // multiplier each source gets. 20-row frame; shuffle carries
+  // (source, count) only.
+  private def pipelineMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
+    val tot = toks.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(sqrt(col("tokens"))).as("tot_w"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("raw_share", col("tokens").cast("double") / col("tot_tokens"))
+      .withColumn("temp_share", sqrt(col("tokens")) / col("tot_w"))
+      .select(col("source"), col("tokens"),
+        (round(col("raw_share"), 6) + lit(0.0)).as("raw_share"),
+        (round(col("temp_share"), 6) + lit(0.0)).as("temp_share"),
+        (round(col("temp_share") / col("raw_share"), 4) + lit(0.0))
+          .as("epoch_multiplier"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineMixTemperatureSql =
+    """WITH t AS (
+      | SELECT source,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |    AS BIGINT) AS tokens
+      | FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+      |        sum(sqrt(tokens)) AS tot_w FROM t)
+      |SELECT source, tokens,
+      | round(CAST(tokens AS DOUBLE) / tot_tokens, 6) + 0 AS raw_share,
+      | round(sqrt(tokens) / tot_w, 6) + 0 AS temp_share,
+      | round((sqrt(tokens) / tot_w) / (CAST(tokens AS DOUBLE) / tot_tokens), 4)
+      |   + 0 AS epoch_multiplier
+      |FROM t CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix_temperature" -> (pipelineMixTemperature _),
     "pipeline_loss_mask" -> (pipelineLossMask _),
     "pipeline_digest_index" -> (pipelineDigestIndex _),
     "pipeline_drift_kl" -> (pipelineDriftKl _),
@@ -1574,6 +1619,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_loss_mask" -> pipelineLossMaskSql,
+    "pipeline_mix_temperature" -> pipelineMixTemperatureSql,
     "pipeline_digest_index" -> pipelineDigestIndexSql,
     "pipeline_drift_kl" -> pipelineDriftKlSql,
     "pipeline_t5_spans" -> pipelineT5SpansSql,

@@ -2745,12 +2745,25 @@ object RelationalQueries {
     val dim = t(s, dir, "part")
       .filter(col("p_type") === "ECONOMY")
       .select(col("p_partkey"), col("p_name"))
-    val bloomDf = dim.agg(bloom(col("p_partkey"), 65536, 4).as("bf"))
+    // SIZE THE FILTER TO THE DOMAIN (measured lesson: a fixed 64 Kbit
+    // filter at 10× keys pushed FPR to ~50% and the prefilter stopped
+    // pruning): ~16 bits/key keeps FPR(k=4) ≈ 0.2% at any scale; the
+    // count is one tiny agg over the already-filtered dim side.
+    val nKeys = dim.count()
+    val numBits = math.max(65536L, java.lang.Long.highestOneBit(
+      nKeys * 16 * 2 - 1)).min(1L << 28).toInt
+    // The built filter is collected ONCE and embedded as a LITERAL in
+    // the probe expression — exactly how Spark's own runtime filter
+    // injects its bloom. Carrying it as a broadcast-joined COLUMN
+    // instead copies the full buffer into every probe row's UnsafeRow:
+    // measured 227 s at sf1 (1 MB filter × 6M rows) vs ~8 s as a
+    // literal. The filter is a driver artifact of the same class as
+    // k-means centroids: O(bits), independent of fact size.
+    val bfBytes = dim.agg(bloom(col("p_partkey"), numBits, 4).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val fact = t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-    val pre = fact.crossJoin(broadcast(bloomDf))
-      .filter(bloomContains(col("bf"), col("l_partkey")))
-      .drop("bf")
+    val pre = fact.filter(bloomContains(lit(bfBytes), col("l_partkey")))
     // prove the bloom pruned: survivors must be well under the fact
     // count (ECONOMY parts are ~1/5 of the domain; 4-hash/64Kbit FPR
     // is far below the 50% headroom this leaves)
@@ -2818,7 +2831,182 @@ object RelationalQueries {
       |FROM r WHERE event_type = 'purchase'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // B84 — KEY-SEQUENCE GAP AUDIT (the data-quality sweep for "did
+  // ingestion drop rows?"): find every gap in the orderkey sequence
+  // WITHOUT a global-order window (lag over an unpartitioned ORDER BY
+  // is the single-partition anti-pattern). Scale-safe decomposition:
+  // keys bucket by DIV 1000 — within a bucket, missing = span −
+  // count (one hash agg); ACROSS bucket boundaries, the gap between
+  // bucket i's max and the next non-empty bucket's min comes from a
+  // window over the PER-BUCKET frame (≤ n/1000 rows — three orders
+  // of magnitude smaller than the data; at 100 TB recurse the same
+  // trick once more if even that frame is large). Output: per-bucket
+  // interior missing + boundary missing, plus totals that reconcile
+  // against (global span − distinct keys) — an internal consistency
+  // proof the oracle re-derives independently.
+  private def q84SequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "orders").select(col("o_orderkey")).distinct()
+    val buckets = keys
+      .groupBy((col("o_orderkey") / 1000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), min(col("o_orderkey")).as("k_min"),
+        max(col("o_orderkey")).as("k_max"))
+    val wNext = Window.orderBy(col("bucket")) // per-bucket frame: tiny
+    val audited = buckets
+      .withColumn("interior_missing",
+        col("k_max") - col("k_min") + 1 - col("n_keys"))
+      .withColumn("next_min", lead(col("k_min"), 1).over(wNext))
+      .withColumn("boundary_missing",
+        coalesce(col("next_min") - col("k_max") - 1, lit(0L)))
+    audited
+      .agg(sum(col("n_keys")).as("n_keys"),
+        min(col("k_min")).as("k_lo"), max(col("k_max")).as("k_hi"),
+        sum(col("interior_missing")).as("interior_missing"),
+        sum(col("boundary_missing")).as("boundary_missing"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("total_missing",
+        col("interior_missing") + col("boundary_missing"))
+      .withColumn("reconciles",
+        col("total_missing") === col("k_hi") - col("k_lo") + 1 - col("n_keys"))
+  }
+
+  private val q84Sql =
+    """WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+      |b AS (
+      | SELECT o_orderkey // 1000 AS bucket, count(*) AS n_keys,
+      |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+      | FROM k GROUP BY 1),
+      |a AS (
+      | SELECT *, k_max - k_min + 1 - n_keys AS interior_missing,
+      |  coalesce(lead(k_min) OVER (ORDER BY bucket) - k_max - 1, 0)
+      |    AS boundary_missing
+      | FROM b),
+      |t AS (
+      | SELECT CAST(sum(n_keys) AS BIGINT) AS n_keys, min(k_min) AS k_lo,
+      |  max(k_max) AS k_hi,
+      |  CAST(sum(interior_missing) AS BIGINT) AS interior_missing,
+      |  CAST(sum(boundary_missing) AS BIGINT) AS boundary_missing,
+      |  count(*) AS n_buckets
+      | FROM a)
+      |SELECT *, interior_missing + boundary_missing AS total_missing,
+      | interior_missing + boundary_missing = k_hi - k_lo + 1 - n_keys
+      |   AS reconciles
+      |FROM t""".stripMargin
+
+  // B85 — BENFORD first-digit audit (the fraud/data-quality screen:
+  // organically-generated amounts follow P(d) = log10(1+1/d);
+  // fabricated or truncated data doesn't): first significant digit
+  // via string ops on the cent-exact amount (no float log in the
+  // digit extraction), exact counts, and the expected Benford mass
+  // as nine SHARED LITERALS (both engines compare against the same
+  // constants — no libm log10 in the gate). Output per digit:
+  // count, observed frac, expected, |dev|; plus the chi-square-style
+  // total deviation as a repeated column. One hash agg; 9-row frame.
+  private def q85Benford(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(
+      1 -> 0.30103, 2 -> 0.17609, 3 -> 0.12494, 4 -> 0.09691,
+      5 -> 0.07918, 6 -> 0.06695, 7 -> 0.05799, 8 -> 0.05115, 9 -> 0.04576)
+    val exp = benford.map { case (d, p) =>
+      struct(lit(d.toLong).as("digit"), lit(p).as("benford_p"))
+    }
+    val digits = t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_total"))
+    digits
+      .join(broadcast(s.range(1).select(explode(array(exp: _*)).as("e"))
+        .select(col("e.digit"), col("e.benford_p"))), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_frac", col("n").cast("double") / col("n_total"))
+      .withColumn("abs_dev", abs(col("obs_frac") - col("benford_p")))
+      .select(col("digit"), col("n"),
+        round(col("obs_frac"), 6).as("obs_frac"), col("benford_p"),
+        round(col("abs_dev"), 6).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  private val q85Sql =
+    """WITH e AS (
+      | SELECT * FROM (VALUES (1, 0.30103), (2, 0.17609), (3, 0.12494),
+      |  (4, 0.09691), (5, 0.07918), (6, 0.06695), (7, 0.05799),
+      |  (8, 0.05115), (9, 0.04576)) v(digit, benford_p)),
+      |d AS (
+      | SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |   AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n
+      | FROM orders GROUP BY 1),
+      |t AS (SELECT sum(n) AS n_total FROM d)
+      |SELECT d.digit, n, round(CAST(n AS DOUBLE) / n_total, 6) AS obs_frac,
+      | benford_p,
+      | round(abs(CAST(n AS DOUBLE) / n_total - benford_p), 6) AS abs_dev
+      |FROM d JOIN e ON e.digit = d.digit CROSS JOIN t
+      |ORDER BY d.digit""".stripMargin
+
+  // B86 — SESSION BOUNCE metrics (product-analytics layer over q21's
+  // sessionization): sessions = 30-min-gap islands per user (lag +
+  // running sum of gap flags, per-USER windows — distributes on the
+  // natural key), then per-session size/span and the corpus-level
+  // bounce rate (single-event sessions). Span is exact integer
+  // seconds; ratios round at the edge. One shuffle on user_id, one
+  // per-session hash agg, one global fold — the same plan at 100 TB.
+  private def q86BounceSessions(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // exact integer MICROS on both sides (unix_timestamp truncates to
+    // seconds; DuckDB's epoch() keeps fractional seconds — sub-second
+    // drift turned the averages red once)
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wSeq))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wSeq.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val sessions = ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / 1000000.0).as("span_sec"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+      round(avg(col("n_events")), 4).as("avg_events"),
+      round(avg(col("span_sec")), 4).as("avg_span_sec"))
+      .withColumn("bounce_rate",
+        round(col("n_bounce").cast("double") / col("n_sessions"), 6))
+  }
+
+  private val q86Sql =
+    """WITH e AS (
+      | SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS prev_us
+      | FROM events),
+      |f AS (
+      | SELECT *, CASE WHEN prev_us IS NULL
+      |   OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      | FROM e),
+      |g AS (
+      | SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |   CURRENT ROW) AS session_id
+      | FROM f),
+      |sess AS (
+      | SELECT user_id, session_id, count(*) AS n_events,
+      |  (max(ts_us) - min(ts_us)) / 1000000.0 AS span_sec
+      | FROM g GROUP BY user_id, session_id)
+      |SELECT count(*) AS n_sessions,
+      | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_bounce,
+      | round(avg(n_events), 4) AS avg_events,
+      | round(avg(span_sec), 4) AS avg_span_sec,
+      | round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 6) AS bounce_rate
+      |FROM sess""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_bounce_sessions" -> (q86BounceSessions _),
+    "q84_sequence_gaps" -> (q84SequenceGaps _),
+    "q85_benford" -> (q85Benford _),
     "q82_attribution" -> (q82Attribution _),
     "q81_bloom_join" -> (q81BloomJoin _),
     "q77_chisq" -> (q77Chisq _),
@@ -2903,6 +3091,9 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q86_bounce_sessions" -> q86Sql,
+    "q84_sequence_gaps" -> q84Sql,
+    "q85_benford" -> q85Sql,
     "q82_attribution" -> q82Sql,
     "q81_bloom_join" -> q81Sql,
     "q77_chisq" -> q77Sql,

@@ -1553,9 +1553,22 @@ object SimilarityQueries {
   // deterministic (seeded planes) ⇒ the oracle replays candidate
   // generation, ranking, and symmetrization.
   private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    // EXACT-VECTOR COLLAPSE first (r5's dedup-family lesson, re-learned
+    // here by measurement: a 10× replica with duplicated content sent
+    // identical vectors to identical buckets and the candidate join
+    // quadratic — 108.7× for 10× data; collapsed, the graph is built
+    // over DISTINCT vectors only, which is also what SemDeDup-style
+    // consumers want). rep = min vec_id per distinct vector; the
+    // 16-byte digest, not the vector, rides the collapse shuffle.
     val all = emb(s, dir).select(col("vec_id"), col("v"))
+      .withColumn("vkey", md5(to_json(struct(col("v")))))
+    val reps = all.groupBy(col("vkey"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("n_copies"))
+    val distinctVecs = all.join(reps.select(col("vkey"), col("vec_id")),
+        Seq("vkey", "vec_id")).select(col("vec_id"), col("v"))
     val edges = graft.operators.RandomHyperplaneLsh
-      .knnGraph(all, "vec_id", "v", k = 3, tables = 8, bits = 8, dim = 64)
+      .knnGraph(distinctVecs, "vec_id", "v", k = 3, tables = 8, bits = 8,
+        dim = 64)
     val rev = edges.select(col("qid").as("nid"), col("nid").as("qid"))
       .withColumn("mutual", lit(true))
     edges.join(rev, Seq("qid", "nid"), "left")

@@ -687,7 +687,54 @@ object SourceQueries {
       |WHERE NOT (o_custkey % 10 = 7) AND NOT (o_totalprice > 450000.0)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // H16 — INCREMENTAL MATERIALIZED-VIEW maintenance (the Delta Live
+  // Tables / streaming-MV pattern in batch form): when a new
+  // partition of the fact table lands, refresh the standing
+  // aggregate by MERGING per-group deltas into the stored MV —
+  // touching O(MV + delta), never the historical base. The merge is
+  // a full-outer coalesce of additive states (count/sum are
+  // self-maintaining under inserts; min/max would also be — under
+  // DELETES they'd need the delete-aware rewrite, which is exactly
+  // why MV engines track state additivity). By construction the
+  // maintain plan reads only the MV parquet and the delta rows — the
+  // base is never scanned — while the oracle recomputes from the
+  // FULL union, so green proves incremental == recompute.
+  private def srcIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("incmv")
+    val orders = Tables.load(s, dir, "orders")
+    val cutoff = to_timestamp(lit("1999-01-01"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sum_cents"))
+    // day 0: the MV materializes from the base and persists
+    aggOf(orders.filter(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(s"$tmp/mv")
+    // day 1: a delta partition arrives; maintain from MV + delta ONLY
+    val delta = orders.filter(col("o_orderdate") >= cutoff)
+    val mv = s.read.parquet(s"$tmp/mv")
+      .select(col("o_orderstatus"), col("n").as("n_mv"),
+        col("sum_cents").as("sum_mv"))
+    val d = aggOf(delta)
+      .select(col("o_orderstatus"), col("n").as("n_d"),
+        col("sum_cents").as("sum_d"))
+    val refreshed = mv.join(d, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n_mv"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        round((coalesce(col("sum_mv"), lit(0L)) + coalesce(col("sum_d"), lit(0L)))
+          / 100.0, 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+    TmpDir.releasing(refreshed, tmp)
+  }
+
+  private val srcIncrementalMvSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      | round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+      |   AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_incremental_mv" -> (srcIncrementalMv _),
     "src_deletion_vectors" -> (srcDeletionVectors _),
     "src_txn_log" -> (srcTxnLog _),
     "src_write_audit" -> (srcWriteAudit _),
@@ -705,6 +752,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_incremental_mv" -> srcIncrementalMvSql,
     "src_deletion_vectors" -> srcDeletionVectorsSql,
     "src_txn_log" -> srcTxnLogSql,
     "src_write_audit" -> srcWriteAuditSql,
