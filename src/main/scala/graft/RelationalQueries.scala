@@ -2453,31 +2453,16 @@ object RelationalQueries {
   // (neither engine has a chi² CDF — shipping the threshold with the
   // statistic is what a decision pipeline does anyway).
   private def q77Chisq(s: SparkSession, dir: String): DataFrame = {
+    // core factored into StatTests.chiSquare (planted-answer spec)
     val cells = t(s, dir, "orders")
-      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .groupBy(col("o_orderstatus").as("rk"), col("o_orderpriority").as("ck"))
       .agg(count(lit(1)).as("observed"))
-    val rowT = cells.groupBy(col("o_orderstatus"))
-      .agg(sum(col("observed")).as("row_tot"))
-    val colT = cells.groupBy(col("o_orderpriority"))
-      .agg(sum(col("observed")).as("col_tot"))
-    val tot = cells.agg(sum(col("observed")).as("n"),
-      countDistinct(col("o_orderstatus")).as("r"),
-      countDistinct(col("o_orderpriority")).as("c"))
-    val scored = cells
-      .join(broadcast(rowT), Seq("o_orderstatus"))
-      .join(broadcast(colT), Seq("o_orderpriority"))
-      .crossJoin(broadcast(tot))
-      .withColumn("expected",
-        col("row_tot").cast("double") * col("col_tot") / col("n"))
-      .withColumn("contrib",
-        pow(col("observed") - col("expected"), 2) / col("expected"))
-    val chi2 = scored.agg(round(sum(col("contrib")), 4).as("chi2"))
-    scored.crossJoin(broadcast(chi2))
-      .select(col("o_orderstatus"), col("o_orderpriority"), col("observed"),
+    graft.operators.StatTests.chiSquare(cells)
+      .select(col("rk").as("o_orderstatus"), col("ck").as("o_orderpriority"),
+        col("observed"),
         round(col("expected"), 4).as("expected"),
         round(col("contrib"), 6).as("contrib"),
-        col("chi2"),
-        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        col("chi2"), col("df"),
         (col("chi2") >= 15.5073).as("significant_5pct"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
@@ -2523,27 +2508,11 @@ object RelationalQueries {
       .filter(col("l_returnflag").isin("R", "A"))
       .select(col("l_returnflag").as("g"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-    val byVal = v.groupBy(col("cents"))
-      .agg(count(lit(1)).as("t"),
-        sum(when(col("g") === "R", 1L).otherwise(0L)).as("tr"))
-    val cum = graft.operators.DistributedPrefixSum
-      .withRunningTotal(byVal, col("t"), "cum_incl", col("cents"))
-      .withColumn("cum_less", col("cum_incl") - col("t"))
-    val agg = cum.agg(
-      sum(col("tr")).as("n1"),
-      sum(col("t") - col("tr")).as("n2"),
-      // Σ tr · (2·count_less + t + 1) = twice the R-group rank sum
-      sum(col("tr") * (lit(2) * col("cum_less") + col("t") + 1)).as("r1x2"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
-    agg
-      .withColumn("n", col("n1") + col("n2"))
-      .withColumn("u1", (col("r1x2") - col("n1") * (col("n1") + 1)) / 2.0)
-      .withColumn("mu", col("n1").cast("double") * col("n2") / 2.0)
-      .withColumn("var_u",
-        col("n1").cast("double") * col("n2") / 12.0 *
-          ((col("n") + lit(1.0)) -
-            col("tie3").cast("double") / (col("n") * (col("n") - lit(1.0)))))
-      .withColumn("z", (col("u1") - col("mu")) / sqrt(col("var_u")))
+    // core factored into StatTests.mannWhitney so StatsSpec can drive
+    // the identical algebra on planted data with hand-computed answers
+    graft.operators.StatTests.mannWhitney(
+      v.select((col("g") === "R").cast("long").as("in_a"),
+        col("cents").as("v")))
       .select(col("n1"), col("n2"), col("u1"),
         round(col("z"), 4).as("z_stat"),
         (abs(col("z")) >= 1.96).as("significant_5pct"))
@@ -2681,22 +2650,11 @@ object RelationalQueries {
       .withColumn("t_months", months_between(col("m1"), col("m0")).cast("long"))
       .withColumn("churned",
         when(col("m1") < ts("2001-03-01"), 1L).otherwise(0L))
-    val km = life.groupBy(col("t_months"))
-      .agg(sum(col("churned")).as("d"),
-        sum(lit(1L) - col("churned")).as("censored"))
-    val wRisk = Window.orderBy(col("t_months"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val wCum = Window.orderBy(col("t_months"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    km
-      .withColumn("n_at_risk", sum(col("d") + col("censored")).over(wRisk))
-      .withColumn("factor",
-        lit(1.0) - col("d").cast("double") / col("n_at_risk"))
-      .withColumn("fs", collect_list(col("factor")).over(wCum))
-      .withColumn("s_km",
-        expr("aggregate(fs, CAST(1.0 AS DOUBLE), (a, x) -> a * x)"))
-      .select(col("t_months"), col("n_at_risk"), col("d"), col("censored"),
-        round(col("s_km"), 6).as("s_km"))
+    // core factored into StatTests.kaplanMeier (planted-answer spec)
+    graft.operators.StatTests.kaplanMeier(
+      life.select(col("t_months").as("t"), col("churned").as("event")))
+      .select(col("t").as("t_months"), col("n_at_risk"), col("d"),
+        col("censored"), round(col("s_km"), 6).as("s_km"))
       .orderBy(col("t_months"))
   }
 
@@ -3003,7 +2961,71 @@ object RelationalQueries {
       |   / count(*), 6) AS bounce_rate
       |FROM sess""".stripMargin
 
+  // B87 — WALD-WOLFOWITZ RUNS TEST (randomness audit on an ordered
+  // sequence — serial correlation that B71's cross-variable Pearson
+  // can't see): per event type, the value stream in event-time order
+  // becomes above/below-median flags; R = number of runs, compared
+  // to E[R] = 2·n1·n2/n + 1 with the closed-form variance. The flag
+  // and run-boundary counting ride per-TYPE windows (5 partitions —
+  // the ordered scan distributes by the group key; a global sequence
+  // would need the B84 bucketing trick instead). Median from exact
+  // percentile on cent-scaled values; counts exact; z in doubles at
+  // the end.
+  private def q87RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    // core factored into StatTests.runsTest (planted-answer spec)
+    val flagged = ev.join(broadcast(med), Seq("event_type"))
+      .filter(col("cents") =!= col("med")) // ties at the median drop (standard)
+      .select(col("event_type").as("grp"), col("ts"), col("event_id"),
+        (col("cents") > col("med")).cast("long").as("above"))
+    graft.operators.StatTests
+      .runsTest(flagged, Seq(col("ts"), col("event_id")))
+      .select(col("grp").as("event_type"), col("n1"), col("n2"), col("runs"),
+        round(col("mu"), 4).as("expected_runs"),
+        round(col("z"), 4).as("z_stat"),
+        (abs(col("z")) >= 1.96).as("nonrandom_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q87Sql =
+    """WITH ev AS (
+      | SELECT event_type, ts, event_id,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+      | FROM events),
+      |md AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+      |       FROM ev GROUP BY event_type),
+      |f AS (
+      | SELECT ev.event_type, ts, event_id,
+      |  CASE WHEN cents > med THEN 1 ELSE 0 END AS above
+      | FROM ev JOIN md ON ev.event_type = md.event_type
+      | WHERE cents <> med),
+      |r AS (
+      | SELECT *, CASE WHEN lag(above) OVER (PARTITION BY event_type
+      |    ORDER BY ts, event_id) IS DISTINCT FROM above THEN 1 ELSE 0 END
+      |   AS new_run
+      | FROM f),
+      |a AS (
+      | SELECT event_type, CAST(sum(above) AS BIGINT) AS n1,
+      |  CAST(sum(1 - above) AS BIGINT) AS n2,
+      |  CAST(sum(new_run) AS BIGINT) AS runs
+      | FROM r GROUP BY event_type),
+      |st AS (
+      | SELECT *, n1 + n2 AS n,
+      |  2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu
+      | FROM a),
+      |z AS (
+      | SELECT *, (runs - mu) / sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0)) AS zs
+      | FROM st)
+      |SELECT event_type, n1, n2, runs, round(mu, 4) AS expected_runs,
+      | round(zs, 4) AS z_stat, abs(zs) >= 1.96 AS nonrandom_5pct
+      |FROM z ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_runs_test" -> (q87RunsTest _),
     "q86_bounce_sessions" -> (q86BounceSessions _),
     "q84_sequence_gaps" -> (q84SequenceGaps _),
     "q85_benford" -> (q85Benford _),
@@ -3091,6 +3113,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q87_runs_test" -> q87Sql,
     "q86_bounce_sessions" -> q86Sql,
     "q84_sequence_gaps" -> q84Sql,
     "q85_benford" -> q85Sql,

@@ -733,7 +733,64 @@ object SourceQueries {
       |   AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // H17 — TABLE STATISTICS collection (ANALYZE TABLE ... COMPUTE
+  // STATISTICS FOR COLUMNS — the numbers a cost-based optimizer
+  // joins/reorders by): per column of `orders`, one pass computes
+  // row count, null count, exact NDV, and min/max (stringified so
+  // heterogeneous column types share one report schema). All columns
+  // fold in a SINGLE scan (one agg, no per-column jobs — at 100 TB
+  // the difference between 1 scan and #columns scans); exact NDV is
+  // the oracle-checkable twin of the HLL the real ANALYZE would use
+  // at scale (I1 carries that contract). The unpivot to one row per
+  // column is driver-side over a 1-row frame.
+  private def srcTableStats(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = orders.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("column"))
+  }
+
+  private val srcTableStatsSql =
+    """SELECT * FROM (
+      | SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+      |  count(*) - count(o_orderkey) AS n_nulls,
+      |  count(DISTINCT o_orderkey) AS ndv,
+      |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+      |  CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+      | UNION ALL
+      | SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+      |  count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),
+      |  CAST(max(o_custkey) AS VARCHAR) FROM orders
+      | UNION ALL
+      | SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+      |  count(DISTINCT o_orderstatus), CAST(min(o_orderstatus) AS VARCHAR),
+      |  CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+      | UNION ALL
+      | SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR),
+      |  CAST(max(o_totalprice) AS VARCHAR) FROM orders
+      | UNION ALL
+      | SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+      |  count(DISTINCT o_orderpriority), CAST(min(o_orderpriority) AS VARCHAR),
+      |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+      |) ORDER BY "column"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_table_stats" -> (srcTableStats _),
     "src_incremental_mv" -> (srcIncrementalMv _),
     "src_deletion_vectors" -> (srcDeletionVectors _),
     "src_txn_log" -> (srcTxnLog _),
@@ -752,6 +809,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_table_stats" -> srcTableStatsSql,
     "src_incremental_mv" -> srcIncrementalMvSql,
     "src_deletion_vectors" -> srcDeletionVectorsSql,
     "src_txn_log" -> srcTxnLogSql,
