@@ -1588,7 +1588,122 @@ object PipelineQueries {
       |   + 0 AS epoch_multiplier
       |FROM t CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // J28 — the CURATION CASCADE end-to-end (the composition the
+  // individual gates exist for, with the per-stage accounting a data
+  // card reports): exact dedup → boilerplate drop (docs whose
+  // duplicated-chunk fraction exceeds 30% — C12's cross-document
+  // chunk df, lifted from line-level to doc-level) → quality gate
+  // (length + exact-integer punct ratio) → entropy floor (E21's
+  // char-Shannon, 6dp-rounded before the 3.9-bit compare so a
+  // boundary doc can't flip on libm ulp). Stages chain lazily — the
+  // output is a 4-row waterfall (stage, docs_in, docs_out,
+  // n_removed); every stage is one hash-agg/semi-join shape that
+  // holds at 100 TB, and ORDER MATTERS (exact dedup first shrinks
+  // every later stage's work — cascade ordering is a cost decision,
+  // cheapest-and-highest-yield first).
+  private def pipelineCascade(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // stage 1: exact dedup
+    val d1 = d.join(
+      d.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "leftsemi")
+    // stage 2: boilerplate (10-word chunk df over the SURVIVORS)
+    val chunks = d1
+      .withColumn("ws", expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("ci", explode(expr(
+        "transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1), " +
+          "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))")))
+      .select(col("doc_id"), md5(col("ci")).as("lh"))
+    val chunkDf = chunks.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dupFrac = chunks.join(chunkDf, Seq("lh"))
+      .groupBy(col("doc_id"))
+      .agg(avg(when(col("df") >= 2, 1.0).otherwise(0.0)).as("dupfrac"))
+    val d2 = d1.join(dupFrac.filter(col("dupfrac") > 0.3).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // stage 3: quality (exact integers)
+    val len = length(col("text")).cast("long")
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+    val d3 = d2.filter(len >= 100L && punct * 10L <= len)
+    // stage 4: entropy floor
+    val ent = d3
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum((col("n") / col("tot"))
+        * log(2.0, col("n") / col("tot"))), 6).as("ent"))
+    val d4 = d3.join(ent.filter(col("ent") >= 3.9).select(col("doc_id")),
+      Seq("doc_id"), "leftsemi")
+    def stageRow(name: String, ord: Int, before: DataFrame, after: DataFrame) =
+      before.agg(count(lit(1)).as("docs_in"))
+        .crossJoin(after.agg(count(lit(1)).as("docs_out")))
+        .select(lit(ord.toLong).as("stage"), lit(name).as("stage_name"),
+          col("docs_in"), col("docs_out"),
+          (col("docs_in") - col("docs_out")).as("n_removed"))
+    stageRow("exact_dedup", 1, d, d1)
+      .unionByName(stageRow("boilerplate", 2, d1, d2))
+      .unionByName(stageRow("quality", 3, d2, d3))
+      .unionByName(stageRow("entropy", 4, d3, d4))
+      .orderBy(col("stage"))
+  }
+
+  private val pipelineCascadeSql =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |k1 AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+      |d1 AS (SELECT d.* FROM d JOIN k1 USING (doc_id)),
+      |w AS (SELECT doc_id,
+      |   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |     x -> x <> '') AS ws
+      | FROM d1),
+      |l AS (SELECT doc_id, md5(unnest(CASE WHEN len(ws) >= 1 THEN
+      |     list_transform(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1),
+      |       i -> array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' '))
+      |   ELSE [] END)) AS lh
+      | FROM w),
+      |f AS (SELECT lh, count(DISTINCT doc_id) AS df FROM l GROUP BY lh),
+      |p AS (SELECT doc_id,
+      |   avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END) AS dupfrac
+      | FROM l JOIN f USING (lh) GROUP BY doc_id),
+      |d2 AS (SELECT d1.* FROM d1 LEFT JOIN
+      |   (SELECT doc_id FROM p WHERE dupfrac > 0.3) b USING (doc_id)
+      | WHERE b.doc_id IS NULL),
+      |d3 AS (SELECT * FROM d2 WHERE length(text) >= 100
+      |  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10
+      |      <= length(text)),
+      |c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d3),
+      |cc AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+      |tt AS (SELECT doc_id, sum(n) AS tot FROM cc GROUP BY doc_id),
+      |e AS (SELECT cc.doc_id,
+      |   round(-sum((n * 1.0 / tot) * log2(n * 1.0 / tot)), 6) AS ent
+      | FROM cc JOIN tt USING (doc_id) GROUP BY cc.doc_id),
+      |d4 AS (SELECT d3.* FROM d3 JOIN
+      |   (SELECT doc_id FROM e WHERE ent >= 3.9) g USING (doc_id))
+      |SELECT * FROM (
+      | SELECT 1 AS stage, 'exact_dedup' AS stage_name,
+      |  (SELECT count(*) FROM d) AS docs_in,
+      |  (SELECT count(*) FROM d1) AS docs_out,
+      |  (SELECT count(*) FROM d) - (SELECT count(*) FROM d1) AS n_removed
+      | UNION ALL
+      | SELECT 2, 'boilerplate', (SELECT count(*) FROM d1),
+      |  (SELECT count(*) FROM d2),
+      |  (SELECT count(*) FROM d1) - (SELECT count(*) FROM d2)
+      | UNION ALL
+      | SELECT 3, 'quality', (SELECT count(*) FROM d2),
+      |  (SELECT count(*) FROM d3),
+      |  (SELECT count(*) FROM d2) - (SELECT count(*) FROM d3)
+      | UNION ALL
+      | SELECT 4, 'entropy', (SELECT count(*) FROM d3),
+      |  (SELECT count(*) FROM d4),
+      |  (SELECT count(*) FROM d3) - (SELECT count(*) FROM d4)
+      |) ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_cascade" -> (pipelineCascade _),
     "pipeline_mix_temperature" -> (pipelineMixTemperature _),
     "pipeline_loss_mask" -> (pipelineLossMask _),
     "pipeline_digest_index" -> (pipelineDigestIndex _),
@@ -1620,6 +1735,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_loss_mask" -> pipelineLossMaskSql,
     "pipeline_mix_temperature" -> pipelineMixTemperatureSql,
+    "pipeline_cascade" -> pipelineCascadeSql,
     "pipeline_digest_index" -> pipelineDigestIndexSql,
     "pipeline_drift_kl" -> pipelineDriftKlSql,
     "pipeline_t5_spans" -> pipelineT5SpansSql,

@@ -3024,7 +3024,95 @@ object RelationalQueries {
       | round(zs, 4) AS z_stat, abs(zs) >= 1.96 AS nonrandom_5pct
       |FROM z ORDER BY event_type""".stripMargin
 
+  // B88 — SPRT, Wald's SEQUENTIAL probability ratio test (the
+  // always-valid A/B monitor — B76's fixed-horizon z-test peeked at
+  // daily would inflate false positives; SPRT's boundaries make
+  // continuous peeking legitimate): H0 p=0.5 vs H1 p=0.6 on per-user
+  // conversion, users ordered by user_id (the deterministic
+  // enrollment order). Cumulative LLR = x·ln(1.2) + (n−x)·ln(0.8)
+  // with BOTH logs (and the ln(19) boundaries) shipped as shared
+  // 16-digit LITERALS — no libm in the gate anywhere. The cumulative
+  // conversion count rides DistributedPrefixSum (no single-partition
+  // window over the enrollment order); the decision row is the
+  // FIRST boundary crossing (min enrollment rank among crossers —
+  // one tiny agg), plus the end-of-data LLR.
+  private def q88Sprt(s: SparkSession, dir: String): DataFrame = {
+    val ln12 = 0.1823215567939546 // ln(1.2)
+    val ln08 = -0.2231435513142097 // ln(0.8)
+    val lnA = 2.9444389791664403 // ln(19): accept H1 at alpha=beta=0.05
+    val lnB = -2.9444389791664403 // ln(1/19): accept H0
+    val conv = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).cast("long").as("converted"))
+    val ranked = graft.operators.DistributedPrefixSum
+      .withRunningTotal(conv.withColumn("one", lit(1L)), col("one"), "rk",
+        col("user_id"))
+      .drop("one")
+    val cum = graft.operators.DistributedPrefixSum
+      .withRunningTotal(ranked, col("converted"), "x", col("user_id"))
+      .withColumn("llr",
+        col("x") * ln12 + (col("rk") - col("x")) * ln08)
+      .withColumn("crossed",
+        when(col("llr") >= lnA, "accept_h1")
+          .when(col("llr") <= lnB, "accept_h0"))
+    // a no-group agg over an empty crosser set still returns ONE row
+    // (null struct) — coalesce it into an explicit 'undecided' row so
+    // a small corpus that never crosses stays a loud, comparable
+    // result instead of an engine-dependent empty-vs-null mismatch
+    // (sf0.001 found exactly that)
+    val firstCross = cum.filter(col("crossed").isNotNull)
+      .agg(min(struct(col("rk"), col("x"), col("llr"), col("crossed")))
+        .as("f"))
+      .select(coalesce(col("f.rk"), lit(0L)).as("n_at_decision"),
+        coalesce(col("f.x"), lit(0L)).as("x_at_decision"),
+        coalesce(col("f.llr"), lit(0.0)).as("llr_at_decision"),
+        coalesce(col("f.crossed"), lit("undecided")).as("decision"))
+    val tail = cum.agg(max(col("rk")).as("n_total"),
+      max(struct(col("rk"), col("llr"))).as("t"))
+      .select(col("n_total"), col("t.llr").as("llr_final"))
+    firstCross.crossJoin(broadcast(tail))
+      .select(col("decision"), col("n_at_decision"), col("x_at_decision"),
+        round(col("llr_at_decision"), 4).as("llr_at_decision"),
+        col("n_total"), round(col("llr_final"), 4).as("llr_final"))
+  }
+
+  private val q88Sql =
+    """WITH conv AS (
+      | SELECT user_id,
+      |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    >= 14 THEN 1 ELSE 0 END AS converted
+      | FROM events GROUP BY user_id),
+      |c AS (
+      | SELECT user_id,
+      |  row_number() OVER (ORDER BY user_id) AS rk,
+      |  sum(converted) OVER (ORDER BY user_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+      | FROM conv),
+      |l AS (
+      | SELECT *, x * 0.1823215567939546 + (rk - x) * -0.2231435513142097
+      |   AS llr
+      | FROM c),
+      |cr AS (
+      | SELECT *, CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+      |   WHEN llr <= -2.9444389791664403 THEN 'accept_h0' END AS crossed
+      | FROM l),
+      |fc AS (
+      | SELECT coalesce(min(rk), 0) AS n_at_decision,
+      |  CAST(coalesce(min_by(x, rk), 0) AS BIGINT) AS x_at_decision,
+      |  coalesce(min_by(llr, rk), 0.0) AS llr_at_decision,
+      |  coalesce(min_by(crossed, rk), 'undecided') AS decision
+      | FROM cr WHERE crossed IS NOT NULL),
+      |tl AS (
+      | SELECT max(rk) AS n_total,
+      |  max_by(llr, rk) AS llr_final FROM l)
+      |SELECT decision, n_at_decision, x_at_decision,
+      | round(llr_at_decision, 4) AS llr_at_decision,
+      | n_total, round(llr_final, 4) AS llr_final
+      |FROM fc CROSS JOIN tl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_sprt" -> (q88Sprt _),
     "q87_runs_test" -> (q87RunsTest _),
     "q86_bounce_sessions" -> (q86BounceSessions _),
     "q84_sequence_gaps" -> (q84SequenceGaps _),
@@ -3113,6 +3201,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q88_sprt" -> q88Sql,
     "q87_runs_test" -> q87Sql,
     "q86_bounce_sessions" -> q86Sql,
     "q84_sequence_gaps" -> q84Sql,
