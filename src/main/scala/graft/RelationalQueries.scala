@@ -3111,7 +3111,88 @@ object RelationalQueries {
       | n_total, round(llr_final, 4) AS llr_final
       |FROM fc CROSS JOIN tl""".stripMargin
 
+  // B89 — POISSON BOOTSTRAP confidence interval (the resampling
+  // method that actually distributes: classic bootstrap draws n rows
+  // WITH replacement per replicate — a shuffle per replicate; the
+  // Poisson(1) approximation gives every row an independent weight
+  // per replicate, so ALL B replicates ride ONE map-side pass and
+  // the shuffle carries B partial rows per partition). Weights are
+  // drawn with NO floating point at all: the per-(row, replicate)
+  // hash (integer quadratic mod M, J14's family with
+  // replicate-varied coefficients) is compared against the SIX
+  // integer thresholds ⌈M·CDF_Poisson(1)(k)⌉ — weight = #thresholds
+  // passed. Replicate means are exact-integer ratios; the 95% CI is
+  // the exact percentile over the 32-value replicate frame (q24's
+  // percentile/quantile_cont parity pair).
+  private def q89Bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000003L
+    val B = 32
+    // ⌈M · cumP(k)⌉ for Poisson(1), k = 0..5 (≥6 beyond)
+    val thr = Seq(367880L, 735759L, 919699L, 981013L, 996341L, 999407L)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .select(col("k"), col("cents"),
+        explode(sequence(lit(0), lit(B - 1))).as("r"))
+      .withColumn("h",
+        (((col("k") * col("k")) % M) * (lit(7919L) + col("r"))
+          + col("k") * (lit(104729L) + lit(13L) * col("r"))
+          + lit(977L) * col("r") + 12345L) % M)
+      .withColumn("w",
+        thr.map(t => when(col("h") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    val reps = base.groupBy(col("r"))
+      .agg(sum(col("w") * col("cents")).as("wsum"),
+        sum(col("w")).as("wn"))
+      .withColumn("mean_r", col("wsum").cast("double") / col("wn") / 100.0)
+    val point = t(s, dir, "orders")
+      .agg((avg(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0)
+        .as("point_est"))
+    reps.agg(count(lit(1)).as("n_replicates"),
+      expr("percentile(mean_r, 0.025)").as("ci_lo"),
+      expr("percentile(mean_r, 0.975)").as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n_replicates"),
+        round(col("point_est"), 4).as("point_est"),
+        round(col("ci_lo"), 4).as("ci_lo"),
+        round(col("ci_hi"), 4).as("ci_hi"),
+        round(col("ci_hi") - col("ci_lo"), 4).as("ci_width"))
+  }
+
+  private val q89Sql =
+    """WITH base AS (
+      | SELECT o_orderkey AS k,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, r
+      | FROM orders, (SELECT unnest(generate_series(0, 31)) AS r) reps),
+      |h AS (
+      | SELECT *, (((k * k) % 1000003) * (7919 + r)
+      |   + k * (104729 + 13 * r) + 977 * r + 12345) % 1000003 AS hv
+      | FROM base),
+      |w AS (
+      | SELECT r, cents,
+      |  (CASE WHEN hv >= 367880 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN hv >= 735759 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN hv >= 919699 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN hv >= 981013 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN hv >= 996341 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN hv >= 999407 THEN 1 ELSE 0 END) AS w
+      | FROM h),
+      |reps AS (
+      | SELECT r, CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0 AS mean_r
+      | FROM w GROUP BY r),
+      |pt AS (
+      | SELECT avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+      |   AS point_est
+      | FROM orders)
+      |SELECT count(*) AS n_replicates,
+      | round(point_est, 4) AS point_est,
+      | round(quantile_cont(mean_r, 0.025), 4) AS ci_lo,
+      | round(quantile_cont(mean_r, 0.975), 4) AS ci_hi,
+      | round(quantile_cont(mean_r, 0.975) - quantile_cont(mean_r, 0.025), 4)
+      |   AS ci_width
+      |FROM reps CROSS JOIN pt GROUP BY point_est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_bootstrap" -> (q89Bootstrap _),
     "q88_sprt" -> (q88Sprt _),
     "q87_runs_test" -> (q87RunsTest _),
     "q86_bounce_sessions" -> (q86BounceSessions _),
@@ -3201,6 +3282,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q89_bootstrap" -> q89Sql,
     "q88_sprt" -> q88Sql,
     "q87_runs_test" -> q87Sql,
     "q86_bounce_sessions" -> q86Sql,

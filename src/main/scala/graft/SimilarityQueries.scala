@@ -1603,7 +1603,62 @@ object SimilarityQueries {
       |  ON rv.qid = t.nid AND rv.nid = t.qid
       |ORDER BY t.qid, t.rn""".stripMargin
 
+  // D24 — CLUSTER QUALITY metrics (simplified silhouette): for each
+  // vector, a = distance to its own centroid, b = distance to the
+  // SECOND-nearest centroid, s = (b−a)/max(a,b) — the O(n·k) audit
+  // that tells you whether an IVF/k-means layout is actually
+  // separating data (full silhouette is O(n²) and never runs at
+  // 100 TB; the centroid-based form is the standard distributed
+  // substitute). Seeded centroids (vec_id < 16, D5's contract) keep
+  // the whole thing exactly replayable; distances are sqrt of exact
+  // dot algebra. One broadcast of 16 centroids; one scan.
+  private def vecClusterMetrics(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val cents = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val ranked = all.crossJoin(broadcast(cents))
+      .withColumn("dist", sqrt(VectorOps.dot(col("v"), col("v"))
+        - lit(2.0) * VectorOps.dot(col("v"), col("cv"))
+        + VectorOps.dot(col("cv"), col("cv"))))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= 2)
+    val ab = ranked.groupBy(col("vec_id"))
+      .agg(min(when(col("crn") === 1, col("cid"))).as("cluster"),
+        min(when(col("crn") === 1, col("dist"))).as("a"),
+        min(when(col("crn") === 2, col("dist"))).as("b"))
+      .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        (round(avg(col("sil")), 4) + lit(0.0)).as("mean_silhouette"),
+        (round(avg(col("a")), 4) + lit(0.0)).as("mean_intra_dist"))
+      .orderBy(col("cluster"))
+  }
+
+  private val vecClusterMetricsSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |d AS (SELECT e.vec_id, cent.cid,
+      |   sqrt(list_dot_product(e.v, e.v)
+      |    - 2.0 * list_dot_product(e.v, cent.cv)
+      |    + list_dot_product(cent.cv, cent.cv)) AS dist
+      |  FROM e CROSS JOIN cent),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY dist, cid) AS crn FROM d),
+      |ab AS (SELECT vec_id,
+      |   min(CASE WHEN crn = 1 THEN cid END) AS cluster,
+      |   min(CASE WHEN crn = 1 THEN dist END) AS a,
+      |   min(CASE WHEN crn = 2 THEN dist END) AS b
+      |  FROM r WHERE crn <= 2 GROUP BY vec_id),
+      |s AS (SELECT *, (b - a) / greatest(a, b) AS sil FROM ab)
+      |SELECT cluster, count(*) AS n_members,
+      | round(avg(sil), 4) + 0 AS mean_silhouette,
+      | round(avg(a), 4) + 0 AS mean_intra_dist
+      |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_cluster_metrics" -> (vecClusterMetrics _),
     "knn_graph" -> (knnGraph _),
     "vec_pca_power" -> (vecPcaPower _),
     "knn_nprobe_curve" -> (knnNprobeCurve _),
@@ -1631,6 +1686,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "vec_pca_power" -> vecPcaPowerSql,
     "knn_graph" -> knnGraphSql,
+    "vec_cluster_metrics" -> vecClusterMetricsSql,
     "knn_nprobe_curve" -> knnNprobeCurveSql,
     "knn_ivfpq_residual" -> knnIvfTrainedSql, // same contract: residual PQ changes the index, not the reference
     "knn_random_projection" -> knnRandomProjectionSql,

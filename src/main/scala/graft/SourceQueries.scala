@@ -789,7 +789,68 @@ object SourceQueries {
       |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders
       |) ORDER BY "column"""".stripMargin
 
+  // H18 — AS-OF-TIMESTAMP time travel (H13 resolves snapshots by
+  // VERSION; analysts ask by TIME — "the table as of yesterday
+  // 09:00"): each commit in the log carries its commit timestamp,
+  // and the reader resolves the LATEST commit at-or-before the
+  // requested instant, then reads exactly that commit's file list.
+  // Resolution is O(commits) driver-side JSON — the same tiny-log
+  // contract as H13; a require() pins that the middle commit (not
+  // the tip, not genesis) is the one resolved, so the query fails
+  // loudly if the time arithmetic regresses. Oracle replays the
+  // version-1 file predicate.
+  private def srcAsOfTimestamp(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("asofts")
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/data/f0")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.mode("overwrite").parquet(s"$tmp/data/f1")
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("overwrite").parquet(s"$tmp/data/f2")
+    val log = new java.io.File(s"$tmp/_log"); log.mkdirs()
+    def commit(v: Int, tsMs: Long, files: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/_log/$v.json"),
+        s"""{"version": $v, "ts_ms": $tsMs, "files": [${
+          files.map("\"" + _ + "\"").mkString(", ")}]}""")
+    commit(0, 1000L, Seq("f0"))
+    commit(1, 2000L, Seq("f0", "f1"))
+    commit(2, 3000L, Seq("f0", "f1", "f2"))
+    // resolve AS OF t=2500 → latest commit with ts_ms <= 2500
+    val asOfMs = 2500L
+    val commits = new java.io.File(s"$tmp/_log").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+      .map { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val v = """"version":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        val ts = """"ts_ms":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        val fs = """"([a-z0-9_]+)"""".r.findAllMatchIn(
+          txt.substring(txt.indexOf("files"))).map(_.group(1)).toSeq
+          .filterNot(Set("files"))
+        (v, ts, fs)
+      }
+    val resolved = commits.filter(_._2 <= asOfMs).maxBy(_._1)
+    require(resolved._1 == 1L,
+      s"as-of resolution regressed: got version ${resolved._1}, want 1")
+    val out = s.read.parquet(resolved._3.map(f => s"$tmp/data/$f"): _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("as_of_version", lit(resolved._1))
+      .orderBy(col("o_orderstatus"))
+    TmpDir.releasing(out, tmp)
+  }
+
+  private val srcAsOfTimestampSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS sum_price,
+      | CAST(1 AS BIGINT) AS as_of_version
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_as_of_timestamp" -> (srcAsOfTimestamp _),
     "src_table_stats" -> (srcTableStats _),
     "src_incremental_mv" -> (srcIncrementalMv _),
     "src_deletion_vectors" -> (srcDeletionVectors _),
@@ -810,6 +871,7 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "src_table_stats" -> srcTableStatsSql,
+    "src_as_of_timestamp" -> srcAsOfTimestampSql,
     "src_incremental_mv" -> srcIncrementalMvSql,
     "src_deletion_vectors" -> srcDeletionVectorsSql,
     "src_txn_log" -> srcTxnLogSql,
