@@ -3191,7 +3191,71 @@ object RelationalQueries {
       |   AS ci_width
       |FROM reps CROSS JOIN pt GROUP BY point_est""".stripMargin
 
+  // B90 — CUSUM CHANGE-POINT detection (did the daily event level
+  // shift, and when?): daily counts per event type (one hash agg —
+  // the day frame is bounded by the corpus span, so its windows are
+  // safe at any event volume), centered CUSUM S_t = Σ(x_i − x̄)
+  // scaled to EXACT integers (n·x_i − Σx is integer — no float drift
+  // in the argmax), change-point = day of max |S|, with the max
+  // excursion normalized by the total for a comparable magnitude.
+  // The classic offline CUSUM estimator; a planted shift lands the
+  // argmax on the shift day, a stationary series lands anywhere with
+  // small relative excursion.
+  private def q90Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.join(broadcast(tot), Seq("event_type"))
+      // integer-scaled deviation: nd·x − sx  (= nd·(x − mean))
+      .withColumn("dev", col("nd") * col("x") - col("sx"))
+      .withColumn("s_t", sum(col("dev")).over(wCum))
+    cusum.groupBy(col("event_type"))
+      .agg(max(struct(abs(col("s_t")).as("a"), col("day"), col("s_t")))
+        .as("m"),
+        first(col("sx")).as("sx"), first(col("nd")).as("nd"))
+      .select(col("event_type"),
+        col("m.day").cast("date").cast("string").as("change_day"),
+        (col("m.s_t") > 0).as("shift_down"),
+        round(abs(col("m.s_t")).cast("double") / (col("nd") * col("sx")), 6)
+          .as("rel_excursion"),
+        col("nd").as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q90Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      | FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(x) AS sx, count(*) AS nd
+      |        FROM daily GROUP BY 1),
+      |c AS (
+      | SELECT daily.event_type, day, nd * x - sx AS dev, sx, nd
+      | FROM daily JOIN tot USING (event_type)),
+      |s AS (
+      | SELECT *, sum(dev) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+      | FROM c),
+      |r2 AS (
+      | SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(s_t) DESC, day DESC) AS pick
+      | FROM s),
+      |m AS (
+      | SELECT event_type, day AS change_day, s_t AS s_at,
+      |  nd AS n_days, sx
+      | FROM r2 WHERE pick = 1)
+      |SELECT event_type,
+      | CAST(CAST(change_day AS DATE) AS VARCHAR) AS change_day,
+      | s_at > 0 AS shift_down,
+      | round(CAST(abs(s_at) AS DOUBLE) / (n_days * sx), 6) AS rel_excursion,
+      | n_days
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_cusum" -> (q90Cusum _),
     "q89_bootstrap" -> (q89Bootstrap _),
     "q88_sprt" -> (q88Sprt _),
     "q87_runs_test" -> (q87RunsTest _),
@@ -3282,6 +3346,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q90_cusum" -> q90Sql,
     "q89_bootstrap" -> q89Sql,
     "q88_sprt" -> q88Sql,
     "q87_runs_test" -> q87Sql,

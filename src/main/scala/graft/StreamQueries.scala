@@ -70,6 +70,13 @@ case class EwmaState(buf: List[Double], n_scored: Long, n_anom: Long,
 case class EwmaSummary(event_type: String, n_scored: Long, n_anom: Long,
     max_dev: Double)
 
+/** Rows/state/outputs for the streaming CUSUM monitor (G29). */
+case class CusumEvent(event_type: String, event_id: Long, ts_us: Long,
+    v_cents: Long)
+case class CusumState(s: Long, n_alarms: Long, max_s: Long, n: Long)
+case class CusumSummary(event_type: String, n_events: Long, n_alarms: Long,
+    max_s_cents: Long, final_s_cents: Long)
+
 /** Rows/state/outputs for the streaming funnel maintainer (G28). */
 case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
 case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long,
@@ -88,6 +95,10 @@ case class CdcSnap(user_id: Long, last_event_id: Long, last_ts_us: Long,
   * stream output == batch output on the same rows.
   */
 object StreamQueries {
+
+  /** G29 CUSUM constants: reference k = $90.00, alarm h = $250.00. */
+  val CusumRefCents = 9000L
+  val CusumAlarmCents = 25000L
 
   /** Streaming transform: 6-hour tumbling window counts/sums per
     * event type, watermarked for state cleanup at scale.
@@ -867,6 +878,115 @@ object StreamQueries {
       |SELECT event_type, CAST(max(rn) AS BIGINT) AS n_events,
       | CAST(max(n_admit) AS BIGINT) AS n_admitted,
       | CAST(max(n_throttle) AS BIGINT) AS n_throttled
+      |FROM walk GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** G29 — streaming one-sided CUSUM monitor (the KNOWN-REFERENCE
+    * change detector: S ← max(0, S + (v − k)), alarm and reset when
+    * S crosses h — B90 finds a change offline with the two-pass
+    * centered CUSUM; this is the single-pass online twin a monitor
+    * actually runs). Exact integer cents end-to-end (k = $90.00,
+    * h = $250.00 as shared literals), so the fold replays without
+    * float drift in the maintainer, the sorted batch fold, AND the
+    * oracle's recursive CTE — the same number three ways (G23/G25's
+    * proof pattern).
+    */
+  class CusumProcessor
+      extends StatefulProcessor[String, CusumEvent, CusumSummary] {
+    @transient private var state: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CusumEvent],
+        timers: TimerValues): Iterator[CusumSummary] = {
+      var st = if (state.exists()) state.get() else CusumState(0L, 0L, 0L, 0L)
+      rows.foreach { e =>
+        var sNew = math.max(0L, st.s + e.v_cents - CusumRefCents)
+        var alarms = st.n_alarms
+        if (sNew > CusumAlarmCents) { alarms += 1; sNew = 0L }
+        st = CusumState(sNew, alarms, math.max(st.max_s, sNew), st.n + 1)
+      }
+      state.update(st)
+      Iterator.single(CusumSummary(key, st.n, st.n_alarms, st.max_s, st.s))
+    }
+  }
+
+  def cusumStream(events: Dataset[CusumEvent]): Dataset[CusumSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G29 batch twin: per-key event-time-sorted fold, identical
+    * integer arithmetic (the G25 mapPartitions shape).
+    */
+  private[graft] def cusumBatch(feed: DataFrame): DataFrame = {
+    import feed.sparkSession.implicits._
+    val parts = feed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    feed.select(col("event_type"), col("ts_us"), col("event_id"),
+        col("v_cents"))
+      .as[(String, Long, Long, Long)]
+      .repartition(parts, col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var s = 0L; var alarms = 0L; var maxS = 0L; var n = 0L
+        val out = scala.collection.mutable.Map[String, (Long, Long, Long, Long)]()
+        def flush(): Unit = if (curKey != null) out(curKey) = (n, alarms, maxS, s)
+        it.foreach { case (k, _, _, v) =>
+          if (k != curKey) {
+            flush(); curKey = k; s = 0L; alarms = 0L; maxS = 0L; n = 0L
+          }
+          var sNew = math.max(0L, s + v - CusumRefCents)
+          if (sNew > CusumAlarmCents) { alarms += 1; sNew = 0L }
+          s = sNew; maxS = math.max(maxS, sNew); n += 1
+        }
+        flush()
+        out.iterator.map { case (k, (nn, a, m, fs)) => (k, nn, a, m, fs) }
+      }.toDF("event_type", "n_events", "n_alarms", "max_s_cents",
+        "final_s_cents")
+      .orderBy(col("event_type"))
+  }
+
+  private def streamCusum(s: SparkSession, dir: String): DataFrame =
+    cusumBatch(Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("v_cents")))
+
+  private val streamCusumSql =
+    """WITH RECURSIVE e AS (
+      | SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS v,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY epoch_us(ts), event_id) AS rn
+      | FROM events),
+      |walk(event_type, rn, s, n_alarms, max_s) AS (
+      | SELECT event_type, rn,
+      |  CASE WHEN greatest(0, v - 9000) > 25000 THEN 0
+      |       ELSE greatest(0, v - 9000) END,
+      |  CASE WHEN greatest(0, v - 9000) > 25000 THEN 1 ELSE 0 END,
+      |  CASE WHEN greatest(0, v - 9000) > 25000 THEN 0
+      |       ELSE greatest(0, v - 9000) END
+      | FROM e WHERE rn = 1
+      | UNION ALL
+      | SELECT s2.event_type, s2.rn,
+      |  CASE WHEN greatest(0, w.s + s2.v - 9000) > 25000 THEN 0
+      |       ELSE greatest(0, w.s + s2.v - 9000) END,
+      |  w.n_alarms + CASE WHEN greatest(0, w.s + s2.v - 9000) > 25000
+      |    THEN 1 ELSE 0 END,
+      |  greatest(w.max_s,
+      |   CASE WHEN greatest(0, w.s + s2.v - 9000) > 25000 THEN 0
+      |        ELSE greatest(0, w.s + s2.v - 9000) END)
+      | FROM walk w JOIN e s2
+      |  ON s2.event_type = w.event_type AND s2.rn = w.rn + 1)
+      |SELECT event_type, CAST(max(rn) AS BIGINT) AS n_events,
+      | CAST(max_by(n_alarms, rn) AS BIGINT) AS n_alarms,
+      | CAST(max(max_s) AS BIGINT) AS max_s_cents,
+      | CAST(max_by(s, rn) AS BIGINT) AS final_s_cents
       |FROM walk GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** G24 — LATE-DATA audit (what the watermark would have dropped):
@@ -2114,6 +2234,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_cusum" -> (streamCusum _),
     "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -2144,6 +2265,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_sliding_window" -> streamSlidingWindowSql,
     "stream_funnel" -> streamFunnelSql,
+    "stream_cusum" -> streamCusumSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_asof_enrich" -> streamAsofEnrichSql,
     "stream_window_agg" -> streamWindowAggSql,

@@ -1441,7 +1441,58 @@ object TextQueries {
       |   AS rank, bigram, cab, pmi
       |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin
 
+  // E28 — N-GRAM NOVELTY per document (the memorization-risk /
+  // information-contribution metric: what fraction of a doc's
+  // distinct 3-grams appear NOWHERE else in the corpus?): one
+  // explode to distinct (doc, gram) pairs keyed by md5 (the 16-byte
+  // digest rides the shuffle, never gram text), gram df by hash agg,
+  // novelty = mean(df == 1) per doc — a doc full of corpus-unique
+  // grams is contributing (or hallucinating) content; a doc at ~0 is
+  // template/boilerplate. Complements C9 (corpus-level gram mass)
+  // at the DOC level and E18 (within-doc repetition) with
+  // CROSS-doc uniqueness.
+  private def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("ws", expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> array_join(slice(ws, i + 1, 3), ' '))")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .distinct()
+    val df = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(df, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+  }
+
+  private val textNgramNoveltySql =
+    """WITH w AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS ws
+      | FROM documents),
+      |g AS (
+      | SELECT DISTINCT doc_id, md5(unnest(
+      |   list_transform(generate_series(0, len(ws) - 3),
+      |     i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS gh
+      | FROM w WHERE len(ws) >= 3),
+      |f AS (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+      |SELECT doc_id, count(*) AS n_grams,
+      | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) AS novelty
+      |FROM g JOIN f USING (gh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_pmi_collocations" -> (textPmiCollocations _),
     "text_rake_keywords" -> (textRakeKeywords _),
     "text_code_detect" -> (textCodeDetect _),
@@ -1469,6 +1520,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_novelty" -> textNgramNoveltySql,
     "text_pmi_collocations" -> textPmiCollocationsSql,
     "text_rake_keywords" -> textRakeKeywordsSql,
     "text_code_detect" -> textCodeDetectSql,

@@ -1132,6 +1132,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_cusum: maintainer across micro-batches == sorted batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[CusumEvent]
+    val all = sampleEvents(400).sortBy(e => (e.ts.getTime, e.event_id)).map(e =>
+      CusumEvent(e.event_type, e.event_id, e.ts.getTime * 1000L,
+        BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val (first, second) = all.splitAt(all.length / 2)
+    val q = StreamQueries.cusumStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n_events").desc)
+      val streamed = spark.table("cusum_out")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("event_type"), col("n_events"), col("n_alarms"),
+          col("max_s_cents"), col("final_s_cents"))
+        .orderBy("event_type").collect().toSeq
+      val batch = StreamQueries.cusumBatch(
+        all.toDS().toDF()
+          .select(col("event_type"), col("event_id"), col("ts_us"),
+            col("v_cents")))
+        .collect().toSeq
+      assert(streamed == batch,
+        "streaming CUSUM state must equal the sorted batch fold")
+      assert(streamed.map(_.getLong(2)).sum > 0,
+        "corpus should trigger at least one alarm")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_tws: transformWithState running stats across micro-batches == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
