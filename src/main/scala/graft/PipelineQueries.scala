@@ -1702,7 +1702,117 @@ object PipelineQueries {
       |  (SELECT count(*) FROM d3) - (SELECT count(*) FROM d4)
       |) ORDER BY stage""".stripMargin
 
+  // J29 — HYBRID RETRIEVAL end-to-end (the RAG serving path: lexical
+  // recall ∪ semantic recall → reciprocal-rank fusion → final list;
+  // E19/D1/D15 exist as parts — this is the composition a retrieval
+  // user actually runs): lexical = BM25 top-20 for the fixed term
+  // query (E19's scoring, one inverted-index shuffle over matching
+  // terms only); semantic = exact-cosine top-20 against the query
+  // vector (vec_id 0 — vec_id aligns with doc_id in this corpus), a
+  // broadcast-query scan; fusion = RRF with k=60 (rank-only — score
+  // scales never mix, which is WHY RRF is the default hybrid).
+  // Everything is rank arithmetic after two independent top-20s, so
+  // the oracle replays both lists and the fusion exactly.
+  private def pipelineRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window", "vector")
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+        .as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("sc", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val lexTotal = terms
+      .map(t => coalesce(sum(when(col("term") === t, col("sc"))), lit(0.0)))
+      .reduce(_ + _)
+    val lex = scored.groupBy(col("doc_id")).agg(lexTotal.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val sem = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("v")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("sem_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        col("lex_rank"), col("sem_rank"),
+        (round(col("rrf"), 6) + lit(0.0)).as("rrf"))
+      .orderBy(col("rank"))
+  }
+
+  private val pipelineRetrievalSql =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      | FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term IN ('spark', 'join', 'window', 'vector')
+      |       GROUP BY doc_id, term),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |   ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+      |   (tf.tf * 2.2) /
+      |   (tf.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * dl.dl / stats.avgdl))
+      |     AS sc
+      | FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term), stats),
+      |agg AS (SELECT doc_id,
+      |   coalesce(sum(CASE WHEN term = 'spark' THEN sc END), 0.0)
+      |   + coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0)
+      |   + coalesce(sum(CASE WHEN term = 'window' THEN sc END), 0.0)
+      |   + coalesce(sum(CASE WHEN term = 'vector' THEN sc END), 0.0) AS bm25
+      | FROM sc GROUP BY doc_id),
+      |lex AS (SELECT doc_id,
+      |   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+      |     AS lex_rank
+      | FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      |cs AS (SELECT vec_id,
+      |   list_dot_product(q, v) /
+      |   (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))) AS cos
+      | FROM e, qv WHERE vec_id <> 0),
+      |sem AS (SELECT vec_id AS doc_id,
+      |   CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+      |     AS sem_rank
+      | FROM cs ORDER BY cos DESC, vec_id LIMIT 20),
+      |fused AS (
+      | SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |  lex_rank, sem_rank,
+      |  coalesce(1.0 / (60.0 + lex_rank), 0.0)
+      |   + coalesce(1.0 / (60.0 + sem_rank), 0.0) AS rrf
+      | FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      | ORDER BY rrf DESC, doc_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+      |   AS rank,
+      | doc_id, lex_rank, sem_rank, round(rrf, 6) + 0 AS rrf
+      |FROM fused ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_retrieval" -> (pipelineRetrieval _),
     "pipeline_cascade" -> (pipelineCascade _),
     "pipeline_mix_temperature" -> (pipelineMixTemperature _),
     "pipeline_loss_mask" -> (pipelineLossMask _),
@@ -1736,6 +1846,7 @@ object PipelineQueries {
     "pipeline_loss_mask" -> pipelineLossMaskSql,
     "pipeline_mix_temperature" -> pipelineMixTemperatureSql,
     "pipeline_cascade" -> pipelineCascadeSql,
+    "pipeline_retrieval" -> pipelineRetrievalSql,
     "pipeline_digest_index" -> pipelineDigestIndexSql,
     "pipeline_drift_kl" -> pipelineDriftKlSql,
     "pipeline_t5_spans" -> pipelineT5SpansSql,

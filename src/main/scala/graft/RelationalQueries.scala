@@ -3254,7 +3254,72 @@ object RelationalQueries {
       | n_days
       |FROM m ORDER BY event_type""".stripMargin
 
+  // B91 — HOLT double-exponential smoothing + 7-day forecast (level +
+  // trend — the minimal forecasting primitive a metrics warehouse
+  // ships): α = 0.5, β = 0.25 (DYADIC smoothing constants — every
+  // update is a halving/quartering, so both engines perform identical
+  // IEEE ops; an 0.3 would still replay — defined-order fold — but
+  // dyadics make the arithmetic exactly representable for ~26 steps).
+  // The per-type daily series is bounded by the corpus span, so the
+  // ordered collect is a ≤31-element array; the fold is one
+  // aggregate() HOF with a struct accumulator (level, trend) — the
+  // oracle walks the identical recursion in a recursive CTE (all
+  // literals CAST to DOUBLE: an uncast 0.5 runs the recursion in
+  // DECIMAL — the D22 trap again).
+  private def q91Holt(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, x))), p -> p.x)")
+        .as("xs"))
+      .withColumn("fit", expr(
+        """aggregate(
+          |  slice(xs, 3, size(xs) - 2),
+          |  named_struct(
+          |    'l', CAST(element_at(xs, 1) AS DOUBLE),
+          |    't', CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE)),
+          |  (acc, x) -> named_struct(
+          |    'l', 0.5D * x + 0.5D * (acc.l + acc.t),
+          |    't', 0.25D * ((0.5D * x + 0.5D * (acc.l + acc.t)) - acc.l)
+          |         + 0.75D * acc.t))""".stripMargin))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        round(col("fit.l"), 4).as("level"),
+        round(col("fit.t"), 4).as("trend"),
+        round(col("fit.l") + lit(7.0) * col("fit.t"), 4).as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q91Sql =
+    """WITH RECURSIVE daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY date_trunc('day', ts)) AS rn
+      | FROM events GROUP BY 1, 2),
+      |walk(event_type, rn, lvl, tr) AS (
+      | SELECT d1.event_type, 2,
+      |  CAST(d1.x AS DOUBLE),
+      |  CAST(d2.x - d1.x AS DOUBLE)
+      | FROM daily d1 JOIN daily d2 ON d1.event_type = d2.event_type
+      |  AND d1.rn = 1 AND d2.rn = 2
+      | UNION ALL
+      | SELECT s.event_type, s.rn,
+      |  CAST(0.5 AS DOUBLE) * s.x + CAST(0.5 AS DOUBLE) * (w.lvl + w.tr),
+      |  CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * s.x
+      |    + CAST(0.5 AS DOUBLE) * (w.lvl + w.tr)) - w.lvl)
+      |   + CAST(0.75 AS DOUBLE) * w.tr
+      | FROM walk w JOIN daily s
+      |  ON s.event_type = w.event_type AND s.rn = w.rn + 1),
+      |n AS (SELECT event_type, max(rn) AS n_days FROM daily GROUP BY 1)
+      |SELECT n.event_type, n_days,
+      | round(max_by(lvl, rn), 4) AS level,
+      | round(max_by(tr, rn), 4) AS trend,
+      | round(max_by(lvl, rn) + 7.0 * max_by(tr, rn), 4) AS forecast_7d
+      |FROM walk JOIN n ON walk.event_type = n.event_type
+      |GROUP BY n.event_type, n_days ORDER BY n.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_holt" -> (q91Holt _),
     "q90_cusum" -> (q90Cusum _),
     "q89_bootstrap" -> (q89Bootstrap _),
     "q88_sprt" -> (q88Sprt _),
@@ -3346,6 +3411,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q91_holt" -> q91Sql,
     "q90_cusum" -> q90Sql,
     "q89_bootstrap" -> q89Sql,
     "q88_sprt" -> q88Sql,
