@@ -642,6 +642,45 @@ object EcsQueries {
       | FROM supplier
       |) ORDER BY version""".stripMargin
 
+  /** A22: AREA-OF-INTEREST (viewport) QUERY — the game-server
+    * interest-management read (which entities does this client see?):
+    * live store state filtered to a box, with the grid-cell
+    * derivation (A9's SpatialGrid cells) emitted alongside so the
+    * predicate is PRUNABLE — on a cell-clustered layout (A19's
+    * scalar-index pattern applied to the cell id) the box resolves to
+    * a cell range and the scan skips every file outside it. Despawned
+    * entities prove the query reads live state; per-cell counts plus
+    * box totals are closed-form against customer.
+    */
+  def interestBox(spark: SparkSession, dir: String): DataFrame = {
+    val world = World.make(spark, "sim_graft", "run_aoi")
+    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    world.despawnWhere(PosVel, col("entity_id") % 4 === 1)
+    val (x0, x1, y0, y1) = (1000.0, 3000.0, -2.0, 1.0)
+    val cell = 500.0
+    world.query(PosVel)(PosVelHash)
+      .filter(col("position__x") >= x0 && col("position__x") < x1 &&
+        col("position__y") >= y0 && col("position__y") < y1)
+      .withColumn("cell_x", floor(col("position__x") / cell).cast("long"))
+      .groupBy(col("cell_x"))
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum(col("position__x")), 2).as("sum_x"),
+        round(sum(col("position__y")), 2).as("sum_y"))
+      .orderBy(col("cell_x"))
+  }
+
+  // live state after despawn: x = floor(acctbal), y = 0 (no steps)
+  val interestBoxOracle: String =
+    """SELECT CAST(floor(floor(c_acctbal) / 500) AS BIGINT) AS cell_x,
+      | count(*) AS n_entities,
+      | round(sum(floor(c_acctbal)), 2) AS sum_x,
+      | round(sum(0.0), 2) AS sum_y
+      |FROM customer
+      |WHERE c_custkey % 4 <> 1
+      | AND floor(c_acctbal) >= 1000 AND floor(c_acctbal) < 3000
+      | AND 0.0 >= -2.0 AND 0.0 < 1.0
+      |GROUP BY cell_x ORDER BY cell_x""".stripMargin
+
   case class Balance(bal: Double) extends Component
   val BalMeta: ComponentMeta = ComponentMeta.of[Balance]
   val BalHash: String = Archetype.hashOf(Seq(BalMeta))
@@ -999,6 +1038,7 @@ object EcsQueries {
     "ecs_scalar_index" -> (scalarIndex _),
     "ecs_branch" -> (branchRun _),
     "ecs_history_compaction" -> (historyCompaction _),
+    "ecs_interest_box" -> (interestBox _),
     "ecs_spawn_query" -> (spawnQuery _),
     "ecs_movement_sim" -> (movementSim _),
     "ecs_history" -> (history _),
@@ -1022,6 +1062,7 @@ object EcsQueries {
     "ecs_scalar_index" -> scalarIndexOracle,
     "ecs_branch" -> branchRunOracle,
     "ecs_history_compaction" -> historyCompactionOracle,
+    "ecs_interest_box" -> interestBoxOracle,
     "ecs_spawn_query" -> spawnQueryOracle,
     "ecs_movement_sim" -> movementSimOracle,
     "ecs_history" -> historyOracle,

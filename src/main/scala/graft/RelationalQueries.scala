@@ -3318,7 +3318,64 @@ object RelationalQueries {
       |FROM walk JOIN n ON walk.event_type = n.event_type
       |GROUP BY n.event_type, n_days ORDER BY n.event_type""".stripMargin
 
+  // B92 — WEEKDAY SEASONALITY strength (is the series calendar-
+  // driven?): per type, day-of-week mean levels and the seasonality
+  // ratio = between-dow variance / total daily variance (both from
+  // exact integer power sums over the bounded day frame — the
+  // one-pass variance algebra of B62, never a second scan). A ratio
+  // near 1 means the weekday pattern explains the series; near 0
+  // means noise/trend dominates. Complements B90 (level shifts) and
+  // B91 (trend) with the CALENDAR component.
+  private def q92Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val dow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nk"), sum(col("x")).as("sk"))
+    dow.join(broadcast(tot), Seq("event_type"))
+      // between-group sum of squares: Σ nk·(mean_k − mean)², scaled
+      // exact: Σ (nd·sk − nk·sx)² / (nk·nd²)
+      .withColumn("bg_term",
+        pow(col("nd") * col("sk") - col("nk") * col("sx"), 2).cast("double")
+          / (col("nk") * col("nd") * col("nd")))
+      .groupBy(col("event_type"))
+      .agg(first(col("nd")).as("n_days"),
+        sum(col("bg_term")).as("ss_between"),
+        first((col("sxx") - col("sx") * col("sx") / col("nd").cast("double")))
+          .as("ss_total"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ss_between"), 4).as("ss_between"),
+        round(col("ss_total"), 4).as("ss_total"),
+        round(col("ss_between") / col("ss_total"), 6).as("seasonality_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q92Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      | FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, dayofweek(day) + 1 AS dow FROM daily),
+      |tot AS (SELECT event_type, count(*) AS nd, sum(x) AS sx,
+      |        sum(x * x) AS sxx FROM d2 GROUP BY 1),
+      |dw AS (SELECT event_type, dow, count(*) AS nk, sum(x) AS sk
+      |       FROM d2 GROUP BY 1, 2),
+      |bg AS (SELECT dw.event_type,
+      |   CAST(pow(nd * sk - nk * sx, 2) AS DOUBLE) / (nk * nd * nd)
+      |     AS bg_term, nd, sx, sxx
+      | FROM dw JOIN tot USING (event_type))
+      |SELECT event_type, CAST(max(nd) AS BIGINT) AS n_days,
+      | round(sum(bg_term), 4) AS ss_between,
+      | round(max(sxx - CAST(sx AS DOUBLE) * sx / nd), 4) AS ss_total,
+      | round(sum(bg_term) / max(sxx - CAST(sx AS DOUBLE) * sx / nd), 6)
+      |   AS seasonality_ratio
+      |FROM bg GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_seasonality" -> (q92Seasonality _),
     "q91_holt" -> (q91Holt _),
     "q90_cusum" -> (q90Cusum _),
     "q89_bootstrap" -> (q89Bootstrap _),
@@ -3411,6 +3468,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q92_seasonality" -> q92Sql,
     "q91_holt" -> q91Sql,
     "q90_cusum" -> q90Sql,
     "q89_bootstrap" -> q89Sql,

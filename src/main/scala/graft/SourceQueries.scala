@@ -849,7 +849,71 @@ object SourceQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // H19 — VACUUM / orphan-file GC (the table-maintenance sweep H13's
+  // log-resolved reads make SAFE: readers never see unreferenced
+  // files, so deleting them cannot change any query): data files for
+  // two commits plus one ORPHAN (failed-writer debris); GC lists the
+  // directory, subtracts every file referenced by ANY commit, and
+  // deletes the rest. The query proves both halves of the contract —
+  // the orphan is gone (files_before/files_after/n_deleted) AND the
+  // tip snapshot reads identically after the sweep (the aggregate the
+  // oracle checks). Resolution is O(commits + files) driver-side.
+  private def srcVacuum(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("vacuum")
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/data/f0")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.mode("overwrite").parquet(s"$tmp/data/f1")
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("overwrite").parquet(s"$tmp/data/f_orphan")
+    val log = new java.io.File(s"$tmp/_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_log/0.json"),
+      """{"version": 0, "files": ["f0"]}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_log/1.json"),
+      """{"version": 1, "files": ["f0", "f1"]}""")
+    val referenced: Set[String] = new java.io.File(s"$tmp/_log").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+      .flatMap { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        """"(f[a-z0-9_]*)"""".r.findAllMatchIn(
+          txt.substring(txt.indexOf("files"))).map(_.group(1)).toSeq
+      }.toSet
+    val dataDir = new java.io.File(s"$tmp/data")
+    val before = dataDir.listFiles().map(_.getName).toSeq
+    val orphans = before.filterNot(referenced)
+    require(orphans.nonEmpty, "fixture must contain an orphan")
+    orphans.foreach { o =>
+      val d = new java.io.File(s"$tmp/data/$o")
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val after = dataDir.listFiles().map(_.getName).toSeq
+    require(after.size == before.size - orphans.size,
+      s"vacuum deleted wrong count: ${before.size} -> ${after.size}")
+    // tip snapshot (version 1) read AFTER the sweep
+    val out = s.read.parquet(s"$tmp/data/f0", s"$tmp/data/f1")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("files_before", lit(before.size.toLong))
+      .withColumn("files_after", lit(after.size.toLong))
+      .withColumn("n_deleted", lit(orphans.size.toLong))
+      .orderBy(col("o_orderstatus"))
+    TmpDir.releasing(out, tmp)
+  }
+
+  private val srcVacuumSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS sum_price,
+      | CAST(3 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,
+      | CAST(1 AS BIGINT) AS n_deleted
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_vacuum" -> (srcVacuum _),
     "src_as_of_timestamp" -> (srcAsOfTimestamp _),
     "src_table_stats" -> (srcTableStats _),
     "src_incremental_mv" -> (srcIncrementalMv _),
@@ -872,6 +936,7 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "src_table_stats" -> srcTableStatsSql,
     "src_as_of_timestamp" -> srcAsOfTimestampSql,
+    "src_vacuum" -> srcVacuumSql,
     "src_incremental_mv" -> srcIncrementalMvSql,
     "src_deletion_vectors" -> srcDeletionVectorsSql,
     "src_txn_log" -> srcTxnLogSql,
