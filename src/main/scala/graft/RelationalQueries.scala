@@ -3374,7 +3374,124 @@ object RelationalQueries {
       |   AS seasonality_ratio
       |FROM bg GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // B93 — PARETO COVERAGE (the 80/20 question: how many customers
+  // cover 80% of revenue?): per-customer cents (exact), ranked by
+  // (revenue DESC, custkey) with the cumulative share riding
+  // DistributedPrefixSum — no single-partition window over the
+  // customer order. The answer row = first rank whose cumulative
+  // share reaches each threshold (one tiny agg per threshold over
+  // flags, not a sort-and-scan). Complements B74's Gini with the
+  // operational "how many accounts does the team actually manage"
+  // number.
+  private def q93Pareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val ranked = graft.operators.DistributedPrefixSum
+      .withRunningTotal(rev, col("cents"), "cum_cents",
+        col("cents").desc, col("o_custkey"))
+    val tot = ranked.agg(max(col("cum_cents")).as("tot_cents"),
+      count(lit(1)).as("n_cust"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+    val thresholds = Seq(50, 80, 90)
+    val rows = thresholds.map { p =>
+      flagged.filter(col("cum_cents") * 100 >= col("tot_cents") * p)
+        .agg(count(lit(1)).as("n_after"))
+        .crossJoin(broadcast(tot))
+        .select(lit(p.toLong).as("pct_revenue"),
+          (col("n_cust") - col("n_after") + 1).as("n_customers"),
+          round((col("n_cust") - col("n_after") + 1).cast("double")
+            / col("n_cust"), 6).as("share_of_customers"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("pct_revenue"))
+  }
+
+  private val q93Sql =
+    """WITH rev AS (
+      | SELECT o_custkey,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      | FROM orders GROUP BY o_custkey),
+      |r AS (
+      | SELECT *, sum(cents) OVER (ORDER BY cents DESC, o_custkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      | FROM rev),
+      |t AS (SELECT CAST(max(cum_cents) AS BIGINT) AS tot_cents,
+      |      count(*) AS n_cust FROM r),
+      |f AS (SELECT p, count(*) AS n_after
+      |      FROM r, t, (SELECT unnest([50, 80, 90]) AS p) ps
+      |      WHERE cum_cents * 100 >= tot_cents * p GROUP BY p)
+      |SELECT CAST(p AS BIGINT) AS pct_revenue,
+      | n_cust - n_after + 1 AS n_customers,
+      | round(CAST(n_cust - n_after + 1 AS DOUBLE) / n_cust, 6)
+      |   AS share_of_customers
+      |FROM f CROSS JOIN t ORDER BY pct_revenue""".stripMargin
+
+  // B94 — RFM SEGMENTATION (recency / frequency / monetary quintile
+  // codes — the classic CRM cut): three independent DistributedNtile
+  // rankings (each an exact SQL-ntile over a total order, no
+  // single-partition window), label = concatenated quintile digits,
+  // and the report aggregates the canonical named segments. All
+  // three metrics are exact integers (days since epoch, order count,
+  // cents).
+  private def q94Rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("rec_days", datediff(lit("2001-09-01"), col("last_order")))
+    val withR = graft.operators.DistributedNtile.withNtile(
+      per, 5, "r_q", col("rec_days").asc, col("o_custkey"))
+    val withF = graft.operators.DistributedNtile.withNtile(
+      withR, 5, "f_q", col("freq").desc, col("o_custkey"))
+    val withM = graft.operators.DistributedNtile.withNtile(
+      withF, 5, "m_q", col("cents").desc, col("o_custkey"))
+    val seg = when(col("r_q") === 1 && col("f_q") === 1, "champions")
+      .when(col("r_q") <= 2 && col("f_q") <= 2, "loyal")
+      .when(col("r_q") >= 4 && col("f_q") <= 2, "at_risk")
+      .when(col("r_q") >= 4 && col("f_q") >= 4, "lost")
+      .otherwise("regular")
+    withM.withColumn("segment", seg)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("rec_days")), 4).as("avg_recency_days"),
+        round(avg(col("freq")), 4).as("avg_frequency"),
+        round(avg(col("cents")) / 100.0, 4).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  private val q94Sql =
+    """WITH per AS (
+      | SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      | FROM orders GROUP BY o_custkey),
+      |d AS (
+      | SELECT *, date_diff('day', CAST(last_order AS DATE), DATE '2001-09-01')
+      |   AS rec_days
+      | FROM per),
+      |q AS (
+      | SELECT *,
+      |  ntile(5) OVER (ORDER BY rec_days ASC, o_custkey) AS r_q,
+      |  ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+      |  ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+      | FROM d),
+      |sg AS (
+      | SELECT *, CASE
+      |  WHEN r_q = 1 AND f_q = 1 THEN 'champions'
+      |  WHEN r_q <= 2 AND f_q <= 2 THEN 'loyal'
+      |  WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+      |  WHEN r_q >= 4 AND f_q >= 4 THEN 'lost'
+      |  ELSE 'regular' END AS segment
+      | FROM q)
+      |SELECT segment, count(*) AS n_customers,
+      | round(avg(rec_days), 4) AS avg_recency_days,
+      | round(avg(freq), 4) AS avg_frequency,
+      | round(avg(cents) / 100.0, 4) AS avg_monetary
+      |FROM sg GROUP BY segment ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_pareto" -> (q93Pareto _),
+    "q94_rfm" -> (q94Rfm _),
     "q92_seasonality" -> (q92Seasonality _),
     "q91_holt" -> (q91Holt _),
     "q90_cusum" -> (q90Cusum _),
@@ -3468,6 +3585,8 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q93_pareto" -> q93Sql,
+    "q94_rfm" -> q94Sql,
     "q92_seasonality" -> q92Sql,
     "q91_holt" -> q91Sql,
     "q90_cusum" -> q90Sql,
