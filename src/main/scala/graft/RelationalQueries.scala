@@ -3489,7 +3489,84 @@ object RelationalQueries {
       | round(avg(cents) / 100.0, 4) AS avg_monetary
       |FROM sg GROUP BY segment ORDER BY segment""".stripMargin
 
+  // B95 — REVENUE BRIDGE / waterfall decomposition (the board-slide
+  // question: WHERE did the year-over-year change come from?): per
+  // customer, 1995 vs 1996 cents full-outer joined; each customer
+  // lands in exactly one bucket — new (0→x), churned (x→0),
+  // expansion (up), contraction (down), flat — and the bucket deltas
+  // SUM EXACTLY to the total change (exact cents, no float anywhere),
+  // which the reconciles column proves in-row. One hash agg + one
+  // full-outer join on the natural key; the oracle re-derives the
+  // identity independently.
+  private def q95Waterfall(s: SparkSession, dir: String): DataFrame = {
+    def rev(yr: Int) = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts(s"$yr-01-01") &&
+        col("o_orderdate") < ts(s"${yr + 1}-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val joined = rev(1995).select(col("o_custkey"), col("cents").as("c95"))
+      .join(rev(1996).select(col("o_custkey"), col("cents").as("c96")),
+        Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("c95"), lit(0L)).as("c95"),
+        coalesce(col("c96"), lit(0L)).as("c96"))
+      .withColumn("bucket",
+        when(col("c95") === 0, "new")
+          .when(col("c96") === 0, "churned")
+          .when(col("c96") > col("c95"), "expansion")
+          .when(col("c96") < col("c95"), "contraction")
+          .otherwise("flat"))
+    val per = joined.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c96") - col("c95")).as("delta_cents"))
+    val tot = joined.agg(sum(col("c96") - col("c95")).as("total_delta"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_customers"),
+        round(col("delta_cents") / 100.0, 2).as("delta_revenue"),
+        round(col("total_delta") / 100.0, 2).as("total_change"),
+        (sum(col("delta_cents")).over(Window.partitionBy())
+          === col("total_delta")).as("reconciles"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q95Sql =
+    """WITH r95 AS (
+      | SELECT o_custkey,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c95
+      | FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      | GROUP BY o_custkey),
+      |r96 AS (
+      | SELECT o_custkey,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c96
+      | FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      | GROUP BY o_custkey),
+      |j AS (
+      | SELECT coalesce(r95.o_custkey, r96.o_custkey) AS o_custkey,
+      |  coalesce(c95, 0) AS c95, coalesce(c96, 0) AS c96
+      | FROM r95 FULL OUTER JOIN r96 ON r95.o_custkey = r96.o_custkey),
+      |b AS (
+      | SELECT *, CASE
+      |  WHEN c95 = 0 THEN 'new'
+      |  WHEN c96 = 0 THEN 'churned'
+      |  WHEN c96 > c95 THEN 'expansion'
+      |  WHEN c96 < c95 THEN 'contraction'
+      |  ELSE 'flat' END AS bucket
+      | FROM j),
+      |per AS (
+      | SELECT bucket, count(*) AS n_customers,
+      |  CAST(sum(c96 - c95) AS BIGINT) AS delta_cents
+      | FROM b GROUP BY bucket),
+      |tot AS (SELECT CAST(sum(c96 - c95) AS BIGINT) AS total_delta FROM b)
+      |SELECT bucket, n_customers,
+      | round(delta_cents / 100.0, 2) AS delta_revenue,
+      | round(total_delta / 100.0, 2) AS total_change,
+      | CAST(sum(delta_cents) OVER () AS BIGINT) = total_delta AS reconciles
+      |FROM per CROSS JOIN tot ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_waterfall" -> (q95Waterfall _),
     "q93_pareto" -> (q93Pareto _),
     "q94_rfm" -> (q94Rfm _),
     "q92_seasonality" -> (q92Seasonality _),
@@ -3585,6 +3662,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q95_waterfall" -> q95Sql,
     "q93_pareto" -> q93Sql,
     "q94_rfm" -> q94Sql,
     "q92_seasonality" -> q92Sql,

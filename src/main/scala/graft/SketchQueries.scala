@@ -499,7 +499,40 @@ object SketchQueries {
       | abs(est_inter - exact_inter) <= exact_union * 0.25 AS within_bound
       |FROM j2""".stripMargin
 
+  // I12 — HLL PRECISION CURVE (the I-tier tuning table for distinct
+  // counting, completing I9's FPR curve): one domain (order keys —
+  // large enough that every precision actually estimates) measured
+  // at p ∈ {8, 10, 12} → m = 2^p registers; the measured relative
+  // error is an EXACT number (fixed hash, fixed corpus) asserted
+  // within 4× the analytic standard error 1.04/√m. This is the
+  // table that sizes register memory per group for a 100 TB
+  // distinct-count rollup instead of guessing p.
+  private def sketchHllPrecisionCurve(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(s, dir, "orders").select(col("o_orderkey"))
+    val rows = Seq(8, 10, 12).map { p =>
+      val se = 1.04 / math.sqrt((1 << p).toDouble)
+      keys.agg(SketchAggregates.hll(col("o_orderkey"), p).as("est"),
+        countDistinct(col("o_orderkey")).as("exact"))
+        .select(lit(p.toLong).as("precision"),
+          lit((1 << p).toLong).as("registers"),
+          col("exact"),
+          (abs(col("est") - col("exact")).cast("double")
+            <= col("exact") * se * 4).as("within_4se"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("precision"))
+  }
+
+  private val sketchHllPrecisionCurveSql =
+    """SELECT CAST(p AS BIGINT) AS precision,
+      | CAST(CASE p WHEN 8 THEN 256 WHEN 10 THEN 1024 ELSE 4096 END AS BIGINT)
+      |   AS registers,
+      | (SELECT count(DISTINCT o_orderkey) FROM orders) AS exact,
+      | true AS within_4se
+      |FROM (SELECT unnest([8, 10, 12]) AS p)
+      |ORDER BY precision""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_precision_curve" -> (sketchHllPrecisionCurve _),
     "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "sketch_ams_f2" -> (sketchAmsF2 _),
     "sketch_bloom_fpr_curve" -> (sketchBloomFprCurve _),
@@ -514,6 +547,7 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_intersect" -> sketchKmvIntersectSql,
+    "sketch_hll_precision_curve" -> sketchHllPrecisionCurveSql,
     "sketch_ams_f2" -> sketchAmsF2Sql,
     "sketch_bloom_fpr_curve" -> sketchBloomFprCurveSql,
     "sketch_bottomk_sample" -> sketchBottomkSampleSql,
