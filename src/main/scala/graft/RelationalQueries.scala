@@ -3565,7 +3565,62 @@ object RelationalQueries {
       | CAST(sum(delta_cents) OVER () AS BIGINT) = total_delta AS reconciles
       |FROM per CROSS JOIN tot ORDER BY bucket""".stripMargin
 
+  // B96 — NET REVENUE RETENTION by cohort (the SaaS metric B67's
+  // count retention can't answer: a cohort can keep 60% of USERS but
+  // 110% of DOLLARS if survivors expand — NRR weights by purchase
+  // value): cohort = first-active week, curve = purchase cents in
+  // week cohort+k / cohort's week-0 purchase cents. Exact cents in
+  // every numerator/denominator; one distinct pass for cohorts, one
+  // purchase agg, one broadcast-sized join of per-cohort baselines.
+  // NRR > 1 is a real outcome, not an error — the honest reading.
+  private def q96NetRevenueRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("wk",
+        floor(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')") / 7))
+    val cohorts = ev.select(col("user_id"), col("wk")).distinct()
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val spend = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("wk"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val byOffset = spend.join(cohorts, Seq("user_id"))
+      .withColumn("offset", col("wk") - col("cohort"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(sum(col("cents")).as("cents"))
+    val base = byOffset.filter(col("offset") === 0)
+      .select(col("cohort"), col("cents").as("base_cents"))
+    byOffset.join(broadcast(base), Seq("cohort"))
+      .select(col("cohort"), col("offset"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("base_cents") / 100.0, 2).as("cohort_base"),
+        round(col("cents").cast("double") / col("base_cents"), 6).as("nrr"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  private val q96Sql =
+    """WITH ev AS (
+      | SELECT user_id, event_type, value,
+      |  (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+      | FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort
+      |      FROM (SELECT DISTINCT user_id, wk FROM ev) GROUP BY user_id),
+      |sp AS (
+      | SELECT user_id, wk,
+      |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      | FROM ev WHERE event_type = 'purchase' GROUP BY user_id, wk),
+      |o AS (
+      | SELECT cohort, wk - cohort AS "offset",
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      | FROM sp JOIN c USING (user_id) GROUP BY cohort, wk - cohort),
+      |b AS (SELECT cohort, cents AS base_cents FROM o WHERE "offset" = 0)
+      |SELECT o.cohort, "offset",
+      | round(cents / 100.0, 2) AS revenue,
+      | round(base_cents / 100.0, 2) AS cohort_base,
+      | round(CAST(cents AS DOUBLE) / base_cents, 6) AS nrr
+      |FROM o JOIN b ON o.cohort = b.cohort
+      |ORDER BY o.cohort, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_net_revenue_retention" -> (q96NetRevenueRetention _),
     "q95_waterfall" -> (q95Waterfall _),
     "q93_pareto" -> (q93Pareto _),
     "q94_rfm" -> (q94Rfm _),
@@ -3662,6 +3717,7 @@ object RelationalQueries {
     "q29_json" -> (q29Json _))
 
   val oracles: Map[String, String] = Map(
+    "q96_net_revenue_retention" -> q96Sql,
     "q95_waterfall" -> q95Sql,
     "q93_pareto" -> q93Sql,
     "q94_rfm" -> q94Sql,
