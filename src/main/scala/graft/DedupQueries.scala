@@ -1023,8 +1023,18 @@ object DedupQueries {
       .select(col("doc_id"), col("p")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = digests.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val shared = digests.select(col("doc_id").as("id_a"), col("p"))
-      .join(digests.select(col("doc_id").as("id_b"), col("p")), Seq("p"))
+    // Hot-shingle guard (VERDICT r6 finding 2): the truth join is
+    // WINDOWED (id_b ∈ (id_a, id_a+10]), so join on (p, id-bucket) with
+    // bucket width = window width. id_b's bucket is id_a's bucket or the
+    // next one, so side A replicates to exactly 2 keys and each pair is
+    // produced exactly once. A shingle shared by n docs now yields
+    // O(n · window) join rows instead of n² — exact semantics preserved,
+    // no stop-list needed (nshared counts stay bit-identical).
+    val shared = digests
+      .select(col("doc_id").as("id_a"), col("p"),
+        explode(array(expr("doc_id DIV 10"), expr("doc_id DIV 10 + 1"))).as("bkt"))
+      .join(digests.select(col("doc_id").as("id_b"), col("p"),
+        expr("doc_id DIV 10").as("bkt")), Seq("p", "bkt"))
       .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("nshared"))
     val truth = shared
