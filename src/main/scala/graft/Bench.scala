@@ -5,22 +5,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main: one JSON line with per-query seconds on
   * SPARK_GRAFT_SF_DIR.
   *
-  * Methodology (r2):
-  *   - Each query runs once at sf0.001 first to pay JVM/codegen
-  *     warm-up outside the measurement (cold-start noise was ±5× per
-  *     query otherwise).
+  * Methodology (r2, r8):
+  *   - r8: FRESH JVM PER SUITE. With 289 queries in one shared JVM,
+  *     round-over-round totals became noise: BENCH_r06_sf1 measured
+  *     knn_binary_hamming at 50.9× inside the shared run vs 1.8× in a
+  *     fresh session (block-manager/GC residue from earlier queries),
+  *     and r6→r7 showed +13.6% aggregate drift on 281 untouched
+  *     queries. The main below is an ORCHESTRATOR: it groups queries
+  *     into per-file suites (ecs/relational/dedup/…), forks one child
+  *     JVM per suite (same classpath + JVM args as itself), and merges
+  *     the children's per-query medians into the single JSON line the
+  *     driver reads. Cross-suite contamination is now structurally
+  *     impossible; within a suite the existing System.gc() nudge and
+  *     median-of-trials stand.
+  *   - Each query runs once at sf0.001 first (inside its suite's JVM)
+  *     to pay JVM/codegen warm-up outside the measurement.
   *   - Each query then runs SPARK_GRAFT_TRIALS times (default 3) at
   *     the target SF; the JSON reports the per-query MEDIAN plus
-  *     min/max, so one co-tenant stall doesn't poison the number
-  *     (BENCH_r01 showed 30× swings on this machine).
+  *     min/max, so one co-tenant stall doesn't poison the number.
   *   - Queries are forced through a `noop` sink, not `.count()`: under
   *     a count Catalyst prunes unused result columns — for q18-style
   *     window queries that deleted the entire window computation and
   *     benchmarked an empty shell. The noop write materializes every
   *     output column without driver collection.
-  *   - A query that throws is reported in an explicit "errors" map
-  *     (name → exception class+message) and its time is excluded from
-  *     the total; failures are never silently folded into timings.
+  *   - A query that throws is reported in an explicit "errors" map and
+  *     excluded from the total; failures are never silently folded in.
+  *   - The FULL artifact (medians + min/max spread) is persisted to
+  *     target/bench_full.json AND bench/bench_full_latest.json (the
+  *     tracked copy — BENCH_r04 lost 97 of 155 medians to stdout log
+  *     truncation, and target/ dies on `sbt clean`).
   */
 object Bench {
 
@@ -33,15 +46,35 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Suite = one registry file = one child JVM. */
+  def suiteOf(name: String): String =
+    if (name.startsWith("ecs_")) "ecs"
+    else if (name.startsWith("dedup_")) "dedup"
+    else if (name.startsWith("knn_") || name.startsWith("vec_")) "similarity"
+    else if (name.startsWith("text_")) "text"
+    else if (name.startsWith("mm_")) "multimodal"
+    else if (name.startsWith("stream_")) "streaming"
+    else if (name.startsWith("src_")) "sources"
+    else if (name.startsWith("sketch_")) "sketches"
+    else if (name.startsWith("pipeline_")) "pipeline"
+    else "relational"
+
+  def main(args: Array[String]): Unit =
+    if (sys.env.contains("SPARK_GRAFT_CHILD")) childMain() else orchestrate()
+
+  // ------------------------------------------------------------------
+  // Child: measure the keys in SPARK_GRAFT_ONLY inside THIS JVM and
+  // write one TSV line per query (name \t median \t min \t max, or
+  // ERR \t name \t message) to SPARK_GRAFT_OUT. stdout carries no
+  // contract in the child — the orchestrator owns the JSON line.
+  // ------------------------------------------------------------------
+  private def childMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    // optional comma-separated subset for focused local iteration; the
-    // driver sets no filter and measures everything
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val outPath = sys.env("SPARK_GRAFT_OUT")
+    val only = sys.env("SPARK_GRAFT_ONLY").split(",").toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,12 +85,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.contains(n) }
     ordered.foreach { case (_, fn) =>
       try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = ordered.flatMap { case (name, fn) =>
+    val sb = new StringBuilder
+    ordered.foreach { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to trials).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -65,42 +99,98 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            errors.getOrElseUpdate(name,
+            if (err.isEmpty) err = Some(
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
             None
         }
       }
       // Between queries, nudge the JVM so Spark's ContextCleaner can
       // drop checkpoint blocks whose owners (e.g. finished ECS worlds)
-      // are no longer referenced. Without this, block-manager residue
-      // from earlier queries inflates later ones in the shared JVM —
-      // measured 50.9s-vs-0.9s on knn_binary_hamming at sf1 depending
-      // on what ran before it (BENCH_r06_sf1.json note).
+      // are no longer referenced — within-suite residue control.
       System.gc()
-      if (times.isEmpty) None
-      else Some((name, median(times), times.min, times.max))
+      if (times.isEmpty)
+        sb.append(s"ERR\t$name\t${err.getOrElse("no trials").replace("\t", " ").replace("\n", " ")}\n")
+      else
+        sb.append(f"OK\t$name\t${median(times)}%.3f\t${times.min}%.3f\t${times.max}%.3f%n")
     }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------------
+  // Orchestrator: fork one child JVM per suite, merge TSV fragments,
+  // print the single JSON contract line.
+  // ------------------------------------------------------------------
+  private def orchestrate(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val keys = SparkEntry.queries.keySet.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val suites = keys.groupBy(suiteOf).toSeq.sortBy(_._1)
+
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    // inherit this JVM's own flags (add-opens for Spark-on-JDK17, -Xmx,
+    // -D props) so the children run exactly the environment sbt forked
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-X") || a.startsWith("-D"))
+    val classpath = sys.props("java.class.path")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    suites.foreach { case (suite, names) =>
+      val outFile = java.nio.file.Files.createTempFile(s"bench_$suite", ".tsv")
+      val logFile = java.nio.file.Paths.get(s"target/bench_child_$suite.log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", classpath, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_OUT", outFile.toString)
+      pb.redirectOutput(logFile.toFile)
+      pb.redirectErrorStream(true)
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      val code = proc.waitFor()
+      System.err.println(f"[bench] suite $suite (${names.size} queries): " +
+        f"exit $code in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (code != 0)
+        names.foreach(n => errors.getOrElseUpdate(n, s"suite $suite child JVM exit $code"))
+      java.nio.file.Files.readAllLines(outFile).asScala.foreach { line =>
+        line.split("\t") match {
+          case Array("OK", n, med, mn, mx) =>
+            results(n) = (med.toDouble, mn.toDouble, mx.toDouble)
+          case Array("ERR", n, msg) => errors(n) = msg
+          case _ => ()
+        }
+      }
+      java.nio.file.Files.deleteIfExists(outFile)
+    }
+
     def fmt(d: Double): String = f"$d%.3f"
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx) =>
+    val spread = results.map { case (k, (_, mn, mx)) =>
       "\"" + k + "\":[" + fmt(mn) + "," + fmt(mx) + "]"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // the driver captures stdout as a log tail, and BENCH_r04 lost 97 of
-    // 155 per-query medians to mid-JSON truncation — so the printed line
-    // carries only the medians map (the gate's contract), while the FULL
-    // artifact (medians + min/max spread) is persisted as parsed JSON on
-    // disk, machine-readable regardless of how the log was clipped
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val total = results.values.map(_._1).sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+    // full artifact: untracked target/ copy AND the tracked bench/ copy
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
+    Seq("target/bench_full.json", "bench/bench_full_latest.json").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(line)
-    spark.stop()
   }
 }

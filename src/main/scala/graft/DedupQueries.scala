@@ -1024,18 +1024,24 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = digests.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     // Hot-shingle guard (VERDICT r6 finding 2): the truth join is
-    // WINDOWED (id_b ∈ (id_a, id_a+10]), so join on (p, id-bucket) with
-    // bucket width = window width. id_b's bucket is id_a's bucket or the
-    // next one, so side A replicates to exactly 2 keys and each pair is
-    // produced exactly once. A shingle shared by n docs now yields
-    // O(n · window) join rows instead of n² — exact semantics preserved,
-    // no stop-list needed (nshared counts stay bit-identical).
+    // WINDOWED (id_b ∈ (id_a, id_a+windowW]), so join on (p, id-bucket)
+    // with BUCKET WIDTH == WINDOW WIDTH — that invariant is what makes
+    // the 2-bucket replication exhaustive: id_b's bucket is id_a's
+    // bucket or the next one, so side A replicates to exactly 2 keys
+    // and each pair is produced exactly once. A shingle shared by n
+    // docs now yields O(n · window) join rows instead of n² — exact
+    // semantics preserved, no stop-list needed (nshared counts stay
+    // bit-identical). windowW is the single source for the bucket
+    // exprs AND both window filters below (ADVICE r7: they must move
+    // together; keep the oracle SQL's `+ 10` in sync if changed).
+    val windowW = 10
     val shared = digests
       .select(col("doc_id").as("id_a"), col("p"),
-        explode(array(expr("doc_id DIV 10"), expr("doc_id DIV 10 + 1"))).as("bkt"))
+        explode(array(expr(s"doc_id DIV $windowW"),
+          expr(s"doc_id DIV $windowW + 1"))).as("bkt"))
       .join(digests.select(col("doc_id").as("id_b"), col("p"),
-        expr("doc_id DIV 10").as("bkt")), Seq("p", "bkt"))
-      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10)
+        expr(s"doc_id DIV $windowW").as("bkt")), Seq("p", "bkt"))
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + windowW)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("nshared"))
     val truth = shared
       .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
@@ -1056,7 +1062,7 @@ object DedupQueries {
       .filter(col("id_a") < col("id_b"))
       .select(col("r"), col("id_a"), col("id_b")).distinct()
     val out = cand
-      .withColumn("in_window", col("id_b") <= col("id_a") + 10)
+      .withColumn("in_window", col("id_b") <= col("id_a") + windowW)
       .join(truth.withColumn("is_true", lit(1L)), Seq("id_a", "id_b"), "left")
       .groupBy(col("r"))
       .agg(count(lit(1)).as("n_candidates"),

@@ -249,6 +249,26 @@ object MediaCodec {
     }
   }
 
+  /** Walk a GVID container's length prefixes and return the encoded
+    * byte size of each frame WITHOUT decoding the payloads — the cheap
+    * manifest pass a frame-sampling pipeline runs before deciding
+    * which frames to decode.
+    */
+  def gvidFrameSizes(bytes: Array[Byte]): Seq[Int] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+    val n = bb.getShort().toInt
+    require(n >= 0, s"negative frame count $n")
+    (0 until n).map { i =>
+      require(bb.remaining() >= 4, s"truncated header of frame $i")
+      val len = bb.getInt
+      require(len > 0 && bb.remaining() >= len, s"truncated frame $i")
+      bb.position(bb.position() + len)
+      len
+    }
+  }
+
   // ------------------------------------------------------------------
   // JPEG via the JDK's bundled codec (java.desktop — part of the JVM,
   // not an external dependency): unlike WAV/BMP/PNG/GVID above this is

@@ -121,6 +121,10 @@ class MediaCodecSpec extends AnyFunSuite {
     val good = MediaCodec.encodeGvid(frames)
     assertThrows[IllegalArgumentException](
       MediaCodec.decodeGvid(good.take(good.length - 10)))
+    // manifest pass: per-frame encoded sizes without decoding pixels
+    assert(MediaCodec.gvidFrameSizes(good) == frames.map(_.length))
+    assertThrows[IllegalArgumentException](
+      MediaCodec.gvidFrameSizes(good.take(good.length - 10)))
   }
 
   test("JPEG (hand-rolled): baseline decode agrees with the JDK decoder") {

@@ -32,4 +32,15 @@ class QueriesSpec extends SparkSpec {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Plan-shape pin for the r6 scale-killer fix: the PMI top-20 must be
+  // a TakeOrderedAndProject (per-partition heap + driver merge), never
+  // a single-partition global window. The production builder only
+  // WARNS on violation (ADVICE r7) — this is the hard gate.
+  test("text_pmi_collocations top-k compiles to TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("text_pmi_collocations")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in plan:\n$plan")
+  }
 }
