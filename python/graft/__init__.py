@@ -1,0 +1,211 @@
+"""Python on-ramp for the graft Spark library.
+
+The reference engine is consumed from Python (see the reference's
+tests/test_toy.py): ``make_world``, ``Component`` subclasses with typed
+fields, ``@processor`` update rules, ``world.spawn/step/get_history``.
+This module exposes the same surface on top of PySpark's py4j gateway:
+every call lands on ``graft.ecs.PyBridge`` in the JVM, and all data
+stays in the JVM — Python only declares schemas, spawns entities, and
+receives PySpark DataFrames.
+
+Usage (see example_toy.py for the full runnable script)::
+
+    from graft import session, Component, World, sql_processor
+
+    spark = session(jar="target/scala-2.13/<graft jar>")
+
+    class Position(Component):
+        x: float
+        y: float
+
+    world = World.make(spark, simulation="toy")
+    world.add_processor(sql_processor(
+        "Movement", [Position, Velocity],
+        {"position__x": "position__x + velocity__vx * {dt}"}))
+    world.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0))
+    world.step(dt=0.1)
+    hist = world.get_history(Position)   # {hash: pyspark DataFrame}
+
+Requires: pyspark matching the Scala build (4.x / Scala 2.13) and the
+graft jar (``sbt package``) on the driver classpath — ``session(jar=…)``
+handles that, or pass ``--jars`` to spark-submit.
+"""
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PY_TO_SPARK = {
+    float: "double",
+    int: "long",
+    str: "string",
+    bool: "boolean",
+    bytes: "binary",
+    "float": "double",
+    "int": "long",
+    "str": "string",
+    "bool": "boolean",
+    "bytes": "binary",
+}
+
+
+def session(jar=None, master=None, app_name="graft", shuffle_partitions=None):
+    """Build a SparkSession with the graft surface installed (the
+    Python twin of ``Graft.session()``): tuned defaults + the native
+    as-of strategy + every ``graft_*`` SQL function.
+
+    ``jar``: path to the graft jar (or a classes directory); required
+    unless the classpath already carries graft.
+    """
+    import os
+
+    cores = os.cpu_count() or 4
+    b = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cores}]")
+    if jar:
+        jar = os.path.abspath(jar)
+        b = b.config("spark.driver.extraClassPath", jar).config(
+            "spark.executor.extraClassPath", jar)
+    spark = (
+        b.config("spark.sql.shuffle.partitions", shuffle_partitions or cores)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    install(spark)
+    return spark
+
+
+def install(spark):
+    """Retrofit graft onto an existing PySpark session: native as-of
+    join planning + the ``graft_*`` SQL function registry. Idempotent
+    (the JVM side is ``Graft.install``)."""
+    spark._jvm.graft.Graft.install(spark._jsparkSession)
+
+
+class Component:
+    """Subclass with class-level type annotations to declare a
+    component (the reference's ``Component(LanceModel)`` shape)::
+
+        class Position(Component):
+            x: float
+            y: float
+
+    Instances are plain keyword bags: ``Position(x=0.0, y=1.0)``.
+    Columns in archetype tables are prefixed ``<name lowercased>__``,
+    exactly as in the Scala/Reference convention.
+    """
+
+    def __init__(self, **kwargs):
+        fields = self.field_names()
+        missing = [f for f in fields if f not in kwargs]
+        extra = [k for k in kwargs if k not in fields]
+        if missing or extra:
+            raise TypeError(
+                f"{type(self).__name__}: missing={missing} unexpected={extra}")
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    @classmethod
+    def field_names(cls):
+        names = []
+        for klass in reversed(cls.__mro__):
+            names.extend(getattr(klass, "__annotations__", {}).keys())
+        return names
+
+    @classmethod
+    def _schema_json(cls):
+        fields = []
+        for klass in reversed(cls.__mro__):
+            for name, tp in getattr(klass, "__annotations__", {}).items():
+                try:
+                    spark_type = _PY_TO_SPARK[tp]
+                except KeyError:
+                    raise TypeError(
+                        f"{cls.__name__}.{name}: unsupported type {tp!r}; "
+                        f"use one of {sorted(set(_PY_TO_SPARK) - set(map(str, _PY_TO_SPARK)))}")
+                fields.append({"name": name, "type": spark_type,
+                               "nullable": False, "metadata": {}})
+        return json.dumps({"type": "struct", "fields": fields})
+
+    @classmethod
+    def _jmeta(cls, spark):
+        return spark._jvm.graft.ecs.PyBridge.meta(
+            cls.__name__, cls._schema_json())
+
+    def _values(self):
+        return [getattr(self, f) for f in self.field_names()]
+
+
+def _bridge(spark):
+    return spark._jvm.graft.ecs.PyBridge
+
+
+def sql_processor(name, components, updates, priority=0):
+    """An update rule as a dict of column -> SQL expression; ``{dt}``
+    in an expression substitutes the step's dt. This is how Python
+    declares the reference's ``@processor`` logic — the expressions
+    compile to codegen'd Catalyst plans, never a per-row Python call.
+    """
+    return _SqlProcessorSpec(name, components, updates, priority)
+
+
+class _SqlProcessorSpec:
+    def __init__(self, name, components, updates, priority):
+        self.name = name
+        self.components = components
+        self.updates = updates
+        self.priority = priority
+
+    def _jproc(self, spark):
+        jmetas = [c._jmeta(spark) for c in self.components]
+        return _bridge(spark).sqlProcessor(
+            self.name, jmetas, self.priority, self.updates)
+
+
+class World:
+    """Python handle over ``graft.ecs.World`` (reference: make_world)."""
+
+    def __init__(self, spark, jworld):
+        self._spark = spark
+        self._jworld = jworld
+
+    @classmethod
+    def make(cls, spark, simulation="sim_py", run="run_0",
+             optimize_interval=4):
+        jworld = _bridge(spark).makeWorld(
+            spark._jsparkSession, simulation, run, optimize_interval)
+        return cls(spark, jworld)
+
+    def spawn(self, *components):
+        jmetas = [c._jmeta(self._spark) for c in components]
+        values = [c._values() for c in components]
+        return _bridge(self._spark).spawn(self._jworld, jmetas, values)
+
+    def add_processor(self, proc_spec):
+        _bridge(self._spark).addProcessor(
+            self._jworld, proc_spec._jproc(self._spark))
+
+    def step(self, dt=1.0):
+        self._jworld.step(float(dt))
+
+    @property
+    def current_step(self):
+        return self._jworld.currentStep()
+
+    def _wrap(self, jmap):
+        return {e: DataFrame(jmap[e], self._spark)
+                for e in jmap.keySet().toArray()}
+
+    def query(self, *component_classes):
+        """Live state of every archetype carrying all the given
+        components, keyed by archetype hash -> PySpark DataFrame."""
+        jmetas = [c._jmeta(self._spark) for c in component_classes]
+        return self._wrap(_bridge(self._spark).query(self._jworld, jmetas))
+
+    def get_history(self, *component_classes):
+        """Full step history, keyed by archetype hash."""
+        jmetas = [c._jmeta(self._spark) for c in component_classes]
+        return self._wrap(_bridge(self._spark).history(self._jworld, jmetas))

@@ -87,15 +87,29 @@ final class ArchetypeStore(
   def addEntity(components: Seq[Component], step: Long): Long = {
     require(components.nonEmpty, "Cannot create an entity with no components")
     val metas = components.map(ComponentMeta.fromInstance)
+    val values = components.map(c => (0 until c.productArity).map(c.productElement))
+    addEntityValues(metas, values, step)
+  }
+
+  /** Value-based spawn core: `values(i)` holds `metas(i)`'s field values
+    * in that component's declared field order. This is also the py4j
+    * on-ramp's path ([[PyBridge.spawn]]) — Python callers have no case
+    * classes to hand to [[addEntity]].
+    */
+  def addEntityValues(metas: Seq[ComponentMeta], values: Seq[Seq[Any]], step: Long): Long = {
+    require(metas.nonEmpty, "Cannot create an entity with no components")
+    require(metas.size == values.size,
+      s"metas (${metas.size}) and values (${values.size}) must align")
+    metas.zip(values).foreach { case (m, vs) =>
+      require(m.schema.size == vs.size,
+        s"${m.name}: expected ${m.schema.size} field values, got ${vs.size}")
+    }
     val sig = Archetype.signature(metas)
     val hash = ensureTable(metas)
     val entityId = entityCounter.incrementAndGet()
     // values in signature order, matching Archetype.schemaOf
-    val byName = components.map(c => ComponentMeta.fromInstance(c).name -> c).toMap
-    val compValues = sig.flatMap { m =>
-      val inst = byName(m.name)
-      (0 until inst.productArity).map(inst.productElement)
-    }
+    val byName = metas.map(_.name).zip(values).toMap
+    val compValues = sig.flatMap(m => byName(m.name))
     val row = Row.fromSeq(
       Seq(simulation, run, entityId, step, true) ++ compValues :+ commitCounter.incrementAndGet())
     pending.getOrElseUpdate(hash, mutable.ArrayBuffer.empty) += row

@@ -156,6 +156,12 @@ final class World private (
   def spawnBatch(metas: Seq[ComponentMeta], df: DataFrame): Unit =
     store.spawnBatch(metas, df, currentStep)
 
+  /** Spawn from raw field values (declaration order per meta) — the
+    * case-class-free path used by the Python on-ramp ([[PyBridge]]).
+    */
+  def spawnValues(metas: Seq[ComponentMeta], values: Seq[Seq[Any]]): Long =
+    store.addEntityValues(metas, values, currentStep)
+
   def despawn(entityId: Long, step: Option[Long] = None): Unit =
     store.removeEntity(entityId, step.getOrElse(currentStep))
 

@@ -106,7 +106,7 @@ object ScaleUp {
           when(col("_copy") === 0, col("text")).otherwise(expr(
             """concat_ws(' ', transform(
               |  sequence(1, size(split(text, ' '))),
-              |  i -> element_at(slots, CAST(1 + pmod(xxhash64(doc_id, i), 1024) AS INT))))""".stripMargin)))
+              |  i -> element_at(slots, CAST(1 + pmod(xxhash64(doc_id, i), size(slots)) AS INT))))""".stripMargin)))
         .withColumn("n_chars", length(col("text")))
         .drop("slots", "_copy")
         .select(df.columns.map(col): _*)
