@@ -430,6 +430,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store: G3 sessionizer identical on the disk-backed provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    // the flatMapGroupsWithState sessionizer (G3) on the provider its
+    // docstring recommends for 100 TB key cardinality — per-user session
+    // state lives in RocksDB, output must be bit-identical to the
+    // default-provider run (= the batch window twin below)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val input = MemoryStream[SessEvent]
+    val all = sampleEvents(400)
+      .map(e => SessEvent(e.user_id, e.event_id, e.ts.getTime * 1000))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val (first, second) = all.splitAt(all.length / 2)
+    input.addData(first)
+    val q = StreamQueries.sessionizeStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_rocks_out").start()
+    try {
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_rocks_out")
+        .orderBy("user_id", "event_id").collect().toSeq
+      val expected = {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        all.toDF()
+          .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(wOrd))
+          .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+          .select(col("user_id"), col("event_id"),
+            sum(col("is_new")).over(wCum).cast("long").as("session_id"))
+          .orderBy("user_id", "event_id").collect().toSeq
+      }
+      assert(streamed.nonEmpty)
+      assert(streamed == expected,
+        "RocksDB-backed sessionizer must equal the batch window twin")
+      val op = q.lastProgress.stateOperators.head
+      assert(op.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb custom metrics, got ${op.customMetrics.keySet}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_cms: counters maintained across micro-batches equal batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -934,6 +981,14 @@ class StreamingSpec extends SparkSpec {
         "tws MG summaries must equal the mapGroupsWithState maintainer")
       // the heavy hitter survives in every shard's summary
       assert(a.values.forall(_.contains("heavy")))
+      // disk-backed provider really engaged on BOTH queries (the 100 TB
+      // configuration for MapState-entry-wise heavy-hitter state)
+      import scala.jdk.CollectionConverters._
+      Seq(qTws, qMgs).foreach { q =>
+        val op = q.lastProgress.stateOperators.head
+        assert(op.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb custom metrics, got ${op.customMetrics.keySet}")
+      }
     } finally {
       qTws.stop(); qMgs.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
