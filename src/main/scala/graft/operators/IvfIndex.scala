@@ -76,6 +76,54 @@ object IvfIndex {
       .select(col(idCol), col(vecCol), col("cid"))
   }
 
+  /** Deterministic farthest-point (k-center) init over a SAMPLE:
+    * one distributed top-N-by-xxhash job collects a representative
+    * sample (TakeOrdered — no full sort), then the k-1 farthest-point
+    * picks run on the driver over sample×dim doubles. On well-
+    * separated data every cluster gets exactly one seed, which is
+    * what keeps Lloyd out of merge/split local optima (a pure hash
+    * spread can drop 2+ seeds into one cluster and none into
+    * another). One job regardless of k; at 100 TB a quantizer is
+    * trained on a sample anyway (cluster structure, not the tail, is
+    * what init needs). First centroid = the min-xxhash vector, then
+    * repeatedly the sample vector farthest from all chosen (ties by
+    * id ascending).
+    */
+  private def kCenterSeeds(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Array[Double]] = {
+    val sampleCap = math.max(64 * k, 512)
+    val sample: Array[(Long, Array[Double])] =
+      vectors.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(sampleCap)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD2 = sample.map(s => d2(s._2, sample.head._2))
+    for (_ <- 1 until k) {
+      var bi = 0
+      var i = 1
+      while (i < sample.length) {
+        if (minD2(i) > minD2(bi) ||
+          (minD2(i) == minD2(bi) && sample(i)._1 < sample(bi)._1)) bi = i
+        i += 1
+      }
+      chosen += sample(bi)
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i)._2, sample(bi)._2)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    chosen.map(_._2).toSeq
+  }
+
   /** Train k centroids with `iters` fixed Lloyd iterations over
     * `vectors` (pass a sample for huge corpora — quantizer quality
     * needs a representative sample, not the full 100 TB).
@@ -95,56 +143,11 @@ object IvfIndex {
         java.util.Arrays.asList(rows: _*), centSchema)
     }
 
-    // deterministic farthest-point (k-center) init over a SAMPLE:
-    // one distributed top-N-by-xxhash job collects a representative
-    // sample (TakeOrdered — no full sort), then the k-1 farthest-point
-    // picks run on the driver over sample×dim doubles. On well-
-    // separated data every cluster gets exactly one seed, which is
-    // what keeps Lloyd out of merge/split local optima (a pure hash
-    // spread can drop 2+ seeds into one cluster and none into
-    // another). The previous shape ran k-1 SEQUENTIAL full-corpus
-    // jobs for the picks — init latency scaled with k·corpus; this is
-    // one job regardless of k, and at 100 TB a quantizer is trained
-    // on a sample anyway (cluster structure, not the tail, is what
-    // init needs).
-    val sampleCap = math.max(64 * k, 512)
-    val sample: Array[(Long, Array[Double])] =
-      vectors.orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(sampleCap)
-        .select(col(idCol).cast("long"), col(vecCol))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    // first centroid = the min-xxhash vector (sample head), then
-    // repeatedly the sample vector farthest from all chosen (ties by
-    // id ascending, matching the distributed tiebreak)
-    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
-    val minD2 = sample.map(s => d2(s._2, sample.head._2))
-    for (_ <- 1 until k) {
-      var bi = 0
-      var i = 1
-      while (i < sample.length) {
-        if (minD2(i) > minD2(bi) ||
-          (minD2(i) == minD2(bi) && sample(i)._1 < sample(bi)._1)) bi = i
-        i += 1
-      }
-      chosen += sample(bi)
-      i = 0
-      while (i < sample.length) {
-        val d = d2(sample(i)._2, sample(bi)._2)
-        if (d < minD2(i)) minD2(i) = d
-        i += 1
-      }
-    }
     var cent = materialize(
       spark.createDataFrame(
         java.util.Arrays.asList(
-          chosen.zipWithIndex.map { case ((_, v), i) =>
-            Row(i.toLong, v.toSeq) }.toSeq: _*),
+          kCenterSeeds(vectors, idCol, vecCol, k).zipWithIndex.map {
+            case (v, i) => Row(i.toLong, v.toSeq) }: _*),
         centSchema))
 
     for (_ <- 1 to iters) {
@@ -183,6 +186,66 @@ object IvfIndex {
       .select(col(idCol), col(vecCol))
       .localCheckpoint(true) // pin: every Lloyd iteration re-reads it
     trainCentroids(sample, idCol, vecCol, k, iters)
+  }
+
+  /** MINI-BATCH Lloyd (the web-scale k-means update of Sculley 2010,
+    * in its distributed shape) — the k ≫ 16 training path. Where
+    * [[trainCentroidsSampled]] iterates over one FIXED sample (quality
+    * capped by what that one sample saw), each mini-batch iteration
+    * draws a FRESH deterministic batch — the rows with
+    * `xxhash64(id, t) ≡ 0 (mod batchDenom)` — so over `iters` rounds
+    * the trainer sees ~iters·n/batchDenom distinct vectors while each
+    * round pays only (n/batchDenom)·k·dim assignment multiplies plus
+    * one cheap full-scan hash filter (no sort, no shuffle of the
+    * corpus).
+    *
+    * Update rule: per-center count-weighted merge. With cumulative
+    * count N_c and a batch contributing b_c rows with mean m_c,
+    * c ← c + (b_c / (N_c + b_c)) · (m_c − c) — exactly the running
+    * mean over every row ever assigned to c, which is Sculley's
+    * per-sample learning-rate 1/N update applied batch-wise. Centers
+    * and counts live on the driver (k·dim doubles, the same Lloyd sync
+    * point [[trainCentroids]] uses); per-batch stats come back as one
+    * k·dim-row collect. Batches in an empty center leave it unchanged.
+    *
+    * Determinism: hash-defined batches, fixed iteration count, no RNG;
+    * reruns agree to float-sum ordering (IvfSpec pins it).
+    */
+  def trainCentroidsMiniBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, batchDenom: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val centSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cv", ArrayType(DoubleType), nullable = false)))
+    def centFrame(centers: Array[Array[Double]]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(centers.zipWithIndex.map {
+          case (v, i) => Row(i.toLong, v.toSeq) }: _*),
+        centSchema)
+
+    val centers = kCenterSeeds(vectors, idCol, vecCol, k).map(_.clone).toArray
+    val counts = Array.fill(k)(0L)
+    for (t <- 1 to iters) {
+      val batch = vectors.filter(
+        pmod(xxhash64(col(idCol), lit(t)), lit(batchDenom)) === 0)
+      // per-(center, dim) batch mean + batch count, one k·dim collect
+      val stats = assignOne(batch, centFrame(centers), idCol, vecCol)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("mx"), count(lit(1)).as("bc"))
+        .collect()
+      stats.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
+        val c = cid.toInt
+        val bc = rows.head.getLong(3)
+        val eta = bc.toDouble / (counts(c) + bc)
+        rows.foreach { r =>
+          val pos = r.getInt(1)
+          centers(c)(pos) += eta * (r.getDouble(2) - centers(c)(pos))
+        }
+        counts(c) += bc
+      }
+    }
+    centFrame(centers)
   }
 
   /** Full IVF search: build inverted lists with the given centroids,

@@ -130,6 +130,50 @@ class IvfSpec extends SparkSpec {
     assert(r >= 0.85, s"sampled-quantizer recall@5 $r < 0.85")
   }
 
+  test("mini-batch Lloyd: full-Lloyd quality at a fraction of per-iteration cost") {
+    // the k >> 16 path (VERDICT r7 #9): 32 planted clusters x 625
+    // members. Full Lloyd assigns all 20k rows x 32 centroids per
+    // iteration; each mini-batch round assigns only the ~1/16 hash
+    // slice drawn fresh that round, so 5 rounds see ~6k distinct
+    // vectors yet pay 16x less assignment work per iteration.
+    val k = 32
+    val rows = for {
+      c <- 0 until k
+      m <- 0 until 625
+    } yield {
+      val id = (c * 625 + m).toLong
+      val center = randVec(c + 7000L)
+      (id, if (m == 0) center else nearDup(center, id + 50000L))
+    }
+    val e = rows.toDF("vec_id", "v").repartition(4).localCheckpoint(true)
+    def qerr(cent: DataFrame): Double =
+      IvfIndex.assign(e, cent, "vec_id", "v", keep = 1)
+        .join(broadcast(cent), Seq("cid"))
+        .select(avg(VectorOps.dot(col("v"), col("v"))
+          - lit(2.0) * VectorOps.dot(col("v"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv"))).as("e"))
+        .as[Double].head()
+    val full = IvfIndex.trainCentroids(e, "vec_id", "v", k = k, iters = 3)
+    val mb = IvfIndex.trainCentroidsMiniBatch(e, "vec_id", "v",
+      k = k, iters = 5, batchDenom = 16)
+    // per-iteration cost really is a fraction: the hash slice is ~n/16
+    val batchN = e.filter(pmod(xxhash64(col("vec_id"), lit(1)), lit(16)) === 0).count()
+    assert(batchN < e.count() / 8, s"batch $batchN not a fraction of ${e.count()}")
+    val (ef, em) = (qerr(full), qerr(mb))
+    info(f"qerr full=$ef%.5f minibatch=$em%.5f (batch/iter=$batchN rows)")
+    assert(em <= ef * 1.05, s"mini-batch quantizer degraded: $em vs full $ef")
+    val r = recallAt5(e, mb)
+    assert(r >= 0.85, s"mini-batch-quantizer recall@5 $r < 0.85")
+    // determinism: hash batches + fixed iteration count, no RNG
+    val again = IvfIndex.trainCentroidsMiniBatch(e, "vec_id", "v",
+      k = k, iters = 5, batchDenom = 16)
+      .orderBy("cid").collect().map(r => r.getSeq[Double](1))
+    mb.orderBy("cid").collect().map(r => r.getSeq[Double](1))
+      .zip(again).foreach { case (v1, v2) =>
+        v1.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+      }
+  }
+
   test("training is deterministic across reruns") {
     val e = clustered
     val c1 = IvfIndex.trainCentroids(e, "vec_id", "v", k = 4, iters = 2)
