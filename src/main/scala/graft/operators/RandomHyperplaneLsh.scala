@@ -123,16 +123,29 @@ object RandomHyperplaneLsh {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ID-ONLY candidate join (the module's own scale rule, re-learned
+    // by the r8 sf1 probe: the previous shape carried both 64-dim
+    // vector payloads through the bucket join AND the distinct —
+    // ~60× the bytes of an id pair — and one hot bucket spilled 19 GB
+    // from a single task on the native-cardinality 200k corpus, where
+    // jittered near-copies co-bucket but don't digest-collapse. With
+    // ids only, the same candidate volume is two longs per row, and
+    // vectors attach AFTER the distinct via two keyed joins — exactly
+    // the candidatePairs/nearDupPairs shape that measured 15.7 s at
+    // sf1.) The candidate SET is unchanged, so oracles replay as-is.
     val b = bucketed(corpus, idCol, vecCol, tables, bits, dim)
-    val cb = b.select(col("tbl"), col("bucket"), col(idCol).as("nid"),
-      col("v").as("nv"))
-    val qb = b.select(col("tbl"), col("bucket"), col(idCol).as("qid"),
-      col("v").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    cb.join(qb, Seq("tbl", "bucket"))
+    val cand = b.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
+      .join(b.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
+        Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .select(col("qid"), col("nid")).distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(vecs.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
+      .join(vecs.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
       .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("nid"),
