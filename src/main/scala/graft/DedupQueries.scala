@@ -606,9 +606,21 @@ object DedupQueries {
       GraftBridge.expression(lower(col("text"))), 8, 4))
     val fps = reps.select(col("doc_id"), explode(fpCol).as("fp"))
     val nDocs = reps.select(count(lit(1)).as("n"))
+    // Stop-list guard is BOTH relative and absolute. Relative alone
+    // (df ≤ n/20) lets per-fp join fan-out GROW with the corpus: the
+    // self-join pays Σ df², and under a Zipfian fp distribution the
+    // mass between the old threshold and any constant is superlinear —
+    // the r8 sf1 probe measured 22× for 10× docs. An absolute df cap
+    // is the MOSS-style index bound: a fingerprint seen in > maxDf
+    // distinct contents is template/boilerplate signal, not a dup
+    // family (real near-dup pairs share ≥ 10 RARE fps). Trade-off: a
+    // near-dup family larger than maxDf is dropped here — that regime
+    // belongs to C1 exact collapse + C2 MinHash banding. maxDf doesn't
+    // bind below n = 5120 docs, so small-SF oracles are unchanged.
+    val maxDf = 256
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") * 20 <= col("n"))
+      .filter(col("df") * 20 <= col("n") && col("df") <= maxDf)
       .select(col("fp"))
     val filtered = fps.join(rare, Seq("fp"))
     filtered.as("a").join(filtered.as("b"),
@@ -634,7 +646,8 @@ object DedupQueries {
        |        generate_series(1, greatest(len(codes) - 3, 1)),
        |        i -> list_min(codes[i:i+3])))) AS fp FROM g),
        |rare AS (SELECT fp FROM f GROUP BY fp
-       |         HAVING count(*) * 20 <= (SELECT count(*) FROM d)),
+       |         HAVING count(*) * 20 <= (SELECT count(*) FROM d)
+       |            AND count(*) <= 256),
        |ff AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
        |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -44,6 +44,13 @@ object HnswLite {
   private def d2(v: Column, c: Column): Column =
     VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, c) + VectorOps.dot(c, c)
 
+  /** Phase timing, printed only when SPARK_GRAFT_HNSW_DEBUG is set. */
+  private def timed[A](name: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_HNSW_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[hnsw] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   /** Nearest-`b` parents from a SMALL candidate set, shuffle-free:
     * candidates ride along as one broadcast array row, each node sorts
     * (dist², pid) structs and explodes its best `b` — the
@@ -51,29 +58,43 @@ object HnswLite {
     * nodes: (nid, nv); cand: (pid, pv). Returns (nid, nv, pid).
     */
   private def beamFromSmall(nodes: DataFrame, cand: DataFrame, b: Int): DataFrame = {
-    val packed = cand.agg(collect_list(struct(col("pid"), col("pv"))).as("cands"))
+    import org.apache.spark.sql.GraftBridge
+    // native top-b loop (NearestCentroidsExpr) instead of sorting all
+    // |cand| interpreted structs per row — same (d2, pid) order
+    val packed = cand.agg(collect_list(struct(
+      col("pid").as("cid"), col("pv").as("cv"),
+      VectorOps.dot(col("pv"), col("pv")).as("cc"))).as("cands"))
     nodes.crossJoin(broadcast(packed))
-      .withColumn("best", slice(array_sort(transform(col("cands"),
-        c => struct(d2(col("nv"), c("pv")).as("dd"), c("pid").as("pid")))), 1, b))
-      .select(col("nid"), col("nv"), explode(col("best")).as("bb"))
-      .select(col("nid"), col("nv"), col("bb.pid").as("pid"))
+      .select(col("nid"), col("nv"), explode(GraftBridge.column(
+        graft.functions.NearestCentroidsExpr(
+          GraftBridge.expression(col("nv")),
+          GraftBridge.expression(col("cands")), b))).as("pid"))
   }
 
   /** One routed descent step: parents at level j+1 → best `b` children
     * at level j per node. beam: (nid, nv, pid); edges: (cid, cv,
-    * parent) of level j. Returns (nid, nv, pid ∈ level j).
+    * parent) of level j; nodes: (nid, nv) to re-attach vectors from.
+    * Returns (nid, nv, pid ∈ level j).
+    *
+    * ONLY (nid, ccid, dd) rides the rank shuffle — ~24-byte rows. The
+    * earlier shape carried the node vector through the window (≈550 B
+    * per row: at 200k corpus × beam 4 × fanout 16 that was ~7 GB of
+    * rank shuffle PER LEVEL, the dominant cost the r8 sf1 probe
+    * measured at 22 s). Both vectors drop before the shuffle; nv
+    * re-attaches with one keyed join of n·b rows against `nodes`.
     */
-  private def descend(beam: DataFrame, edges: DataFrame, b: Int): DataFrame = {
+  private def descend(beam: DataFrame, edges: DataFrame, b: Int,
+      nodes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("nid")).orderBy(col("dd"), col("ccid"))
-    beam.join(edges.select(col("parent").as("pid"), col("cid").as("ccid"),
+    val picked = beam.join(edges.select(col("parent").as("pid"), col("cid").as("ccid"),
         col("cv").as("ccv")), Seq("pid"))
       .withColumn("dd", d2(col("nv"), col("ccv")))
-      // drop the candidate vector BEFORE the rank shuffle — it is only
-      // needed for dd, and carrying it doubles the sorted row width
-      .select(col("nid"), col("nv"), col("ccid"), col("dd"))
+      .select(col("nid"), col("ccid"), col("dd"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= b)
-      .select(col("nid"), col("nv"), col("ccid").as("pid"))
+      .select(col("nid"), col("ccid").as("pid"))
+    picked.join(nodes, Seq("nid"))
+      .select(col("nid"), col("nv"), col("pid"))
   }
 
   /** (qid, rn, nid, cos) top-k by beam-searched exact cosine. */
@@ -96,8 +117,10 @@ object HnswLite {
     // levels(0) = L1 … levels(m-1) = top; nested by hash order (the
     // deterministic "level draw")
     val levels = sizes.map { sz =>
-      prev = prev.orderBy(xxhash64(col("cid")), col("cid"))
-        .limit(sz.toInt).localCheckpoint(eager = true)
+      prev = timed(s"level build (size $sz)") {
+        prev.orderBy(xxhash64(col("cid")), col("cid"))
+          .limit(sz.toInt).localCheckpoint(eager = true)
+      }
       prev
     }.toArray
     val m = levels.length
@@ -123,12 +146,16 @@ object HnswLite {
       // the per-row top-scoring expression re-evaluates inside the
       // descent shuffle and the whole route re-runs wherever the edge
       // frame is consumed unmaterialized (measured 3× on the sf1 probe)
-      var beam = beamFromSmall(nodes, topCand, routeBeam)
-        .localCheckpoint(eager = true)
+      var beam = timed("  route: entry beamFromSmall") {
+        beamFromSmall(nodes, topCand, routeBeam)
+          .localCheckpoint(eager = true)
+      }
       for (jj <- m - 2 to target by -1)
-        beam = descend(beam, edges(jj), if (jj == target) 1 else routeBeam)
-      val assigned = beam.select(col("nid"), col("nv"), col("pid"))
-        .localCheckpoint(eager = true)
+        beam = descend(beam, edges(jj), if (jj == target) 1 else routeBeam, nodes)
+      val assigned = timed("  route: descend chain") {
+        beam.select(col("nid"), col("nv"), col("pid"))
+          .localCheckpoint(eager = true)
+      }
       val stranded = nodes.join(assigned.select(col("nid")), Seq("nid"), "leftanti")
       val rescued = IvfIndex.assignOne(stranded, levels(target)
           .select(col("cid"), col("cv")), "nid", "nv")
@@ -141,14 +168,18 @@ object HnswLite {
     val edges = new Array[DataFrame](math.max(m - 1, 0))
     for (j <- m - 2 to 0 by -1) {
       val child = levels(j).select(col("cid").as("nid"), col("cv").as("nv"))
-      edges(j) = route(child, sizes(j), j + 1, edges)
-        .toDF("cid", "cv", "parent")
+      edges(j) = timed(s"edges($j) route (${sizes(j)} nodes)") {
+        route(child, sizes(j), j + 1, edges)
+          .toDF("cid", "cv", "parent")
+          .localCheckpoint(eager = true)
+      }
+    }
+    val corpusEdges = timed(s"corpus route ($n nodes)") {
+      route(
+          base.select(col("cid").as("nid"), col("cv").as("nv")), n, 0, edges)
+        .toDF("nid", "nv", "parent1")
         .localCheckpoint(eager = true)
     }
-    val corpusEdges = route(
-        base.select(col("cid").as("nid"), col("cv").as("nv")), n, 0, edges)
-      .toDF("nid", "nv", "parent1")
-      .localCheckpoint(eager = true)
 
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // top: score every pivot (tiny) — the hierarchy's entry points
