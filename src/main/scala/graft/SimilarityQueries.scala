@@ -1585,8 +1585,12 @@ object SimilarityQueries {
       |bk AS (SELECT e.vec_id, p // 8 AS tbl,
       |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |pool AS (SELECT tbl, bucket, vec_id FROM (
+      |          SELECT tbl, bucket, vec_id,
+      |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS prn
+      |          FROM bk) WHERE prn <= 128),
       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-      |         FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |         FROM bk q JOIN pool c ON q.tbl = c.tbl AND q.bucket = c.bucket
       |          AND c.vec_id <> q.vec_id),
       |sc AS (SELECT qid, nid,
       |        list_dot_product(x.v, y.v) /

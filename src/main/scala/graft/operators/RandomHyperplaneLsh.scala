@@ -121,7 +121,8 @@ object RandomHyperplaneLsh {
     * directed edges (qid, rn, nid, cos_sim).
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+      k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64,
+      bucketCap: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ID-ONLY candidate join (the module's own scale rule, re-learned
     // by the r8 sf1 probe: the previous shape carried both 64-dim
@@ -132,11 +133,27 @@ object RandomHyperplaneLsh {
     // ids only, the same candidate volume is two longs per row, and
     // vectors attach AFTER the distinct via two keyed joins — exactly
     // the candidatePairs/nearDupPairs shape that measured 15.7 s at
-    // sf1.) The candidate SET is unchanged, so oracles replay as-is.
+    // sf1.)
+    //
+    // BOUNDED candidate pool per bucket: each node compares against at
+    // most the `bucketCap` lowest-id members of each of its buckets
+    // (deterministic, SQL-replayable rank). Without the cap, per-bucket
+    // work is |bucket|² — a single pathological bucket (boilerplate
+    // vectors, a mass near-dup family) owns one task and the whole
+    // stage at 100 TB; with it, worst-case candidate volume is
+    // n·tables·bucketCap — a hard bound independent of skew. Top-k
+    // quality is unaffected where buckets are smaller than the cap
+    // (every test SF), and inside a capped hot bucket the pool members
+    // are mutually near by LSH construction, so ranked top-k remains a
+    // faithful ANN answer. The oracle mirrors the same rank filter.
     val b = bucketed(corpus, idCol, vecCol, tables, bits, dim)
-    val cand = b.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
-      .join(b.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
-        Seq("tbl", "bucket"))
+    val ids = b.select(col("tbl"), col("bucket"), col(idCol))
+    val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+    val pool = ids.withColumn("prn", row_number().over(wB))
+      .filter(col("prn") <= bucketCap)
+      .select(col("tbl"), col("bucket"), col(idCol).as("nid"))
+    val cand = ids.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
+      .join(pool, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
     val vecs = corpus.select(col(idCol), col(vecCol))
