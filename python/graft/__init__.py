@@ -143,6 +143,21 @@ def _bridge(spark):
     return spark._jvm.graft.ecs.PyBridge
 
 
+def query_names(spark):
+    """Names of every built-in graft operator (SparkEntry registry)."""
+    return list(_bridge(spark).queryNames())
+
+
+def run_query(spark, name, sf_dir):
+    """Run a built-in graft operator by name against a parquet store
+    directory; returns a PySpark DataFrame. Example::
+
+        run_query(spark, "q1_agg", "/root/testdata/sf0.001").show()
+    """
+    return DataFrame(_bridge(spark).runQuery(
+        spark._jsparkSession, name, sf_dir), spark)
+
+
 def sql_processor(name, components, updates, priority=0):
     """An update rule as a dict of column -> SQL expression; ``{dt}``
     in an expression substitutes the step's dt. This is how Python

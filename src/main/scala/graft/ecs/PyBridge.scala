@@ -96,4 +96,17 @@ object PyBridge {
   def history(world: World, metas: java.util.List[ComponentMeta])
       : java.util.Map[String, DataFrame] =
     world.getHistory(metas.asScala.toSeq).asJava
+
+  // ------------------------------------------------------------------
+  // Query-surface passthrough: every SparkEntry operator is callable
+  // from Python by name against any parquet store directory.
+  // ------------------------------------------------------------------
+
+  def queryNames(): java.util.List[String] =
+    graft.SparkEntry.queries.keys.toSeq.sorted.asJava
+
+  def runQuery(spark: SparkSession, name: String, sfDir: String): DataFrame =
+    graft.SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; see queryNames()"))(spark, sfDir)
 }

@@ -61,6 +61,17 @@ class PyBridgeSpec extends SparkSpec {
     assert(math.abs(rows(e1)._2 - 1.0) < 1e-9)
   }
 
+  test("query passthrough runs any SparkEntry operator by name") {
+    val names = PyBridge.queryNames()
+    assert(names.size() == SparkEntry.queries.size)
+    val df = PyBridge.runQuery(spark, "q1_agg", sfDir)
+    assert(df.count() > 0)
+    val ex = intercept[IllegalArgumentException] {
+      PyBridge.runQuery(spark, "no_such_query", sfDir)
+    }
+    assert(ex.getMessage.contains("no_such_query"))
+  }
+
   test("spawn validates field arity against the component schema") {
     val pos = PyBridge.meta("Position", posJson)
     val world = PyBridge.makeWorld(spark, "toy_pybridge_arity", "run_0", 4)
