@@ -115,6 +115,47 @@ object SimilarityQueries {
       .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
   }
 
+  // D25 — PERSISTED IVF index (index-as-layout): at 100 TB an ANN
+  // index is not an in-session join but a STORED layout — the
+  // inverted lists are written ONCE as a cid-partitioned parquet
+  // table, and each query touches only its probed partitions. The
+  // probe side broadcasts, so Spark's dynamic partition pruning
+  // plants a DynamicPruningExpression in the list scan's
+  // PartitionFilters: only nprobe/K of the index FILES are read —
+  // the LanceDB-style serve-from-index story (reference store.py's
+  // create_index/search) expressed as pure table layout. Same seeded
+  // centroids, probes, and ranking as D5, so results — and the
+  // oracle — are exactly knn_ivf's; what changes is the physical
+  // plan, which QueriesSpec pins (the builder WARNs if pruning ever
+  // stops compiling in).
+  private def knnIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).select(col("vec_id"), col("v"))
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val tmp = TmpDir.scratch("ivf_persist")
+    graft.operators.IvfIndex.assign(all, cent, "vec_id", "v", keep = 1)
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cid"))
+      .write.partitionBy("cid").parquet(tmp)
+    val lists = s.read.parquet(tmp)
+    val probes = graft.operators.IvfIndex
+      .assign(all.filter(col("vec_id") <= 10), cent, "vec_id", "v", keep = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val ranked = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+    if (!ranked.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "knn_ivf_persisted list scan compiled without dynamic partition " +
+          "pruning - the probed-partition-only read is the point of the layout")
+    TmpDir.releasing(ranked, tmp)
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
   private val knnIvfSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
@@ -1679,6 +1720,7 @@ object SimilarityQueries {
     "knn_matryoshka" -> (knnMatryoshka _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_ivf_persisted" -> (knnIvfPersisted _),
     "knn_ivf_trained" -> (knnIvfTrained _),
     "knn_ivf_quantized" -> (knnIvfQuantized _),
     "knn_pq" -> (knnPq _),
@@ -1705,6 +1747,11 @@ object SimilarityQueries {
     "knn_matryoshka" -> knnMatryoshkaSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
+    // D25 persists D5's lists as a partitioned layout; results (and
+    // therefore the oracle) are identical - only the physical plan
+    // differs (partition-pruned file reads instead of an in-session
+    // frame).
+    "knn_ivf_persisted" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "knn_ivf_quantized" -> knnIvfTrainedSql, // same exact-reference contract; only the index path differs
     "knn_pq" -> knnIvfTrainedSql, // same contract again: PQ changes the index, not the reference
