@@ -56,17 +56,16 @@ object DedupQueries {
     * over — C10 compares them pairwise to estimate Jaccard.
     */
   private[graft] def minhashValuesFor(docFrame: DataFrame): DataFrame = {
+    // shingle mod-hashes p computed NATIVELY in one pass per doc
+    // (WordShingleModHashesExpr: same tokens-joined-by-space fold
+    // (acc·31+c) mod 1e9+7 the oracle replays) — the exploded-string
+    // + per-char aggregate-lambda shape this replaces was the bulk of
+    // the minhash family's sf1 time. Dedup is by p rather than by
+    // shingle string; per-permutation MIN is invariant to that.
     val shingleRows = docFrame
-      .withColumn("toks", tokensCol)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(
-          |  sequence(0, greatest(size(toks) - 3, 0)),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin)).as("shingle"))
-      .withColumn("p", expr(
-        """aggregate(
-          |  transform(sequence(1, length(shingle)), i -> ascii(substring(shingle, i, 1))),
-          |  CAST(7 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordShingleModHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("p"))
     shingleRows
       .select(col("doc_id"), col("p"), explode(sequence(lit(0), lit(63))).as("j"))
       .select(col("doc_id"), col("j"),
@@ -162,11 +161,14 @@ object DedupQueries {
         Seq("id_b", "j"))
       .groupBy(col("id_a"), col("id_b"))
       .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)) / lit(64.0)).as("est"))
-    val sh = reps.withColumn("toks", tokensCol)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(
-          |  sequence(0, greatest(size(toks) - 3, 0)),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin)).as("shingle"))
+    // ground truth over the shingle-HASH universe (distinct p per doc,
+    // the same identities the minhash permutations act on — est and
+    // truth now measure Jaccard over one universe; the oracle mirrors
+    // the p-identity intersect)
+    val sh = reps
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordShingleModHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("shingle"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val itr = pairs
       .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
@@ -224,12 +226,14 @@ object DedupQueries {
       | FROM pairs p JOIN hj x ON x.doc_id = p.id_a
       |  JOIN hj y ON y.doc_id = p.id_b AND y.j = x.j
       | GROUP BY p.id_a, p.id_b
+      |), pd AS (
+      | SELECT DISTINCT doc_id, p FROM ph
       |), sz AS (
-      | SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      | SELECT doc_id, count(*) AS n FROM pd GROUP BY doc_id
       |), itr AS (
       | SELECT p.id_a, p.id_b, count(*) AS i
-      | FROM pairs p JOIN sh a ON a.doc_id = p.id_a
-      |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      | FROM pairs p JOIN pd a ON a.doc_id = p.id_a
+      |  JOIN pd b ON b.doc_id = p.id_b AND b.p = a.p
       | GROUP BY p.id_a, p.id_b)
       |SELECT e.id_a, e.id_b,
       | round(e.est, 4) + 0 AS est_jaccard,
@@ -248,29 +252,24 @@ object DedupQueries {
     * in the DuckDB oracle.
     */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    def poly(mult: Int, mod: Long, init: Long) = expr(
-      s"""aggregate(
-         |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
-         |  CAST($init AS BIGINT),
-         |  (acc, c) -> (acc * $mult + c) % $mod)""".stripMargin)
     // signatures over exact-content REPRESENTATIVES (min doc_id per
     // text) — C7's r5 lesson applied family-wide: the block self-join
     // below is quadratic in duplicate-family size (the sf1 replica
     // probe put the un-collapsed query at 13.8× for 10× data), exact
     // families are C1's output, and a signature computes once per
     // distinct content
-    val tok = docs(s, dir)
+    // per-doc signature in ONE native pass (SimhashExpr: same poly
+    // pair, bit counters, and sign rule the oracle replays) — the
+    // signature is row-local math, so the previous exploded-token
+    // frame + 64 sum columns shuffled 12M rows for work that never
+    // needed to leave the row. Zero-token docs stay excluded, as the
+    // token explode excluded them.
+    docs(s, dir)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .withColumn("toks", tokensCol)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", shiftleft(poly(31, 1000000007L, 7), 31) + poly(37, 998244353L, 11))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce(_ bitwiseOR _)
-    agg.select(col("doc_id"), simhash.as("simhash"))
+      .filter(size(tokensCol) >= 1)
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SimhashExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")))).as("simhash"))
   }
 
   // C3 — SimHash near-dup pairs: block on 16-bit quarters (a pair within
@@ -672,13 +671,16 @@ object DedupQueries {
     * row per doc that HAS grams: (doc_id, n_grams, n_dup).
     */
   private[graft] def corpusNgramStatsFor(docFrame: DataFrame): DataFrame = {
+    // positional word-5-gram codes in one native pass (FNV-64
+    // identity; counts over codes equal counts over gram strings up
+    // to ~2⁻⁶⁴ collisions — the outputs are counts only, and the
+    // string oracle stays the proof). WordGramHashesExpr emits
+    // windows only when ntok >= 5, matching the if() guard replaced.
     val grams = docFrame
-      .withColumn("toks", tokensCol)
-      .select(col("doc_id"), explode(expr(
-        """if(size(toks) >= 5,
-          |  transform(sequence(1, size(toks) - 4),
-          |    i -> concat_ws(' ', slice(toks, i, 5))),
-          |  array())""".stripMargin)).as("gram"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 5,
+          distinct = false))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
@@ -772,15 +774,28 @@ object DedupQueries {
       .select(col("doc_id"))
     val rep = docs(s, dir).join(repIds, Seq("doc_id"))
       .select(col("doc_id"), col("text"))
-    val grams = rep.withColumn("toks", tokensCol)
-      .select(col("doc_id"), expr(
-        """array_sort(array_distinct(
-          |  if(size(toks) >= 5,
-          |    transform(sequence(1, size(toks) - 4),
-          |      i -> concat_ws(' ', slice(toks, i, 5))),
-          |    array())))""".stripMargin).as("g"))
+    // The whole pipeline rides 64-bit GRAM CODES, never gram strings:
+    // WordGramHashesExpr emits each doc's sorted distinct word-5-gram
+    // hashes in ONE compiled byte pass (the interpreted HOF chain —
+    // split + transform + slice/concat + sort/distinct, ~9M string
+    // allocations — was 45.9 s of this query's 55 s at sf1), and
+    // every downstream shuffle (df agg, per-doc prefix rank, prefix
+    // self-join, verification intersect) moves 8-byte longs. The
+    // prefix-filter guarantee needs only a CONSISTENT GLOBAL TOTAL
+    // ORDER on gram identities — (df, code) is one just as
+    // (df, gram-string) was. Set counts over codes equal the
+    // string-set counts up to 64-bit collisions (~n²/2⁶⁴ ≈ 0 per
+    // doc pair); the brute-force STRING oracle remains the
+    // end-to-end completeness proof at the gate SFs.
+    val grams = rep
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 5)).as("g"))
       .filter(size(col("g")) >= 1)
       .withColumn("n", size(col("g")).cast("long"))
+      // pin: the gram build feeds THREE consumers (the prefix stream
+      // and both verification sides) — unpinned it re-runs per consumer
+      .localCheckpoint(true)
     val tk = grams.select(col("doc_id"), col("n"), explode(col("g")).as("gram"))
     val freq = tk.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
@@ -1021,19 +1036,13 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("doc_id"))
     val vals = minhashValuesFor(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact windowed ground truth over the same shingle universe
-    val digests = reps.withColumn("toks", tokensCol)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(
-          |  sequence(0, greatest(size(toks) - 3, 0)),
-          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin))
-        .as("shingle"))
-      .withColumn("p", expr(
-        """aggregate(
-          |  transform(sequence(1, length(shingle)), i -> ascii(substring(shingle, i, 1))),
-          |  CAST(7 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
-      .select(col("doc_id"), col("p")).distinct()
+    // exact windowed ground truth over the same shingle universe —
+    // distinct p per doc in one native pass (WordShingleModHashesExpr,
+    // identical fold to the oracle's)
+    val digests = reps
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordShingleModHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = digests.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     // Hot-shingle guard (VERDICT r6 finding 2): the truth join is

@@ -60,10 +60,16 @@ object PipelineQueries {
   // grams at scale AND what makes a hit mean real overlap rather than
   // shared boilerplate. Probe side is tiny → broadcast.
   private def pipelineContamination(s: SparkSession, dir: String): DataFrame = {
-    val gramRows = docs(s, dir).select(col("doc_id"), explode(expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(length(text) - 7, 1)),
-        |  i -> substring(text, i, 8)))""".stripMargin)).as("gram"))
+    // char-8-grams as NATIVE injective codes (GramCodeArrayExpr: one
+    // compiled pass, base-131 polynomial — injective on ASCII, and the
+    // corpus is ASCII, so every downstream count equals the string-gram
+    // count exactly while shuffles move 8-byte longs). The interpreted
+    // transform(substring) HOF this replaces allocated ~60M gram
+    // strings per pass and was the bulk of the 36.3 s sf1 probe time.
+    val gramRows = docs(s, dir).select(col("doc_id"),
+      explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.GramCodeArrayExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 8))).as("gram"))
     val nDocs = docs(s, dir).select(count(lit(1)).as("n"))
     // rare grams only: document frequency ≤ 5%. (A count-window over
     // the gram partition would avoid computing gramRows twice, but the
@@ -421,20 +427,25 @@ object PipelineQueries {
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val len = length(col("text")).cast("long")
     val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    // token/bigram/5-gram stages ride positional FNV-64 gram codes
+    // (WordGramHashesExpr, one compiled pass per doc per k) — every
+    // stage below consumes only COUNTS over gram identities, so the
+    // code identity is equivalent to the string identity up to ~2^-64
+    // collisions and the string oracle stays the proof
+    def gramCodes(k: Int) = explode(org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordGramHashesExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), k,
+        distinct = false)))
     val base = d.join(keep, Seq("doc_id"), "leftsemi")
       .filter(len >= 100 && punct / len <= 0.1)
-      .select(col("doc_id"), col("source"), DedupQueries.tokensCol.as("toks"))
+      .select(col("doc_id"), col("source"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // repetition gate (E18): one agg pass yields totals + top unigram
-    val uni = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val uni = base.select(col("doc_id"), gramCodes(1).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_toks"),
         count(lit(1)).as("n_distinct"), max(col("c")).as("top_uni"))
-    val bi = base.select(col("doc_id"), explode(expr(
-        """if(size(toks) >= 2,
-          |  transform(sequence(1, size(toks) - 1),
-          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),
-          |  array())""".stripMargin)).as("bg"))
+    val bi = base.select(col("doc_id"), gramCodes(2).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
     val repOk = uni.join(bi, Seq("doc_id"), "left")
@@ -447,11 +458,7 @@ object PipelineQueries {
     val gated = base.join(repOk, Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-duplicated-ngram gate (C9) over the gated survivors
-    val grams = gated.select(col("doc_id"), explode(expr(
-        """if(size(toks) >= 5,
-          |  transform(sequence(1, size(toks) - 4),
-          |    i -> concat_ws(' ', slice(toks, i, 5))),
-          |  array())""".stripMargin)).as("gram"))
+    val grams = gated.select(col("doc_id"), gramCodes(5).as("gram"))
     val dupGrams = grams.distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2L).select(col("gram"), lit(1L).as("dup"))
@@ -904,14 +911,17 @@ object PipelineQueries {
   // single-partition window over the corpus).
   private def pipelineDsir(s: SparkSession, dir: String): DataFrame = {
     val S = 1000000L
+    // per-token mod-hash buckets natively (WordShingleModHashesExpr
+    // with k=1, positional: one p per token, exactly the oracle's
+    // (acc·31+c) mod 1e9+7 fold) — replaces a per-token explode plus a
+    // per-CHARACTER aggregate lambda
     val tok = docs(s, dir)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
-      .withColumn("bucket", expr(
-        """aggregate(
-          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
-          |  CAST(7 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % 64)
+      .select(col("doc_id"), col("source"),
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WordShingleModHashesExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 1,
+            distinct = false))).as("p"))
+      .withColumn("bucket", col("p") % 64)
     val perDoc = tok.groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     val tTot = perDoc.filter(col("doc_id") % 7 === 0)

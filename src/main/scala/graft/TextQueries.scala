@@ -75,15 +75,33 @@ object TextQueries {
     ("de", "der", 9L), ("de", "ein", 8L), ("de", "ich", 8L), ("de", "und", 8L),
     ("de", "sch", 7L), ("de", "die", 7L), ("de", "en ", 6L), ("de", " di", 5L))
 
-  private def textLangidNgram(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val profile = NgramProfiles.toDF("lang", "gram", "weight")
-    val grams = docs(s, dir)
+  /** Profile trigram HITS per doc as (doc_id, code): one compiled
+    * pass per text emitting only windows whose base-131 code is in
+    * the profile set ([[graft.functions.GramCodeHitsExpr]]) — the
+    * exploded-string shape this replaces materialized length(text)
+    * rows per doc and dropped ~99.9% of them in the profile join
+    * (39.7 s of text_langid_ngram's sf1 time). Injective on ASCII ⇒
+    * per-(doc, gram) hit counts equal the string join's.
+    */
+  private def profileHits(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
-        .as("gram"))
-    val scores = grams.join(broadcast(profile), Seq("gram"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.GramCodeHitsExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3,
+          NgramProfiles.map(t => graft.functions.GramCodeHitsExpr.code(t._2)))))
+        .as("code"))
+
+  private def profileCodes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    NgramProfiles.map { case (lang, gram, weight) =>
+      (lang, graft.functions.GramCodeHitsExpr.code(gram), weight)
+    }.toDF("lang", "code", "weight")
+  }
+
+  private def textLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    val scores = profileHits(s, dir)
+      .join(broadcast(profileCodes(s)), Seq("code"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("weight")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -128,14 +146,8 @@ object TextQueries {
     * profile hit (or shorter than one trigram) default to "en".
     */
   private def predLang(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val profile = NgramProfiles.toDF("lang", "gram", "weight")
-    val grams = docs(s, dir)
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
-        .as("gram"))
-    val scores = grams.join(broadcast(profile), Seq("gram"))
+    val scores = profileHits(s, dir)
+      .join(broadcast(profileCodes(s)), Seq("code"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("weight")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1079,11 +1091,15 @@ object TextQueries {
   // engines sum identical term sets). Docs shorter than 1 char report
   // 0.0 via the left-join spine.
   private def textEntropy(s: SparkSession, dir: String): DataFrame = {
-    val chars = docs(s, dir).filter(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-    val ent = chars.groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
+    // per-doc char histogram in one compiled pass (CharCountHistExpr):
+    // ~|alphabet| rows per doc enter the aggregate instead of one row
+    // per CHARACTER (the explode shape shuffled ~60M char rows at sf1
+    // — 25 s, the suite's worst honest scaler since r6). Counts are
+    // identical integers, so the entropy terms match the oracle's.
+    val ent = docs(s, dir).filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.CharCountHistExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text"))))).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("distinct_chars"),
         sum(col("c").cast("double") * log2(col("c"))).as("s"))
@@ -1470,15 +1486,14 @@ object TextQueries {
   // at the DOC level and E18 (within-doc repetition) with
   // CROSS-doc uniqueness.
   private def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    // distinct word-3-gram identities per doc in one native pass —
+    // the md5-of-exploded-string shape this replaces built one string
+    // + one md5 per window; FNV-64 codes are an equally
+    // collision-free identity and the outputs are counts only
     val grams = docs(s, dir)
-      .withColumn("ws", expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3), " +
-          "i -> array_join(slice(ws, i + 1, 3), ' '))")).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gh"))
-      .distinct()
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("gh"))
     val df = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("df"))
     grams.join(df, Seq("gh"))

@@ -76,6 +76,148 @@ case class GramCodeArrayExpr(child: Expression, win: Int) extends UnaryExpressio
   override def prettyName: String = "graft_gram_codes"
 }
 
+/** POSITIONAL win-gram codes of the ASCII-LOWERCASED text, restricted
+  * to an `allowed` code set — the profile-join primitive: where a
+  * broadcast join of every exploded gram STRING against a tiny profile
+  * materializes length(text) string rows per doc before dropping
+  * ~99.9% of them (the r8 sf1 probe measured text_langid_ngram at
+  * 39.7 s, almost all of it that explode), this emits only the hit
+  * codes in one compiled pass (rolling window + binary search in the
+  * sorted allowed array). Same base-131 injective encoding as
+  * [[GramCodeArrayExpr]] — on the ASCII corpus, per-(doc, gram) hit
+  * counts equal the string-join counts exactly, so oracles that join
+  * gram strings replay unchanged. Duplicates (positions) are kept;
+  * only COMPLETE windows are emitted, matching
+  * `sequence(1, length - win + 1)` semantics.
+  */
+case class GramCodeHitsExpr(child: Expression, win: Int, allowed: Seq[Long])
+    extends UnaryExpression {
+
+  require(win >= 1 && win <= 8, "window must be in [1, 8] (codes fit a long)")
+
+  private lazy val allowedSorted: Array[Long] = allowed.distinct.toArray.sorted
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Hit codes of `s` (shared by eval and generated code). */
+  def hits(s: String): Array[Long] = {
+    val n = s.length
+    if (n < win) return Array.empty[Long]
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i <= n - win) {
+      var h = 0L
+      var k = 0
+      while (k < win) {
+        val c = s.charAt(i + k)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        h = h * 131L + lc.toLong
+        k += 1
+      }
+      if (java.util.Arrays.binarySearch(allowedSorted, h) >= 0) out.add(h)
+      i += 1
+    }
+    val res = new Array[Long](out.size())
+    i = 0
+    while (i < res.length) { res(i) = out.get(i).longValue(); i += 1 }
+    res
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(hits(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("gramHitsExpr", this, classOf[GramCodeHitsExpr].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $expr.hits($c.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramCodeHitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_code_hits"
+}
+
+object GramCodeHitsExpr {
+  /** Base-131 code of an (already-lowercase) gram string — for
+    * encoding profile-table grams on the driver side with the same
+    * arithmetic the expression applies per window.
+    */
+  def code(gram: String): Long =
+    gram.foldLeft(0L)((h, c) => h * 131L + c.toLong)
+}
+
+/** Per-document CHARACTER HISTOGRAM as an array of counts (one entry
+  * per distinct char, ascending char order) — one compiled pass.
+  * Replaces `explode(transform(sequence(1, length(text)), i ->
+  * substring(text, i, 1)))` + a (doc, ch) count aggregation: that
+  * shape shuffles one row PER CHARACTER (the r8 sf1 probe measured
+  * text_entropy's explode at 25 s for ~60M char rows) where this
+  * emits ~|alphabet| longs per doc and the downstream aggregate is
+  * unchanged — identical integer counts, so the entropy float terms
+  * match the oracle's exactly.
+  */
+case class CharCountHistExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Counts per distinct char, ascending char order (shared by eval
+    * and generated code). ASCII rides a flat 128-slot table; anything
+    * else falls back to a tree map.
+    */
+  def hist(s: String): Array[Long] = {
+    val ascii = new Array[Long](128)
+    var other: java.util.TreeMap[Character, Long] = null
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 128) ascii(c) += 1L
+      else {
+        if (other == null) other = new java.util.TreeMap[Character, Long]()
+        other.merge(c, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    val out = new java.util.ArrayList[java.lang.Long]()
+    i = 0
+    while (i < 128) {
+      if (ascii(i) > 0L) out.add(ascii(i))
+      i += 1
+    }
+    if (other != null) other.values().forEach(v => { out.add(v); () })
+    val res = new Array[Long](out.size())
+    i = 0
+    while (i < res.length) { res(i) = out.get(i).longValue(); i += 1 }
+    res
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(hist(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("charHistExpr", this, classOf[CharCountHistExpr].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $expr.hist($c.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharCountHistExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_hist"
+}
+
 /** Count of common elements between two SORTED distinct long arrays —
   * one linear merge, no per-row hash set.
   */

@@ -1,0 +1,301 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sorted distinct 64-bit hashes of a text's word `k`-grams, computed
+  * in ONE compiled pass over the bytes.
+  *
+  * Equivalent (up to the 64-bit identity) to the HOF chain
+  * `array_sort(array_distinct(transform(sequence(...), i ->
+  * concat_ws(' ', slice(tokens, i, k)))))` over
+  * `filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')` — the
+  * shape the r8 sf1 probe measured at 45.9 s of dedup_prefix_filter's
+  * 55 s (interpreted lambda + ~9M string slice/concat allocations).
+  * Tokens are maximal runs of [a-z0-9] after ASCII lowercasing (the
+  * same stream the regex yields on this corpus); each window of k
+  * tokens hashes FNV-1a-64 over its bytes with single-space
+  * separators, so equal gram strings get equal codes and distinct
+  * grams collide with probability ~1/2⁶⁴ (an intersection/count built
+  * on the codes equals the string-set one w.h.p.; the brute-force
+  * string oracle remains the end-to-end proof).
+  *
+  * Codegen emits one static call per row — the loop itself is
+  * compiled Scala, not interpreted expression trees.
+  */
+case class WordGramHashesExpr(child: Expression, k: Int,
+    distinct: Boolean = true) extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramHashesExpr.compute(input.asInstanceOf[UTF8String], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordGramHashesExpr.compute($c, $k, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_gram_hashes"
+}
+
+/** The corpus shingle hash `p` of every word `k`-gram, computed with
+  * EXACTLY the arithmetic the queries (and their DuckDB oracles)
+  * define: tokens joined by single spaces, then
+  * `p = fold(chars, 7, (acc, c) -> (acc·31 + c) mod 1 000 000 007)`.
+  * This is a SEMANTIC hash — minhash permutations and DSIR buckets
+  * are functions of these exact values — so unlike
+  * [[WordGramHashesExpr]] it cannot be swapped for a faster family;
+  * what this expression removes is the interpreted cost of producing
+  * it (an exploded shingle STRING per window plus a per-character
+  * aggregate lambda — two allocations and ~60 interpreted steps per
+  * window, the bulk of the minhash family's sf1 time).
+  *
+  * Window rule matches `sequence(0, greatest(ntok - k, 0))`: documents
+  * with fewer than k tokens still emit ONE (short) window over all
+  * their tokens. `distinct` dedups by p — downstream consumers
+  * (per-permutation MIN, distinct (doc, p) sets) are invariant to
+  * which of two p-colliding shingle strings survives.
+  */
+case class WordShingleModHashesExpr(child: Expression, k: Int,
+    distinct: Boolean = true) extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleModHashesExpr.compute(input.asInstanceOf[UTF8String], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingleModHashesExpr.compute($c, $k, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleModHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_shingle_mod_hashes"
+}
+
+object WordShingleModHashesExpr {
+
+  private final val Mod = 1000000007L
+
+  def compute(text: UTF8String, k: Int, distinct: Boolean): GenericArrayData = {
+    val bytes = text.getBytes.clone()
+    val n = bytes.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val b = bytes(i)
+      val lower: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok && !inTok) { starts.add(i); inTok = true }
+      if (!isTok && inTok) { ends.add(i); inTok = false }
+      bytes(i) = lower
+      i += 1
+    }
+    if (inTok) ends.add(n)
+    val ntok = starts.size()
+    // no tokens ⇒ no shingles (a plain token explode emits no rows;
+    // the corpus has no all-separator docs, so the minhash consumers
+    // see no difference either)
+    if (ntok == 0) return new GenericArrayData(Array.empty[Long])
+    // sequence(0, greatest(ntok - k, 0)) ⇒ max(ntok - k, 0) + 1 windows
+    val m = math.max(ntok - k, 0) + 1
+    val hashes = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = 7L
+      var t = g
+      val tEnd = math.min(g + k, ntok)
+      while (t < tEnd) {
+        if (t > g) h = (h * 31L + ' '.toLong) % Mod
+        var p = starts.get(t).intValue()
+        val e = ends.get(t).intValue()
+        while (p < e) {
+          h = (h * 31L + (bytes(p) & 0xffL)) % Mod
+          p += 1
+        }
+        t += 1
+      }
+      hashes(g) = h
+      g += 1
+    }
+    if (!distinct) return new GenericArrayData(hashes)
+    java.util.Arrays.sort(hashes)
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+}
+
+/** The complete 64-bit SimHash signature of a document in ONE compiled
+  * pass — exactly the computation the C3 oracle replays: per token
+  * `h = (poly(31, 1e9+7, 7) << 31) + poly(37, 998244353, 11)` over the
+  * token's lowercased chars, then 64 ±1 bit counters over all tokens,
+  * then `Σ (counter_i > 0) << i`. Per-doc signatures are row-local
+  * math, so expressing them as an exploded token frame + 64 sum
+  * columns (the previous shape) paid a 12M-row shuffle for work that
+  * never needed to leave the row; this runs at scan speed and keeps
+  * every integer op identical, so the oracle replays unchanged.
+  */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
+object SimhashExpr {
+
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes.clone()
+    val n = bytes.length
+    val counters = new Array[Int](64)
+    var i = 0
+    var tokStart = -1
+    def flush(start: Int, end: Int): Unit = {
+      var h31 = 7L
+      var h37 = 11L
+      var p = start
+      while (p < end) {
+        val c = bytes(p) & 0xffL
+        h31 = (h31 * 31L + c) % 1000000007L
+        h37 = (h37 * 37L + c) % 998244353L
+        p += 1
+      }
+      val h = (h31 << 31) + h37
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+    }
+    while (i < n) {
+      val b = bytes(i)
+      val lower: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      bytes(i) = lower
+      if (isTok && tokStart < 0) tokStart = i
+      if (!isTok && tokStart >= 0) { flush(tokStart, i); tokStart = -1 }
+      i += 1
+    }
+    if (tokStart >= 0) flush(tokStart, n)
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+object WordGramHashesExpr {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** One pass: lowercase bytes, token spans, rolling k-window FNV-1a
+    * hash with ' ' separators, then (when `distinct`) sort + dedup the
+    * codes; positional mode keeps one code per window in text order.
+    */
+  def compute(text: UTF8String, k: Int, distinct: Boolean = true): GenericArrayData = {
+    // getBytes may expose UTF8String's internal buffer — clone before
+    // the in-place lowercasing below
+    val bytes = text.getBytes.clone()
+    val n = bytes.length
+    // token spans over lowercased [a-z0-9] runs
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val b = bytes(i)
+      val lower: Byte =
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok && !inTok) { starts.add(i); inTok = true }
+      if (!isTok && inTok) { ends.add(i); inTok = false }
+      bytes(i) = lower
+      i += 1
+    }
+    if (inTok) ends.add(n)
+    val ntok = starts.size()
+    if (ntok < k) return new GenericArrayData(Array.empty[Long])
+    val m = ntok - k + 1
+    val hashes = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = FnvOffset
+      var t = g
+      while (t < g + k) {
+        if (t > g) { h ^= ' '.toLong; h *= FnvPrime }
+        var p = starts.get(t).intValue()
+        val e = ends.get(t).intValue()
+        while (p < e) {
+          h ^= (bytes(p) & 0xffL)
+          h *= FnvPrime
+          p += 1
+        }
+        t += 1
+      }
+      hashes(g) = h
+      g += 1
+    }
+    if (!distinct) return new GenericArrayData(hashes)
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted codes
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+}
