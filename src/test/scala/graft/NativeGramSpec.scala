@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Each native text expression must equal the interpreted HOF/SQL
+  * shape it replaced, value-for-value, on adversarial inputs — this is
+  * the contract that lets the DuckDB string oracles keep proving the
+  * rewired queries.
+  */
+class NativeGramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c d e",                      // short tokens
+    "one-two,three;four!five six",    // separators
+    "ALL CAPS AND MiXeD CaSe toKENS", // lowercasing
+    "  leading and trailing   ",      // whitespace runs
+    "singleton",                      // 1 token
+    "two tokens",                     // < k for k>=3
+    "...,,,!!!",                      // no tokens at all
+    "",                               // empty string
+    "repeat repeat repeat repeat",    // duplicate grams
+    "numbers 123 mix4d t0kens 99",
+    "x " * 300 + "y"                  // long doc
+  )
+
+  private def df = cases.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("WordGramHashesExpr distinct-count == HOF distinct gram count (k=3,5)") {
+    for (k <- Seq(2, 3, 5)) {
+      val hof = df.withColumn("toks",
+          expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+        .select(col("doc_id"), expr(
+          s"""size(array_distinct(if(size(toks) >= $k,
+             |  transform(sequence(1, size(toks) - ${k - 1}),
+             |    i -> concat_ws(' ', slice(toks, i, $k))),
+             |  array())))""".stripMargin).as("n"))
+        .as[(Long, Int)].collect().toMap
+      val native = df.select(col("doc_id"), size(GraftBridge.column(
+          WordGramHashesExpr(GraftBridge.expression(col("text")), k))).as("n"))
+        .as[(Long, Int)].collect().toMap
+      // the HOF emits one empty-ish gram when there are no tokens
+      // (if-guard yields array() → size 0) — counts must agree exactly
+      cases.indices.foreach { i =>
+        assert(native(i.toLong) == hof(i.toLong),
+          s"k=$k doc $i: native ${native(i.toLong)} != hof ${hof(i.toLong)}: '${cases(i)}'")
+      }
+    }
+  }
+
+  test("WordGramHashesExpr positional count == window count") {
+    val native = df.select(col("doc_id"), size(GraftBridge.column(
+        WordGramHashesExpr(GraftBridge.expression(col("text")), 3,
+          distinct = false))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val toks = df.withColumn("toks",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+      .select(col("doc_id"), size(col("toks")).as("nt"))
+      .as[(Long, Int)].collect().toMap
+    cases.indices.foreach { i =>
+      val expected = math.max(toks(i.toLong) - 2, 0)
+      assert(native(i.toLong) == expected,
+        s"doc $i: ${native(i.toLong)} != $expected")
+    }
+  }
+
+  test("WordShingleModHashesExpr == the aggregate-lambda p fold") {
+    val hof = df.withColumn("toks",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(0, greatest(size(toks) - 3, 0)),
+          |  i -> concat_ws(' ', slice(toks, i + 1, 3))))""".stripMargin)).as("sh"))
+      .withColumn("p", expr(
+        """aggregate(
+          |  transform(sequence(1, length(sh)), i -> ascii(substring(sh, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      .select(col("doc_id"), col("p")).distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val native = df.select(col("doc_id"), explode(GraftBridge.column(
+        WordShingleModHashesExpr(GraftBridge.expression(col("text")), 3))).as("p"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    cases.indices.map(_.toLong).foreach { i =>
+      assert(native.getOrElse(i, Set.empty) == hof.getOrElse(i, Set.empty),
+        s"doc $i shingle-hash sets differ")
+    }
+  }
+
+  test("CharCountHistExpr == per-char explode counts") {
+    val hof = df.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"),
+        sort_array(collect_list(col("c"))).as("cs"))
+      .as[(Long, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val native = df.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(GraftBridge.column(
+        CharCountHistExpr(GraftBridge.expression(col("text"))))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"),
+        sort_array(collect_list(col("c"))).as("cs"))
+      .as[(Long, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(native == hof)
+  }
+
+  test("SimhashExpr == the exploded-token 64-column signature") {
+    def poly(mult: Int, mod: Long, init: Long) = expr(
+      s"""aggregate(
+         |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+         |  CAST($init AS BIGINT),
+         |  (acc, c) -> (acc * $mult + c) % $mod)""".stripMargin)
+    val tok = df
+      .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", shiftleft(poly(31, 1000000007L, 7), 31) + poly(37, 998244353L, 11))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    val hof = agg.select(col("doc_id"), simhash.as("s"))
+      .as[(Long, Long)].collect().toMap
+    val native = df
+      .filter(size(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")) >= 1)
+      .select(col("doc_id"), GraftBridge.column(
+        SimhashExpr(GraftBridge.expression(col("text")))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof, s"native $native != hof $hof")
+  }
+
+  test("GramCodeHitsExpr hit counts == string profile join counts") {
+    val profile = Seq(" th", "the", "he ", "ick", "own").map(g =>
+      (g, GramCodeHitsExpr.code(g)))
+    val hof = df.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
+        .as("g"))
+      .join(profile.toDF("g", "code"), Seq("g"))
+      .groupBy(col("doc_id"), col("code")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    val native = df.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(GraftBridge.column(
+        GramCodeHitsExpr(GraftBridge.expression(col("text")), 3,
+          profile.map(_._2)))).as("code"))
+      .groupBy(col("doc_id"), col("code")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == hof)
+  }
+}
