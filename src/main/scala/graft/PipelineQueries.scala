@@ -1614,10 +1614,14 @@ object PipelineQueries {
   private def pipelineCascade(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     // stage 1: exact dedup
+    // each stage frame is pinned: the stage-count report reads every
+    // frame twice (as `after` then as the next stage's `before`) and
+    // the unpinned chain re-ran all earlier stages per consumer
     val d1 = d.join(
       d.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "leftsemi")
+      .localCheckpoint(true)
     // stage 2: boilerplate (10-word chunk df over the SURVIVORS)
     val chunks = d1
       .withColumn("ws", expr(
@@ -1634,14 +1638,19 @@ object PipelineQueries {
       .agg(avg(when(col("df") >= 2, 1.0).otherwise(0.0)).as("dupfrac"))
     val d2 = d1.join(dupFrac.filter(col("dupfrac") > 0.3).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     // stage 3: quality (exact integers)
     val len = length(col("text")).cast("long")
     val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
     val d3 = d2.filter(len >= 100L && punct * 10L <= len)
-    // stage 4: entropy floor
+      .localCheckpoint(true)
+    // stage 4: entropy floor — per-doc char counts in one native pass
+    // (CharCountHistExpr; same integer counts, so the same float terms
+    // sum) instead of a row per CHARACTER + a per-doc window
     val ent = d3
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.CharCountHistExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text"))))).as("n"))
       .withColumn("tot", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .groupBy(col("doc_id"))
@@ -1649,6 +1658,7 @@ object PipelineQueries {
         * log(2.0, col("n") / col("tot"))), 6).as("ent"))
     val d4 = d3.join(ent.filter(col("ent") >= 3.9).select(col("doc_id")),
       Seq("doc_id"), "leftsemi")
+      .localCheckpoint(true)
     def stageRow(name: String, ord: Int, before: DataFrame, after: DataFrame) =
       before.agg(count(lit(1)).as("docs_in"))
         .crossJoin(after.agg(count(lit(1)).as("docs_out")))
