@@ -369,23 +369,20 @@ object SketchQueries {
     // cost 18 s at sf0.1 (38M digest calls). Three multiply-mods per
     // (row, counter) in whole-stage codegen; arithmetic in BOTH
     // engines.
-    val contrib = Tables.load(s, dir, "lineitem")
-      .select(col("l_partkey"))
-      .select(col("l_partkey"),
-        explode(sequence(lit(0), lit(S - 1))).as("j"))
-      .withColumn("kk", col("l_partkey") % 1000003L)
-      .withColumn("a3", (lit(104729L) * (col("j") + 1)) % 1000003L)
-      .withColumn("a2", (lit(7919L) * (col("j") + 3) * (col("j") + 3)) % 1000003L)
-      .withColumn("a1", (lit(4099L) * (col("j") + 7) * (col("j") + 7)) % 1000003L)
-      .withColumn("a0", (lit(977L) * (col("j") + 11)) % 1000003L)
-      .withColumn("sigma",
-        lit(1L) - lit(2L) * ((((((col("a3") * col("kk") + col("a2")) % 1000003L)
-          * col("kk") + col("a1")) % 1000003L)
-          * col("kk") + col("a0")) % 1000003L % 2L))
-    val counters = contrib.groupBy(col("j"))
-      .agg(sum(col("sigma")).as("c"))
-    val est = counters.agg(
-      (sum(col("c") * col("c")) / lit(S.toDouble)).as("f2_est"))
+    // explode-free (late r8): the exploded shape carried one row per
+    // (row, counter) — 64× the input volume, 3.8B rows at sf1 — just
+    // to move a ±1 into a 64-key aggregate. AmsSigmaVecExpr emits the
+    // whole length-64 sign vector in one compiled pass; the aggregate
+    // is 64 long sums over one projected array (identical integer
+    // counters — summation regrouping only).
+    val sig = Tables.load(s, dir, "lineitem")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.AmsSigmaVecExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("l_partkey")), S)).as("sg"))
+    val sums = (0 until S).map(j => sum(col("sg").getItem(j)).as(s"c$j"))
+    val est = sig.agg(sums.head, sums.tail: _*)
+      .select(((0 until S).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _)
+        / lit(S.toDouble)).as("f2_est"))
     val exact = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
       .agg(sum(col("f") * col("f")).as("f2_exact"))

@@ -430,3 +430,66 @@ case class TopKAggregate(
     copy(child = newChildren.head)
   override def prettyName: String = "graft_topk"
 }
+
+/** All S AMS sign contributions (±1) of one key in a single compiled
+  * pass — the explode-free shape for sketch_ams_f2. The exploded plan
+  * materializes one row per (row, counter): 64× the input volume
+  * (3.8B rows at sf1, measured 13.8 s) just to carry a ±1 into a
+  * 64-key aggregate. This emits the length-S sign vector per row, so
+  * the aggregate reads S longs from one projected array and the row
+  * count never multiplies.
+  *
+  * Arithmetic is EXACTLY the oracle's degree-3 polynomial family mod
+  * P=1000003 (coefficients keyed to j as in the SQL replay): identical
+  * integer signs, so the estimator matches DuckDB bit-for-bit.
+  */
+case class AmsSigmaVecExpr(child: Expression, s: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint input")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = 1000003L
+  // per-counter coefficients, hoisted once (the exploded plan
+  // recomputed them per emitted row)
+  @transient private lazy val a3 = Array.tabulate(s)(j => (104729L * (j + 1)) % P)
+  @transient private lazy val a2 = Array.tabulate(s)(j => (7919L * (j + 3) * (j + 3)) % P)
+  @transient private lazy val a1 = Array.tabulate(s)(j => (4099L * (j + 7) * (j + 7)) % P)
+  @transient private lazy val a0 = Array.tabulate(s)(j => (977L * (j + 11)) % P)
+
+  def sigmas(key: Long): Array[Long] = {
+    val kk = key % P
+    val out = new Array[Long](s)
+    var j = 0
+    while (j < s) {
+      val t1 = (a3(j) * kk + a2(j)) % P
+      val t2 = (t1 * kk + a1(j)) % P
+      val t3 = (t2 * kk + a0(j)) % P
+      out(j) = 1L - 2L * (t3 % 2L)
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sigmas(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("amsSigmaExpr", this, classOf[AmsSigmaVecExpr].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $expr.sigmas($c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AmsSigmaVecExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ams_sigmas"
+}

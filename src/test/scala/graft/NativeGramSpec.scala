@@ -160,4 +160,31 @@ class NativeGramSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(native == hof)
   }
+
+  test("AmsSigmaVecExpr == exploded polynomial sigma (all 64 counters)") {
+    // keys spanning sf0.1-native ids, sf1 copy-shifted ids (+n·1e8),
+    // multiples of P, and P±1 (the mod boundaries)
+    val keys = Seq(0L, 1L, 2L, 977L, 1000002L, 1000003L, 1000004L,
+      2000006L, 19999L, 100000042L, 900000123L, 123456789L)
+    val kdf = keys.map(Tuple1(_)).toDF("k")
+    val hof = kdf
+      .select(col("k"), explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("kk", col("k") % 1000003L)
+      .withColumn("a3", (lit(104729L) * (col("j") + 1)) % 1000003L)
+      .withColumn("a2", (lit(7919L) * (col("j") + 3) * (col("j") + 3)) % 1000003L)
+      .withColumn("a1", (lit(4099L) * (col("j") + 7) * (col("j") + 7)) % 1000003L)
+      .withColumn("a0", (lit(977L) * (col("j") + 11)) % 1000003L)
+      .withColumn("sigma",
+        lit(1L) - lit(2L) * ((((((col("a3") * col("kk") + col("a2")) % 1000003L)
+          * col("kk") + col("a1")) % 1000003L)
+          * col("kk") + col("a0")) % 1000003L % 2L))
+      .select(col("k"), col("j"), col("sigma"))
+      .as[(Long, Int, Long)].collect().toSet
+    val native = kdf
+      .select(col("k"), posexplode(GraftBridge.column(
+        AmsSigmaVecExpr(GraftBridge.expression(col("k")), 64))))
+      .select(col("k"), col("pos"), col("col"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(native == hof)
+  }
 }
