@@ -925,7 +925,7 @@ object DedupQueries {
   // per-doc window sort (fixed interval length makes ends monotone:
   // a new island starts iff p - lag(p) > L, and each island covers
   // max(p) - min(p) + L tokens with provably no internal hole).
-  // Scale: the only wide exchanges are keyed by a 16-byte md5 digest
+  // Scale: the only wide exchanges are keyed by an 8-byte window code
   // (raw text never rides a shuffle), counts/positions are longs, and
   // the island merge is a per-doc local sort — work is linear in
   // corpus windows, never pairwise. At 100 TB the duplicated-digest
@@ -941,13 +941,20 @@ object DedupQueries {
   private[graft] def substringSpansFor(d: DataFrame, L: Int = SubstrL): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = d
-      .select(col("doc_id"), tokensCol.as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
-    val wins = toks.filter(size(col("toks")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(toks) - ${L - 1}),
-           |  i -> md5(cast(concat_ws(' ', slice(toks, i, $L)) as binary)))"""
-          .stripMargin)))
+      .select(col("doc_id"), col("text"), tokensCol.as("toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // window digest = positional FNV-64 over the window bytes
+    // (WordGramHashesExpr distinct=false), one compiled pass per doc —
+    // the interpreted per-window slice+concat_ws+md5 lambda was the
+    // bulk of C13's sf1 cost. Same dup/not-dup decisions as the
+    // oracle's md5 strings w.h.p. (equal windows ⇒ equal codes;
+    // distinct windows collide at ~2⁻⁶⁴ — the C11 identity argument).
+    val wins = toks.filter(col("n_tokens") >= L)
+      .select(col("doc_id"), posexplode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordGramHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), L,
+          distinct = false))))
       .select(col("doc_id"), (col("pos") + 1L).cast("long").as("p"), col("col").as("h"))
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2L).select(col("h"))
