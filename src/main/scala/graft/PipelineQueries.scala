@@ -1831,7 +1831,171 @@ object PipelineQueries {
       | doc_id, lex_rank, sem_rank, round(rrf, 6) + 0 AS rrf
       |FROM fused ORDER BY rank""".stripMargin
 
+  // J30 — QUALITY-CLASSIFIER TRAINING (the missing half of E20's
+  // serving path: DCLM/FineWeb-style curation TRAINS a cheap linear
+  // model on document statistics before scoring the corpus with it):
+  // full-batch gradient descent on a logistic-style model, run
+  // distributed — each iteration is ONE map-side-combining aggregate
+  // returning a 5-long gradient + confusion counts (the bounded
+  // driver-artifact class, like IvfIndex's k×dim centroids), so T
+  // iterations cost T linear passes and shuffle ~7 longs each, at any
+  // corpus size. Determinism is engineered, not hoped for:
+  //  - features are exact integer per-mille ratios (integer DIV);
+  //  - the sigmoid is the algebraic surrogate p = 1/2 + z/(2(1+|z|))
+  //    — only +,*,/,abs; no exp(), whose last-ulp disagreement
+  //    between the JVM and libm would fork the engines mid-descent;
+  //  - per-doc gradient contributions QUANTIZE to integers before
+  //    aggregation (an integer sum is order-free under Spark's
+  //    arbitrary partition order; a double sum is not);
+  //  - the weight update divides exact longs in a pinned association,
+  //    so both engines walk bit-identical weights through all T steps.
+  // |grad_j| ≤ n·10⁹ fits int64 to n ≈ 9·10⁹ docs; past that the
+  // per-partition partials widen to DECIMAL(38,0) (DuckDB already
+  // sums that way). Output = the per-iteration weight trace +
+  // accuracy curve (label: lang = 'en') a filter-swap review reads.
+  private[graft] val ClfEta = 3.0
+  private[graft] val ClfIters = 5
+
+  private def pipelineTrainClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = docs(s, dir)
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("len"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+          .as("punct"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("dig"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("sp"))
+      .select(col("y"),
+        expr("least(len, 2000) * 1000 DIV 2000").as("f1"),
+        expr("punct * 1000 DIV len").as("f2"),
+        expr("dig * 1000 DIV len").as("f3"),
+        expr("sp * 1000 DIV len").as("f4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
+    (0 to ClfIters).foreach { t =>
+      // z mirrors the oracle's association exactly:
+      // ((((w0·1000 + w1·f1) + w2·f2) + w3·f3) + w4·f4) / 1000
+      val z = (((lit(w(0)) * lit(1000.0)
+        + lit(w(1)) * col("f1"))
+        + lit(w(2)) * col("f2"))
+        + lit(w(3)) * col("f3")
+        + lit(w(4)) * col("f4")) / lit(1000.0)
+      val stats = feats
+        .withColumn("z", z)
+        .withColumn("p",
+          lit(0.5) + (lit(0.5) * col("z")) / (lit(1.0) + abs(col("z"))))
+        .withColumn("dq", floor((col("p") - col("y")) * lit(1000000.0) + lit(0.5)))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          sum(col("dq")).as("sd"),
+          sum(col("dq") * col("f1")).as("g1"),
+          sum(col("dq") * col("f2")).as("g2"),
+          sum(col("dq") * col("f3")).as("g3"),
+          sum(col("dq") * col("f4")).as("g4"),
+          sum(when(col("z") >= 0.0, 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(when((col("z") >= 0.0) === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_correct"))
+        .collect()(0)
+      val n = stats.getAs[Long]("n")
+      trace += ((t.toLong, w(0), w(1), w(2), w(3), w(4), n,
+        stats.getAs[Long]("n_pos"), stats.getAs[Long]("n_pred_pos"),
+        stats.getAs[Long]("n_correct")))
+      if (t < ClfIters) {
+        val grads = Array(stats.getAs[Long]("sd") * 1000L,
+          stats.getAs[Long]("g1"), stats.getAs[Long]("g2"),
+          stats.getAs[Long]("g3"), stats.getAs[Long]("g4"))
+        var j = 0
+        while (j < 5) {
+          w(j) = w(j) - ClfEta * (grads(j).toDouble / n.toDouble / 1.0e9)
+          j += 1
+        }
+      }
+    }
+    feats.unpersist()
+    import s.implicits._
+    trace.toSeq
+      .toDF("iter", "rw0", "rw1", "rw2", "rw3", "rw4", "n", "n_pos",
+        "n_pred_pos", "n_correct")
+      .select(col("iter"),
+        (round(col("rw0"), 6) + lit(0.0)).as("w0"),
+        (round(col("rw1"), 6) + lit(0.0)).as("w1"),
+        (round(col("rw2"), 6) + lit(0.0)).as("w2"),
+        (round(col("rw3"), 6) + lit(0.0)).as("w3"),
+        (round(col("rw4"), 6) + lit(0.0)).as("w4"),
+        col("n"), col("n_pos"), col("n_pred_pos"), col("n_correct"),
+        (round(col("n_correct").cast("double") / col("n"), 4) + lit(0.0))
+          .as("acc"))
+      .orderBy(col("iter"))
+  }
+
+  // The oracle unrolls the same descent: i{t} carries the weights into
+  // step t, s{t} is the one-aggregate stats pass, and every arithmetic
+  // shape (association, integer DIV, floor-quantized dq, update order)
+  // matches the Spark side token for token.
+  private val pipelineTrainClassifierSql: String = {
+    val feats =
+      """f AS (
+        | SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+        |   least(greatest(CAST(length(text) AS BIGINT), 1), 2000) * 1000 // 2000
+        |     AS f1,
+        |   CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+        |     * 1000 // greatest(CAST(length(text) AS BIGINT), 1) AS f2,
+        |   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+        |     * 1000 // greatest(CAST(length(text) AS BIGINT), 1) AS f3,
+        |   CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+        |     * 1000 // greatest(CAST(length(text) AS BIGINT), 1) AS f4
+        | FROM documents)""".stripMargin
+    def statsCte(t: Int): String =
+      s"""s$t AS (
+         | SELECT count(*) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(dq) AS BIGINT) AS sd,
+         |  CAST(sum(dq * f1) AS BIGINT) AS g1,
+         |  CAST(sum(dq * f2) AS BIGINT) AS g2,
+         |  CAST(sum(dq * f3) AS BIGINT) AS g3,
+         |  CAST(sum(dq * f4) AS BIGINT) AS g4,
+         |  CAST(sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_pos,
+         |  CAST(sum(CASE WHEN (z >= 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct
+         | FROM (
+         |  SELECT y, f1, f2, f3, f4, z,
+         |   CAST(floor(((0.5 + (0.5 * z) / (1.0 + abs(z))) - y) * 1000000.0
+         |     + 0.5) AS BIGINT) AS dq
+         |  FROM (
+         |   SELECT y, f1, f2, f3, f4,
+         |    ((((w0 * 1000.0 + w1 * f1) + w2 * f2) + w3 * f3) + w4 * f4)
+         |      / 1000.0 AS z
+         |   FROM f CROSS JOIN i$t)))""".stripMargin
+    def updateCte(t: Int): String =
+      s"""i${t + 1} AS (
+         | SELECT
+         |  w0 - 3.0 * (CAST(sd * 1000 AS DOUBLE) / n / 1000000000.0) AS w0,
+         |  w1 - 3.0 * (CAST(g1 AS DOUBLE) / n / 1000000000.0) AS w1,
+         |  w2 - 3.0 * (CAST(g2 AS DOUBLE) / n / 1000000000.0) AS w2,
+         |  w3 - 3.0 * (CAST(g3 AS DOUBLE) / n / 1000000000.0) AS w3,
+         |  w4 - 3.0 * (CAST(g4 AS DOUBLE) / n / 1000000000.0) AS w4
+         | FROM i$t CROSS JOIN s$t)""".stripMargin
+    def outRow(t: Int): String =
+      s"""SELECT CAST($t AS BIGINT) AS iter,
+         | round(w0, 6) + 0 AS w0, round(w1, 6) + 0 AS w1,
+         | round(w2, 6) + 0 AS w2, round(w3, 6) + 0 AS w3,
+         | round(w4, 6) + 0 AS w4,
+         | n, n_pos, n_pred_pos, n_correct,
+         | round(CAST(n_correct AS DOUBLE) / n, 4) + 0 AS acc
+         |FROM i$t CROSS JOIN s$t""".stripMargin
+    val init = "i0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"
+    val ctes = (feats +: init +: (0 to ClfIters).flatMap { t =>
+      if (t < ClfIters) Seq(statsCte(t), updateCte(t)) else Seq(statsCte(t))
+    }).mkString(",\n")
+    val rows = (0 to ClfIters).map(outRow).mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows\nORDER BY iter"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_train_classifier" -> (pipelineTrainClassifier _),
     "pipeline_retrieval" -> (pipelineRetrieval _),
     "pipeline_cascade" -> (pipelineCascade _),
     "pipeline_mix_temperature" -> (pipelineMixTemperature _),
@@ -1863,6 +2027,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_train_classifier" -> pipelineTrainClassifierSql,
     "pipeline_loss_mask" -> pipelineLossMaskSql,
     "pipeline_mix_temperature" -> pipelineMixTemperatureSql,
     "pipeline_cascade" -> pipelineCascadeSql,

@@ -77,6 +77,12 @@ case class CusumState(s: Long, n_alarms: Long, max_s: Long, n: Long)
 case class CusumSummary(event_type: String, n_events: Long, n_alarms: Long,
     max_s_cents: Long, final_s_cents: Long)
 
+/** Rows/state/outputs for the streaming PSI drift monitor (G30). */
+case class PsiEvent(event_type: String, day: Long, bin: Long)
+case class PsiState(d0: Long, day: Long, ref: Seq[Long], counts: Seq[Long])
+case class PsiDaySummary(event_type: String, day_idx: Long, n_events: Long,
+    psi: Double)
+
 /** Rows/state/outputs for the streaming funnel maintainer (G28). */
 case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
 case class FunnelState(t_view: Long, t_click: Long, t_purchase: Long,
@@ -950,6 +956,159 @@ object StreamQueries {
         "final_s_cents")
       .orderBy(col("event_type"))
   }
+
+  /** G30 — streaming POPULATION-STABILITY-INDEX drift monitor (the
+    * per-day distribution check a serving/training-data feed runs:
+    * J24 measures drift OFFLINE source-vs-corpus; this maintains it
+    * ONLINE against a frozen reference window). Day 0's 8-bin value
+    * histogram (exact integer counts, $50 bins on v_cents — no float
+    * binning boundary) freezes as the per-key reference; every later
+    * completed day emits PSI = Σ(qᵢ−pᵢ)·ln(qᵢ/pᵢ) with +1 Laplace
+    * smoothing over the full bin spine (so empty bins can't produce
+    * ln(0)). State per key = two 8-long histograms + two day marks —
+    * O(keys·bins), never O(events). Logs touch only the final
+    * per-day scalar (6dp-rounded), never the fold: histograms are
+    * exact integers, so engines can't drift mid-stream.
+    */
+  private[graft] val PsiBins = 8
+  private[graft] val PsiBinCents = 5000L
+
+  class PsiProcessor extends StatefulProcessor[String, PsiEvent, PsiDaySummary] {
+    @transient private var state: ValueState[PsiState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PsiState]("psi",
+        org.apache.spark.sql.Encoders.product[PsiState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PsiEvent],
+        timers: TimerValues): Iterator[PsiDaySummary] = {
+      var st = if (state.exists()) state.get()
+        else PsiState(Long.MinValue, Long.MinValue, Seq.empty,
+          Seq.fill(PsiBins)(0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[PsiDaySummary]
+      def closeDay(): Unit =
+        if (st.ref.isEmpty) st = st.copy(ref = st.counts)
+        else out += StreamQueries.psiSummary(key, st.day - st.d0, st.ref,
+          st.counts)
+      rows.toSeq.sortBy(_.day).foreach { e =>
+        if (st.day == Long.MinValue) st = st.copy(d0 = e.day, day = e.day)
+        if (e.day > st.day) {
+          closeDay()
+          st = st.copy(day = e.day, counts = Seq.fill(PsiBins)(0L))
+        }
+        val b = e.bin.toInt
+        st = st.copy(counts = st.counts.updated(b, st.counts(b) + 1L))
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** The per-day PSI fold the maintainer and the batch twin share:
+    * q/p are (+1)-smoothed proportions over the full bin spine, the
+    * association ((c+1)·1.0/(n+8)) matches the oracle token for
+    * token, and the bin sum runs ascending (round-6 output absorbs
+    * the batch twin's partition-order sum).
+    */
+  private[graft] def psiSummary(key: String, dayIdx: Long, ref: Seq[Long],
+      cur: Seq[Long]): PsiDaySummary = {
+    val n = cur.sum
+    val rn = ref.sum
+    var psi = 0.0
+    var i = 0
+    while (i < PsiBins) {
+      val q = (cur(i) + 1L) * 1.0 / (n + PsiBins)
+      val p = (ref(i) + 1L) * 1.0 / (rn + PsiBins)
+      psi += (q - p) * math.log(q / p)
+      i += 1
+    }
+    PsiDaySummary(key, dayIdx, n, psi)
+  }
+
+  def psiDriftStream(events: Dataset[PsiEvent]): Dataset[PsiDaySummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new PsiProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** G30 batch twin over (event_type, day, bin): day-0 histogram is
+    * the reference, all ≥1 days score against it. The reference join
+    * broadcasts (keys×8 rows); counts shuffle once on
+    * (key, day, bin).
+    */
+  private[graft] def psiDriftBatch(feed: DataFrame): DataFrame = {
+    val s = feed.sparkSession
+    val counts = feed.groupBy(col("event_type"), col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val minDay = counts.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    val rel = counts.join(broadcast(minDay), Seq("event_type"))
+      .withColumn("day_idx", col("day") - col("d0"))
+      .select(col("event_type"), col("day_idx"), col("bin"), col("c"))
+    val spine = rel.select(col("event_type"), col("day_idx")).distinct()
+      .crossJoin(broadcast(s.range(0, PsiBins).select(col("id").as("bin"))))
+    val full = spine.join(rel, Seq("event_type", "day_idx", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val tot = full.groupBy(col("event_type"), col("day_idx"))
+      .agg(sum(col("c")).as("n"))
+    val ft = full.join(tot, Seq("event_type", "day_idx"))
+    val ref = ft.filter(col("day_idx") === 0)
+      .select(col("event_type"), col("bin"), col("c").as("rc"),
+        col("n").as("rn"))
+    ft.filter(col("day_idx") >= 1)
+      .join(broadcast(ref), Seq("event_type", "bin"))
+      .withColumn("q", (col("c") + 1) * lit(1.0) / (col("n") + PsiBins))
+      .withColumn("p", (col("rc") + 1) * lit(1.0) / (col("rn") + PsiBins))
+      .withColumn("term", (col("q") - col("p")) * log(col("q") / col("p")))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(max(col("n")).as("n_events"),
+        (round(sum(col("term")), 6) + lit(0.0)).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  private def streamDriftPsi(s: SparkSession, dir: String): DataFrame =
+    psiDriftBatch(Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day"),
+        least(expr(
+          "CAST(round(value * 100, 0) AS BIGINT) DIV " + PsiBinCents),
+          lit(PsiBins - 1L)).as("bin")))
+
+  private val streamDriftPsiSql =
+    """WITH e AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  least(CAST(round(value * 100, 0) AS BIGINT) // 5000, 7) AS bin
+      | FROM events),
+      |cnt AS (SELECT event_type, day, bin, count(*) AS c
+      |        FROM e GROUP BY event_type, day, bin),
+      |md AS (SELECT event_type, min(day) AS d0 FROM cnt GROUP BY event_type),
+      |rel AS (SELECT cnt.event_type, day - d0 AS day_idx, bin, c
+      |        FROM cnt JOIN md USING (event_type)),
+      |spine AS (
+      | SELECT event_type, day_idx, b.bin
+      | FROM (SELECT DISTINCT event_type, day_idx FROM rel)
+      | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) b),
+      |f AS (SELECT s.event_type, s.day_idx, s.bin, coalesce(c, 0) AS c
+      |      FROM spine s LEFT JOIN rel
+      |      USING (event_type, day_idx, bin)),
+      |tot AS (SELECT event_type, day_idx, CAST(sum(c) AS BIGINT) AS n
+      |        FROM f GROUP BY event_type, day_idx),
+      |ft AS (SELECT f.event_type, f.day_idx, f.bin, f.c, t.n
+      |       FROM f JOIN tot t USING (event_type, day_idx)),
+      |ref AS (SELECT event_type, bin, c AS rc, n AS rn FROM ft
+      |        WHERE day_idx = 0),
+      |term AS (
+      | SELECT ft.event_type, ft.day_idx, ft.n,
+      |  ((ft.c + 1) * 1.0 / (ft.n + 8) - (rc + 1) * 1.0 / (rn + 8))
+      |   * ln(((ft.c + 1) * 1.0 / (ft.n + 8)) / ((rc + 1) * 1.0 / (rn + 8)))
+      |    AS term
+      | FROM ft JOIN ref USING (event_type, bin) WHERE ft.day_idx >= 1)
+      |SELECT event_type, day_idx, max(n) AS n_events,
+      | round(sum(term), 6) + 0 AS psi,
+      | (round(sum(term), 6) + 0) > 0.1 AS drifted
+      |FROM term GROUP BY event_type, day_idx
+      |ORDER BY event_type, day_idx""".stripMargin
 
   private def streamCusum(s: SparkSession, dir: String): DataFrame =
     cusumBatch(Tables.load(s, dir, "events")
@@ -2232,6 +2391,7 @@ object StreamQueries {
       |FROM j GROUP BY 1 ORDER BY matched""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift_psi" -> (streamDriftPsi _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_funnel" -> (streamFunnel _),
     "stream_cusum" -> (streamCusum _),
@@ -2263,6 +2423,7 @@ object StreamQueries {
     "stream_file_ingest" -> (streamFileIngest _))
 
   val oracles: Map[String, String] = Map(
+    "stream_drift_psi" -> streamDriftPsiSql,
     "stream_sliding_window" -> streamSlidingWindowSql,
     "stream_funnel" -> streamFunnelSql,
     "stream_cusum" -> streamCusumSql,

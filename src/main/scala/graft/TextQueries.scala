@@ -1524,7 +1524,76 @@ object TextQueries {
       |FROM g JOIN f USING (gh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // E29 — WATERMARK / synthetic-text detection (the Kirchenbauer
+  // green-list z-test, the training-data hygiene check that keeps
+  // watermarked LLM output OUT of a pretraining corpus): every
+  // consecutive word bigram hashes through the corpus's own rolling
+  // (acc·31+c) mod 1e9+7 fold (one native pass per doc —
+  // WordShingleModHashesExpr k=2, ORDER preserved, no string explode);
+  // a bigram is "green" when its hash ≡ 0 (mod 4), so unwatermarked
+  // text greens at γ = 1/4 and the per-doc one-proportion z-score
+  // z = (4g − T)/√(3T) is ~N(0,1) — generator-side green-list
+  // sampling shows up as a fat right tail. The flag is the EXACT
+  // integer test 4g > T ∧ (4g−T)² > 27T (⇔ z > 3; no float boundary
+  // for the engines to disagree on), and the report is the top-20
+  // right tail via orderBy+limit (TakeOrderedAndProject — per-
+  // partition heaps, no global sort at 100 TB).
+  private def textWatermarkDetect(s: SparkSession, dir: String): DataFrame = {
+    val hs = docs(s, dir).select(col("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordShingleModHashesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 2,
+          distinct = false)).as("hs"))
+    hs.select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_windows"),
+        expr("CAST(size(filter(hs, x -> x % 4 = 0)) AS BIGINT)").as("n_green"))
+      .filter(col("n_windows") > 0)
+      .withColumn("z",
+        (col("n_green") * 4 - col("n_windows")).cast("double")
+          / sqrt(lit(3.0) * col("n_windows")))
+      .withColumn("flagged",
+        (col("n_green") * 4 > col("n_windows")) &&
+          ((col("n_green") * 4 - col("n_windows"))
+            * (col("n_green") * 4 - col("n_windows"))
+            > col("n_windows") * 27))
+      .orderBy(col("z").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_windows"), col("n_green"),
+        (round(col("z"), 4) + lit(0.0)).as("z_score"), col("flagged"))
+  }
+
+  private val textWatermarkDetectSql =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |   x -> x <> '') AS tk
+      | FROM documents),
+      |w AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   generate_series(0, greatest(len(tk) - 2, 0)),
+      |   i -> array_to_string(tk[i + 1 : i + 2], ' '))) AS shingle
+      | FROM toks WHERE len(tk) >= 1),
+      |h AS (
+      | SELECT doc_id, list_reduce(
+      |   list_prepend(7::BIGINT, list_transform(generate_series(1, length(shingle)),
+      |     i -> ascii(substring(shingle, i, 1))::BIGINT)),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS p
+      | FROM w),
+      |a AS (
+      | SELECT doc_id, count(*) AS n_windows,
+      |  CAST(sum(CASE WHEN p % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+      | FROM h GROUP BY doc_id),
+      |z AS (
+      | SELECT doc_id, n_windows, n_green,
+      |  CAST(4 * n_green - n_windows AS DOUBLE) / sqrt(3.0 * n_windows) AS z,
+      |  (4 * n_green > n_windows AND
+      |   (4 * n_green - n_windows) * (4 * n_green - n_windows) > 27 * n_windows)
+      |    AS flagged
+      | FROM a)
+      |SELECT doc_id, n_windows, n_green, round(z, 4) + 0 AS z_score, flagged
+      |FROM z ORDER BY z DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_watermark_detect" -> (textWatermarkDetect _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_pmi_collocations" -> (textPmiCollocations _),
     "text_rake_keywords" -> (textRakeKeywords _),
@@ -1553,6 +1622,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_watermark_detect" -> textWatermarkDetectSql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_pmi_collocations" -> textPmiCollocationsSql,
     "text_rake_keywords" -> textRakeKeywordsSql,

@@ -1542,4 +1542,55 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream_drift_psi: maintainer's completed days == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val all = sampleEvents(800).sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val cents = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact
+      PsiEvent(e.event_type, e.ts.getTime * 1000L / 86400000000L,
+        math.min(cents / StreamQueries.PsiBinCents,
+          StreamQueries.PsiBins - 1L))
+    }
+    val input = MemoryStream[PsiEvent]
+    val (first, second) = all.splitAt(all.length / 2)
+    val q = StreamQueries.psiDriftStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("psi_out").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("psi_out")
+        .select(col("event_type"), col("day_idx"), col("n_events"),
+          (round(col("psi"), 6) + lit(0.0)).as("psi"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = StreamQueries.psiDriftBatch(all.toDS().toDF())
+        .select(col("event_type"), col("day_idx"), col("n_events"), col("psi"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // the maintainer can't close a key's LAST day (no later event
+      // arrives to roll it over) — everything it DID close must match
+      // the batch twin exactly, and per key exactly one batch day
+      // (the final one) may be missing from the stream.
+      assert(streamed.nonEmpty, "no completed days emitted")
+      streamed.foreach { case (k, v) =>
+        assert(batch.contains(k), s"streamed day $k unknown to batch twin")
+        assert(batch(k) == v, s"day $k: streamed $v != batch ${batch(k)}")
+      }
+      val missing = batch.keySet -- streamed.keySet
+      val lastPerType = batch.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).max
+      }
+      assert(missing.forall { case (t, d) => lastPerType(t) == d },
+        s"non-final batch days missing from the stream: $missing")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
