@@ -1994,7 +1994,66 @@ object PipelineQueries {
     s"WITH $ctes\n$rows\nORDER BY iter"
   }
 
+  // J31 — SHUFFLE-SKEW AUDIT (the detection side of what q59's
+  // salting and AQE's skew-join FIX: before a 100 TB join you ask
+  // "how do this key's rows land across hash partitions, and is any
+  // single key or partition hot enough to need salting?"). Per-key
+  // exact counts (one map-side-combining agg — the only O(data)
+  // pass; only (key, count) rows shuffle) land in P=32 modeled hash
+  // partitions via an engine-portable affine hash (Knuth multiplier
+  // over a prime-reduced key — Spark's Murmur3 isn't replayable in
+  // the oracle, and the MODEL of hash placement is what the audit
+  // needs, not Spark's exact bucketing). Output = the full 32-row
+  // partition spine (empty partitions are a finding, not a missing
+  // row): key count, row load, load share, heaviest key, and the
+  // exact integer verdict n_rows·P > 2·total (load > 2× mean ⇒
+  // salt). At 100 TB the per-key agg is the standard pre-join stats
+  // pass; everything after it is ≤ P rows.
+  private def pipelineSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val keyCounts = Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .withColumn("part_id",
+        expr("((user_id % 1000000007) * 2654435761) % 2147483647 % 32"))
+    val perPart = keyCounts.groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"))
+    val tot = perPart.agg(sum(col("n_rows")).as("total"))
+    s.range(0, 32).select(col("id").as("part_id"))
+      .join(perPart, Seq("part_id"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("part_id"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        (round(coalesce(col("n_rows"), lit(0L)) * lit(1.0) / col("total"), 4)
+          + lit(0.0)).as("load_share"),
+        coalesce(col("max_key_rows"), lit(0L)).as("max_key_rows"),
+        (coalesce(col("n_rows"), lit(0L)) * 32 > col("total") * 2).as("skewed"))
+      .orderBy(col("part_id"))
+  }
+
+  private val pipelineSkewAuditSql =
+    """WITH kc AS (
+      | SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |pk AS (
+      | SELECT ((user_id % 1000000007) * 2654435761) % 2147483647 % 32 AS part_id,
+      |  c
+      | FROM kc),
+      |agg AS (
+      | SELECT part_id, count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+      |  max(c) AS max_key_rows
+      | FROM pk GROUP BY part_id),
+      |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM agg),
+      |spine AS (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS part_id)
+      |SELECT s.part_id, coalesce(n_keys, 0) AS n_keys,
+      | coalesce(n_rows, 0) AS n_rows,
+      | round(coalesce(n_rows, 0) * 1.0 / total, 4) + 0 AS load_share,
+      | coalesce(max_key_rows, 0) AS max_key_rows,
+      | coalesce(n_rows, 0) * 32 > total * 2 AS skewed
+      |FROM spine s LEFT JOIN agg ON s.part_id = agg.part_id CROSS JOIN tot
+      |ORDER BY s.part_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_skew_audit" -> (pipelineSkewAudit _),
     "pipeline_train_classifier" -> (pipelineTrainClassifier _),
     "pipeline_retrieval" -> (pipelineRetrieval _),
     "pipeline_cascade" -> (pipelineCascade _),
@@ -2027,6 +2086,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_skew_audit" -> pipelineSkewAuditSql,
     "pipeline_train_classifier" -> pipelineTrainClassifierSql,
     "pipeline_loss_mask" -> pipelineLossMaskSql,
     "pipeline_mix_temperature" -> pipelineMixTemperatureSql,

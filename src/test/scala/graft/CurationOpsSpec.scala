@@ -106,6 +106,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_skew_audit: a planted hot key trips exactly its partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    // 2000 rows on one key + 1 row on each of 640 uniform keys
+    // (20 per partition): the hot key's partition carries ~76% of the
+    // load, every other partition ~0.76% — only one row may flag.
+    val rows = (0 until 2000).map(i => (i.toLong, 7L)) ++
+      (0 until 640).map(i => (10000L + i, 100L + i))
+    rows.map { case (eid, uid) =>
+      (eid, new java.sql.Timestamp(1704067200000L + eid * 1000), uid,
+        "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = PipelineQueries.queries("pipeline_skew_audit")(spark, dir)
+      .collect()
+    assert(out.length == 32, "audit must report the full partition spine")
+    val hotPart = ((7L % 1000000007L) * 2654435761L) % 2147483647L % 32L
+    val flagged = out.filter(_.getAs[Boolean]("skewed"))
+    assert(flagged.map(_.getAs[Long]("part_id")).toSeq == Seq(hotPart),
+      s"exactly the hot key's partition must flag, got ${flagged.mkString(",")}")
+    val hot = out.find(_.getAs[Long]("part_id") == hotPart).get
+    assert(hot.getAs[Long]("max_key_rows") == 2000L)
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 2640L)
+  }
+
   test("stream_drift_psi: batch twin fires on a planted distribution shift") {
     import spark.implicits._
     // day 0: 100 events in bin 0; day 1: same mass moved to bin 7;
