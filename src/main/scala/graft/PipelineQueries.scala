@@ -2014,9 +2014,12 @@ object PipelineQueries {
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .withColumn("part_id",
         expr("((user_id % 1000000007) * 2654435761) % 2147483647 % 32"))
+    // pinned: the spine join and the total both read this ≤32-row
+    // frame — unpinned, each re-runs the O(data) per-key count.
     val perPart = keyCounts.groupBy(col("part_id"))
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         max(col("c")).as("max_key_rows"))
+      .localCheckpoint(true)
     val tot = perPart.agg(sum(col("n_rows")).as("total"))
     s.range(0, 32).select(col("id").as("part_id"))
       .join(perPart, Seq("part_id"), "left")

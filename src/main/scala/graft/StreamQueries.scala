@@ -1039,8 +1039,14 @@ object StreamQueries {
     */
   private[graft] def psiDriftBatch(feed: DataFrame): DataFrame = {
     val s = feed.sparkSession
+    // pinned: five consumers (min-day, spine, totals, reference,
+    // terms) read this frame — unpinned, each re-runs the O(data)
+    // count over the raw feed (the plan audit showed six parquet
+    // scans); pinned, the corpus is read ONCE and everything after
+    // is O(keys·days·bins) rows.
     val counts = feed.groupBy(col("event_type"), col("day"), col("bin"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val minDay = counts.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
     val rel = counts.join(broadcast(minDay), Seq("event_type"))
       .withColumn("day_idx", col("day") - col("d0"))
