@@ -2055,7 +2055,52 @@ object PipelineQueries {
       |FROM spine s LEFT JOIN agg ON s.part_id = agg.part_id CROSS JOIN tot
       |ORDER BY s.part_id""".stripMargin
 
+  // J32 — SEMANTIC decontamination (J2's n-gram benchmark-overlap
+  // check lifted to EMBEDDING space — the second decontamination
+  // pass modern curation runs, catching paraphrased/translated eval
+  // leakage that shares no 8-gram with the benchmark: the
+  // phi-1/"Textbooks Are All You Need" embedding-similarity filter
+  // shape). Probe set = eval benchmark vectors (vec_id < 20, J2's
+  // probe convention); corpus = everything else. The 100 TB shape is
+  // the whole point: eval sets are thousands of vectors while the
+  // corpus is unbounded, so the probe side BROADCASTS (O(probes·dim))
+  // and the corpus is scanned ONCE, map-only — cosine against every
+  // probe, flag at the data-calibrated threshold — with only FLAGGED
+  // (vec_id, probe_id) pairs ever reaching the reporting sort's
+  // shuffle. No corpus-sized shuffle exists in the plan. The
+  // threshold compares 4dp-ROUNDED cosine (J12's convention) so a
+  // boundary pair can't flip between engines on float division ulp;
+  // dot products are sequential-fold DotProductExpr = DuckDB
+  // list_dot_product bit-for-bit.
+  private def pipelineSemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+    corpus.crossJoin(broadcast(probe))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("pv"), col("v")), 4) + lit(0.0))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("vec_id"), col("probe_id"), col("cos_sim"))
+      .orderBy(col("vec_id"), col("probe_id"))
+  }
+
+  private val pipelineSemanticContaminationSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+      |s AS (SELECT vec_id, probe_id,
+      |  round(list_dot_product(pv, v) /
+      |    (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) + 0
+      |    AS cos_sim
+      | FROM c CROSS JOIN q)
+      |SELECT vec_id, probe_id, cos_sim FROM s
+      |WHERE cos_sim >= 0.35
+      |ORDER BY vec_id, probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_semantic_contamination" -> (pipelineSemanticContamination _),
     "pipeline_skew_audit" -> (pipelineSkewAudit _),
     "pipeline_train_classifier" -> (pipelineTrainClassifier _),
     "pipeline_retrieval" -> (pipelineRetrieval _),
@@ -2089,6 +2134,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_semantic_contamination" -> pipelineSemanticContaminationSql,
     "pipeline_skew_audit" -> pipelineSkewAuditSql,
     "pipeline_train_classifier" -> pipelineTrainClassifierSql,
     "pipeline_loss_mask" -> pipelineLossMaskSql,

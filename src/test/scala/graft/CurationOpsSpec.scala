@@ -131,6 +131,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_rows")).sum == 2640L)
   }
 
+  test("pipeline_semantic_contamination: near-probe vectors flag, orthogonal stay clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_semcon").toString
+    // probe 3 = e1; corpus: 100 an exact copy (leaked eval row),
+    // 102 a "paraphrase" at cos 0.7433, 101 orthogonal, 103 weakly
+    // aligned at cos 0.196 — only 100 and 102 may flag at 0.35.
+    Seq(
+      (3L, Seq(1.0f, 0f, 0f, 0f)),
+      (100L, Seq(1.0f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 1.0f, 0f, 0f)),
+      (102L, Seq(1.0f, 0.9f, 0f, 0f)),
+      (103L, Seq(1.0f, 5.0f, 0f, 0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = PipelineQueries.queries("pipeline_semantic_contamination")(
+      spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("probe_id")))
+      .toSeq == Seq((100L, 3L), (102L, 3L)),
+      s"exactly the planted leaks must flag, got ${out.mkString(",")}")
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+    assert(out(1).getAs[Double]("cos_sim") == 0.7433)
+  }
+
   test("stream_drift_psi: batch twin fires on a planted distribution shift") {
     import spark.implicits._
     // day 0: 100 events in bin 0; day 1: same mass moved to bin 7;
