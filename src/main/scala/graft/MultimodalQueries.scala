@@ -852,6 +852,67 @@ object MultimodalQueries {
     mmJpegDecodeSql.replace("true AS decode_within_bound",
       "true AS native_within_bound")
 
+  // F19 — EXIF/METADATA STRIP (the image-side PII scrub — E9's text
+  // twin: camera serials, GPS coordinates, and editor fingerprints
+  // ride into training sets inside APP1/Exif, APP1/XMP and COM
+  // segments, and every curation pipeline strips them before
+  // training): each doc round-trips real JPEG bytes with three
+  // injected metadata segments whose sizes are id-derived — an
+  // APP1/Exif block (id-dependent payload), an APP1/XMP header block,
+  // and a COM carrying a fake GPS string — then strips them with
+  // MediaCodec.stripJpegMetadata's real T.81 marker walk (APP1-APP15
+  // + COM dropped; APP0/JFIF and all structural segments kept
+  // byte-for-byte). Closed-form outputs: segment count and exact
+  // bytes removed. The boolean conjunction is the real-work proof:
+  // the stripped bytes re-walk to zero metadata segments, the size
+  // shrinks by exactly bytes_removed, and the stripped image decodes
+  // PIXEL-IDENTICAL to the metadata-laden original (JDK decoder) —
+  // a stripper that touches anything structural fails the row.
+  // Payload bytes never shuffle: one map-only pass, doc-keyed output.
+  private def mmExifStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 8).toInt
+          val h = (12 + id % 5).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            ((x * 255) / (w - 1), (y * 255) / (h - 1),
+              ((x + y) * 255) / (w + h - 2))
+          }
+          val jpeg = MediaCodec.encodeJpeg(w, h, px)
+          val exif = MediaCodec.jpegSegment(0xE1,
+            "Exif  ".getBytes("US-ASCII") ++
+              Array.tabulate((10 + id % 50).toInt)(j => ((id + j) % 251).toByte))
+          val xmp = MediaCodec.jpegSegment(0xE1,
+            "http://ns.adobe.com/xap/1.0/ ".getBytes("US-ASCII") ++
+              Array.tabulate(16)(j => ((id * 7 + j) % 251).toByte))
+          val com = MediaCodec.jpegSegment(0xFE, s"gps=$id".getBytes("US-ASCII"))
+          val tainted = MediaCodec.injectJpegSegments(jpeg, Seq(exif, xmp, com))
+          val (clean, nRemoved, bytesRemoved) =
+            MediaCodec.stripJpegMetadata(tainted)
+          val (_, rescanN, _) = MediaCodec.stripJpegMetadata(clean)
+          val ok = rescanN == 0 &&
+            clean.length == tainted.length - bytesRemoved &&
+            MediaCodec.decodeJpeg(clean).pixels
+              .sameElements(MediaCodec.decodeJpeg(tainted).pixels)
+          MmExifRow(id, nRemoved.toLong, bytesRemoved, ok)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmExifStripSql =
+    """SELECT doc_id,
+      | CAST(3 AS BIGINT) AS n_meta_segments,
+      | CAST(77 + doc_id % 50 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+      |   AS bytes_removed,
+      | true AS strip_exact
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // F14 — BILINEAR resize on the decoded image (the training-pipeline
   // preprocessing kernel beyond F4/F7's nearest-neighbor): decode the
   // deterministic BMP and upsample to a fixed 16×12 with
@@ -1128,6 +1189,7 @@ object MultimodalQueries {
       |FROM fr LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_exif_strip" -> (mmExifStrip _),
     "mm_vad_segments" -> (mmVadSegments _),
     "mm_modality_router" -> (mmModalityRouter _),
     "mm_shard_manifest" -> (mmShardManifest _),
@@ -1148,6 +1210,7 @@ object MultimodalQueries {
     "mm_png_decode" -> (mmPngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm_exif_strip" -> mmExifStripSql,
     "mm_vad_segments" -> mmVadSegmentsSql,
     "mm_modality_router" -> mmModalityRouterSql,
     "mm_shard_manifest" -> mmShardManifestSql,
@@ -1192,5 +1255,8 @@ case class MmFrameRow(doc_id: Long, frame_idx: Long, frame_w: Long,
   frame_h: Long, frame_bytes: Long, lum_sum: Long)
 case class MmVideoRow(doc_id: Long, n_frames: Long, n_keyframes: Long,
   last_keyframe: Long, keyframe_lum_sum: Long)
+case class MmExifRow(doc_id: Long, n_meta_segments: Long,
+    bytes_removed: Long, strip_exact: Boolean)
+
 case class MmJpegRow(doc_id: Long, width: Long, height: Long,
   mean_r: Double, mean_g: Double, mean_b: Double, decode_within_bound: Boolean)

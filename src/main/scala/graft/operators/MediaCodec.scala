@@ -324,6 +324,73 @@ object MediaCodec {
     BmpData(w, h, pixels)
   }
 
+  /** Build a raw JPEG marker segment: FF <marker> <len16> <payload>,
+    * where len16 (big-endian) counts itself plus the payload (T.81
+    * B.1.1.4).
+    */
+  def jpegSegment(marker: Int, payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length + 2
+    require(len <= 0xFFFF, "segment payload too large")
+    val b = new Array[Byte](4 + payload.length)
+    b(0) = 0xFF.toByte
+    b(1) = marker.toByte
+    b(2) = ((len >> 8) & 0xFF).toByte
+    b(3) = (len & 0xFF).toByte
+    System.arraycopy(payload, 0, b, 4, payload.length)
+    b
+  }
+
+  /** Splice raw marker segments immediately after SOI — how Exif/XMP
+    * metadata enters a JPEG in the wild (T.81 allows APPn anywhere
+    * between SOI and SOS; writers put them first).
+    */
+  def injectJpegSegments(jpeg: Array[Byte], segments: Seq[Array[Byte]]): Array[Byte] = {
+    require(jpeg.length >= 2 && jpeg(0) == 0xFF.toByte && jpeg(1) == 0xD8.toByte,
+      "not a JPEG (missing SOI)")
+    val out = new java.io.ByteArrayOutputStream(
+      jpeg.length + segments.map(_.length).sum)
+    out.write(jpeg, 0, 2)
+    segments.foreach(s => out.write(s, 0, s.length))
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  /** Strip metadata segments — APP1..APP15 (Exif, XMP, ICC, Photoshop)
+    * and COM — from a baseline JPEG, preserving APP0/JFIF and every
+    * structural segment (DQT/DHT/SOF/DRI/SOS) byte-for-byte. Walks the
+    * marker stream to SOS, then copies the entropy-coded tail
+    * verbatim. Returns (cleaned bytes, segments removed, bytes
+    * removed). Stripping MUST NOT change the decoded image — the
+    * F19 query asserts pixel equality per row.
+    */
+  def stripJpegMetadata(jpeg: Array[Byte]): (Array[Byte], Int, Long) = {
+    require(jpeg.length >= 2 && jpeg(0) == 0xFF.toByte && jpeg(1) == 0xD8.toByte,
+      "not a JPEG (missing SOI)")
+    val out = new java.io.ByteArrayOutputStream(jpeg.length)
+    out.write(jpeg, 0, 2)
+    var i = 2
+    var nRemoved = 0
+    var bytesRemoved = 0L
+    var sos = false
+    while (!sos && i + 1 < jpeg.length) {
+      require(jpeg(i) == 0xFF.toByte, s"expected marker at offset $i")
+      val m = jpeg(i + 1) & 0xFF
+      if (m == 0xDA) { // SOS: entropy-coded data follows — copy the rest
+        out.write(jpeg, i, jpeg.length - i)
+        sos = true
+      } else {
+        val len = ((jpeg(i + 2) & 0xFF) << 8) | (jpeg(i + 3) & 0xFF)
+        val segLen = 2 + len
+        if ((m >= 0xE1 && m <= 0xEF) || m == 0xFE) {
+          nRemoved += 1
+          bytesRemoved += segLen
+        } else out.write(jpeg, i, segLen)
+        i += segLen
+      }
+    }
+    (out.toByteArray, nRemoved, bytesRemoved)
+  }
+
   // ------------------------------------------------------------------
   // PNG (RFC 2083): 8-bit truecolor (RGB) / truecolor+alpha, zlib
   // (Inflater/Deflater) IDAT, per-scanline filters 0-4 — the first

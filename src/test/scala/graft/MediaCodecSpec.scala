@@ -178,4 +178,42 @@ class MediaCodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       MediaCodec.decodePng(good.take(good.length - 6)))
   }
+
+  test("JPEG metadata strip: removes APPn/COM exactly, keeps the image") {
+    val px = Array.tabulate(24 * 16) { i =>
+      val (x, y) = (i % 24, i / 24)
+      ((x * 11) % 256, (y * 17) % 256, ((x + y) * 7) % 256)
+    }
+    val jpeg = MediaCodec.encodeJpeg(24, 16, px)
+    // a clean encoder JPEG has no APP1..APP15/COM -> strip is identity
+    val (same, n0, b0) = MediaCodec.stripJpegMetadata(jpeg)
+    assert(n0 == 0 && b0 == 0L && same.sameElements(jpeg),
+      "stripping a metadata-free JPEG must be the identity")
+    // inject Exif + XMP + COM; strip must remove exactly those bytes
+    val exif = MediaCodec.jpegSegment(0xE1, "Exif  junkjunk".getBytes("US-ASCII"))
+    val com = MediaCodec.jpegSegment(0xFE, "gps=51.5,-0.1".getBytes("US-ASCII"))
+    val tainted = MediaCodec.injectJpegSegments(jpeg, Seq(exif, com))
+    assert(tainted.length == jpeg.length + exif.length + com.length)
+    val (clean, n, b) = MediaCodec.stripJpegMetadata(tainted)
+    assert(n == 2 && b == exif.length + com.length)
+    assert(clean.sameElements(jpeg),
+      "strip(inject(x)) must round-trip to the original bytes")
+    // decoded image unchanged through the taint+strip round trip
+    assert(MediaCodec.decodeJpeg(clean).pixels
+      .sameElements(MediaCodec.decodeJpeg(tainted).pixels))
+    // metadata segments may sit between structural segments, not just
+    // after SOI: splice a COM after the APP0 block and strip again
+    val app0End = {
+      // in the CLEAN jpeg: SOI, then APP0 with its big-endian length
+      assert((jpeg(3) & 0xFF) == 0xE0, "encoder JPEG must lead with APP0")
+      val len = ((jpeg(4) & 0xFF) << 8) | (jpeg(5) & 0xFF)
+      2 + 2 + len
+    }
+    val mid = jpeg.take(app0End) ++ com ++ jpeg.drop(app0End)
+    val (clean2, n2, _) = MediaCodec.stripJpegMetadata(mid)
+    assert(n2 == 1 && clean2.sameElements(jpeg))
+    // garbage input fails loudly
+    assertThrows[IllegalArgumentException](
+      MediaCodec.stripJpegMetadata("BM not a jpeg".getBytes))
+  }
 }
