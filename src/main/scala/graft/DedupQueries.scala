@@ -1238,7 +1238,79 @@ object DedupQueries {
       |   AND levenshtein(ta, tb) * 5 <= greatest(len_a, len_b) AS near_dup
       |FROM p ORDER BY id_a, id_b""".stripMargin
 
+  // C16 — CONTENT-DEFINED CHUNKING dedup (rsync/LBFS/FastCDC
+  // lineage — the chunk-level granularity between C1's whole-doc
+  // exact dedup and C12's line dedup): cut points follow CONTENT —
+  // a cut lands where the rolling 8-gram base-131 code ≡ 0 (mod 64,
+  // expected chunk ≈ 64 chars) — so an insertion re-syncs every
+  // boundary downstream of the edit and shared tails still dedup,
+  // the property fixed-size chunking lacks (CdcSpec proves it: a
+  // 13-char prefix insertion preserves > 80% of chunk digests).
+  // Cuts come from ONE codegen'd pass (CdcCutsExpr — no interpreted
+  // per-position HOF chain); chunk md5 digests are computed doc-
+  // locally in the same task, so RAW TEXT NEVER SHUFFLES — the df
+  // agg is keyed by 32-hex digests (n/64 rows per doc) and the dup
+  // flag joins back on the digest. Per-doc report: chunk count,
+  // exact mean chunk length, chunks whose digest appears in ≥ 2
+  // distinct docs.
+  private def dedupCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val cutsCol = GraftBridge.column(graft.functions.CdcCutsExpr(
+      GraftBridge.expression(col("text")), 8, 64))
+    val chunks = docs(s, dir)
+      .withColumn("cuts", cutsCol)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(cuts) - 1), j -> struct(" +
+            "element_at(cuts, j + 1) - element_at(cuts, j) AS clen, " +
+            "md5(substring(text, element_at(cuts, j) + 1, " +
+            "element_at(cuts, j + 1) - element_at(cuts, j))) AS dg))")).as("c"))
+      .select(col("doc_id"), col("c.clen").as("clen"), col("c.dg").as("dg"))
+    val dup = chunks.groupBy(col("dg"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("dg"), lit(1).as("isdup"))
+    chunks.join(dup, Seq("dg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        (round(sum(col("clen")) * lit(1.0) / count(lit(1)), 4) + lit(0.0))
+          .as("mean_chunk_len"),
+        count(col("isdup")).as("n_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupCdcChunksSql = {
+    val terms = (0 until 8).map { j =>
+      val pow = (0 until (7 - j)).foldLeft(1L)((a, _) => a * 131L)
+      s"CAST(CASE WHEN i + $j <= length(t) THEN ord(substring(t, i + $j, 1)) ELSE 0 END AS BIGINT) * CAST($pow AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text AS t FROM documents),
+       |g AS (SELECT doc_id, t, list_transform(
+       |        generate_series(1, greatest(length(t) - 7, 1)),
+       |        i -> $terms) AS codes FROM d),
+       |c AS (SELECT doc_id, t, list_concat(list_concat(
+       |        [0],
+       |        list_filter(list_transform(generate_series(1, len(codes)),
+       |          i -> CASE WHEN codes[i] % 64 = 0 AND i + 7 < length(t)
+       |               THEN i + 7 ELSE -1 END), x -> x > 0)),
+       |        [length(t)]) AS cuts FROM g),
+       |ch AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(cuts) - 1),
+       |          j -> struct_pack(clen := cuts[j + 1] - cuts[j],
+       |            dg := md5(substring(t, cuts[j] + 1, cuts[j + 1] - cuts[j])))))
+       |          AS c
+       |      FROM c),
+       |cf AS (SELECT doc_id, c.clen AS clen, c.dg AS dg FROM ch),
+       |dup AS (SELECT dg FROM cf GROUP BY dg HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT cf.doc_id, count(*) AS n_chunks,
+       | round(sum(clen) * 1.0 / count(*), 4) + 0 AS mean_chunk_len,
+       | count(dup.dg) AS n_dup_chunks
+       |FROM cf LEFT JOIN dup ON cf.dg = dup.dg
+       |GROUP BY cf.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_substring" -> (dedupSubstring _),
@@ -1256,6 +1328,7 @@ object DedupQueries {
     "dedup_winnowing" -> (dedupWinnowing _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> dedupCdcChunksSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_lsh_sweep" -> dedupLshSweepSql,
     "dedup_substring" -> dedupSubstringSql,

@@ -356,3 +356,70 @@ case class WinnowFingerprintExpr(child: Expression, win: Int, window: Int)
     copy(child = newChild)
   override def prettyName: String = "graft_winnow_fingerprints"
 }
+
+/** CONTENT-DEFINED CHUNK cut positions (rsync/LBFS/FastCDC lineage):
+  * a cut lands after character `i + win - 1` (0-based) whenever the
+  * base-131 code of the `win`-gram starting at `i` is ≡ 0 (mod
+  * `modulus`) and the cut is strictly inside the text — so chunk
+  * boundaries follow CONTENT, not offsets, and an insertion re-syncs
+  * every boundary downstream of the edit (the property fixed-size
+  * chunking lacks). Expected chunk length ≈ `modulus`. Returns the
+  * full cut list including the 0 and length(text) sentinels, strictly
+  * increasing — consecutive pairs are exactly the chunk spans.
+  * Windows past the end pad with 0, mirroring the oracle's
+  * `generate_series(1, greatest(len - win + 1, 1))` replay, so the
+  * empty text yields [0, 0] (one empty chunk) on both engines.
+  */
+case class CdcCutsExpr(child: Expression, win: Int, modulus: Int)
+    extends UnaryExpression {
+
+  require(win >= 1 && win <= 8, "window must be in [1, 8] (codes fit a long)")
+  require(modulus >= 2, "modulus must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  /** Cut positions of `s` (shared by eval and generated code). */
+  def cuts(s: String): Array[Int] = {
+    val n = s.length
+    val windows = math.max(n - win + 1, 1)
+    val out = new java.util.ArrayList[java.lang.Integer]()
+    out.add(0)
+    var i = 0
+    while (i < windows) {
+      var h = 0L
+      var k = 0
+      while (k < win) {
+        h = h * 131L + (if (i + k < n) s.charAt(i + k).toLong else 0L)
+        k += 1
+      }
+      val cut = i + win
+      if (h % modulus == 0 && cut < n) out.add(cut)
+      i += 1
+    }
+    out.add(n)
+    val res = new Array[Int](out.size())
+    i = 0
+    while (i < res.length) { res(i) = out.get(i).intValue(); i += 1 }
+    res
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(cuts(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("cdcExpr", this, classOf[CdcCutsExpr].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $expr.cuts($c.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCutsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_cuts"
+}
