@@ -473,8 +473,13 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("v"))
+    // bucketCap=256 bounds per-bucket pair volume (the r8 sf10 probe
+    // OOM'd the uncapped bucket self-join on the 2M-vector corpus
+    // where jitter families co-bucket); the pool rank is oracle-
+    // mirrored below and never binds at test SFs
     graft.operators.RandomHyperplaneLsh
-      .nearDupPairs(e, "vec_id", "v", threshold = 0.3, tables = 8, bits = 8, dim = 64)
+      .nearDupPairs(e, "vec_id", "v", threshold = 0.3, tables = 8, bits = 8,
+        dim = 64, bucketCap = 256)
   }
 
   private val dedupEmbeddingSql =
@@ -487,8 +492,13 @@ object DedupQueries {
       |bk AS (SELECT e.vec_id, p // 8 AS tbl,
       |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
       |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |pool AS (SELECT tbl, bucket, vec_id FROM (
+      |          SELECT tbl, bucket, vec_id,
+      |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id)
+      |            AS prn FROM bk)
+      |         WHERE prn <= 256),
       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |         FROM pool a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
       |          AND a.vec_id < b.vec_id),
       |sim AS (SELECT id_a, id_b,
       |         round(list_dot_product(x.v, y.v) /

@@ -58,14 +58,29 @@ object RandomHyperplaneLsh {
   }
 
   /** Distinct unordered candidate pairs (`id_a < id_b`) that share at
-    * least one (table, bucket).
+    * least one (table, bucket), with the LOWER id inside the bucket's
+    * `bucketCap`-lowest-id pool. Uncapped, per-bucket pair volume is
+    * |bucket|² — the r8 sf10 probe OOM'd a single join task on the
+    * 2M-row corpus, where jittered near-copies co-bucket en masse;
+    * capped, worst-case volume is n·tables·bucketCap regardless of
+    * skew (the knnGraph contract applied to pair generation). The
+    * rank is deterministic (row_number by id) and SQL-replayable, so
+    * oracles mirror the same pool filter; it never binds at test SFs.
+    * A pair (a < b) survives iff a ranks ≤ cap in some shared bucket —
+    * within one bucket b ∈ pool ⇒ a ∈ pool, so pooling only the
+    * lower side loses nothing.
     */
   def candidatePairs(e: DataFrame, idCol: String, vecCol: String,
-      tables: Int, bits: Int, dim: Int): DataFrame = {
+      tables: Int, bits: Int, dim: Int, bucketCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bk = bucketed(e, idCol, vecCol, tables, bits, dim)
-    val a = bk.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
-    val b = bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select(col("tbl"), col("bucket"), col(idCol))
+    val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+    val pool = bk.withColumn("prn", row_number().over(wB))
+      .filter(col("prn") <= bucketCap)
+      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    pool.join(bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -76,8 +91,9 @@ object RandomHyperplaneLsh {
     * `(id_a, id_b, cos_sim)` ordered by ids.
     */
   def nearDupPairs(e: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val cand = candidatePairs(e, idCol, vecCol, tables, bits, dim)
+      threshold: Double, tables: Int = 8, bits: Int = 8, dim: Int = 64,
+      bucketCap: Int = 256): DataFrame = {
+    val cand = candidatePairs(e, idCol, vecCol, tables, bits, dim, bucketCap)
     val va = e.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = e.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
