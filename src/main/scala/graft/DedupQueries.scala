@@ -1231,13 +1231,29 @@ object DedupQueries {
     val reps = docs(s, dir).groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val a = reps.select(col("doc_id").as("id_a"), col("text").as("ta"),
-      col("len").as("len_a"))
-    val b = reps.select(col("doc_id").as("id_b"), col("text").as("tb"),
-      col("len").as("len_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+    // Pair skeleton as an offset-explode EQUI-join (C4's r2 lesson,
+    // re-learned by the r8 sf10 probe: the previous pure-range
+    // predicate `id_a < id_b <= id_a + 5` has no equi-key, so Spark
+    // runs a nested loop over reps² — 19 s at sf1 but 1274 s (67×)
+    // at sf10, quadratic by construction). Exploding off ∈ 1..5 on
+    // the narrow (id, len) frame makes candidate generation a hash
+    // join: 5n skeleton rows, lengths filter first, and only pairs
+    // that pass the cheap bound attach text payloads (two keyed
+    // joins) and pay the DP.
+    val idsLens = reps.select(col("doc_id"), col("len"))
+    val skel = idsLens
+      .select(col("doc_id").as("id_a"), col("len").as("len_a"),
+        explode(expr("sequence(1, 5)")).as("off"))
+      .withColumn("id_b", col("id_a") + col("off"))
+      .join(idsLens.select(col("doc_id").as("id_b"), col("len").as("len_b")),
+        Seq("id_b"))
       .withColumn("bound", abs(col("len_a") - col("len_b")))
       .filter(col("bound") * 5 <= lit(2) * greatest(col("len_a"), col("len_b")))
+    skel
+      .join(reps.select(col("doc_id").as("id_a"), col("text").as("ta")),
+        Seq("id_a"))
+      .join(reps.select(col("doc_id").as("id_b"), col("text").as("tb")),
+        Seq("id_b"))
       // THRESHOLDED DP: the decision never needs distances beyond the
       // cap, and Spark's banded levenshtein(l, r, k) computes only a
       // 2k-wide diagonal — O(k·len) instead of O(len²), the second
