@@ -307,8 +307,22 @@ object DedupQueries {
         }: _*)).as("pk"))
       .select(col("doc_id"), col("simhash"),
         col("pk.tbl").as("tbl"), col("pk.key").as("key"))
-    val a = keyed.select(col("tbl"), col("key"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    // BOUNDED pool per (tbl, key) — the r8 sf10 diagnostic measured
+    // sum(df^2) = 49G over piece-pair keys on the 500k-doc corpus
+    // (statistically-twinned same-language docs concentrate even
+    // 21-bit keys: max df 80k), so the uncapped join is quadratic in
+    // practice. A pair survives iff its LOWER id ranks <= 256 in some
+    // shared key (within one key b in pool => a in pool); the rank is
+    // deterministic and replayed by the oracle, capped volume is
+    // sum(df*min(df,256)) = 1.35G at sf10 vs 49G uncapped. Pairs in
+    // the capped blind spot are mass near-dup families - C1/C2's
+    // regime, the same contract as winnowing's maxDf.
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("key")).orderBy(col("doc_id"))
+    val a = keyed.withColumn("prn", row_number().over(wK))
+      .filter(col("prn") <= 256)
+      .select(col("tbl"), col("key"),
+        col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = keyed.select(col("tbl"), col("key"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("tbl", "key"))
@@ -347,14 +361,26 @@ object DedupQueries {
        | FROM th GROUP BY doc_id
        |), sig AS (
        | SELECT doc_id, $simhashExpr AS simhash FROM bits
-       |), blocks AS (
-       | SELECT doc_id, simhash, q AS block_id, (simhash >> (q*16)) & 65535 AS block_val
-       | FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) qs
+       |), pieces AS (
+       | SELECT doc_id, simhash,
+       |  [simhash & 2047, (simhash >> 11) & 2047, (simhash >> 22) & 2047,
+       |   (simhash >> 33) & 2047, (simhash >> 44) & 1023,
+       |   (simhash >> 54) & 1023] AS p
+       | FROM sig
+       |), keyed AS (
+       | SELECT doc_id, simhash, c.tbl,
+       |  p[c.pi + 1] * 2048 + p[c.qi + 1] AS key
+       | FROM pieces CROSS JOIN (VALUES (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 0, 4), (5, 0, 5), (8, 1, 2), (9, 1, 3), (10, 1, 4), (11, 1, 5), (15, 2, 3), (16, 2, 4), (17, 2, 5), (22, 3, 4), (23, 3, 5), (29, 4, 5)) c(tbl, pi, qi)
+       |), pool AS (
+       | SELECT tbl, key, doc_id, simhash FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, key
+       |    ORDER BY doc_id) AS prn FROM keyed)
+       | WHERE prn <= 256
        |), cand AS (
        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       | FROM blocks a JOIN blocks b USING (block_id, block_val)
-       | WHERE a.doc_id < b.doc_id
+       | FROM pool a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key
+       |  AND a.doc_id < b.doc_id
        |)
        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
        |ORDER BY id_a, id_b""".stripMargin

@@ -89,20 +89,42 @@ object RandomHyperplaneLsh {
   /** Corpus-wide near-duplicate pairs: LSH candidates verified by
     * exact cosine ≥ `threshold` (4-dp rounded). Output
     * `(id_a, id_b, cos_sim)` ordered by ids.
+    *
+    * Verification runs INSIDE the bucket join — both sides carry
+    * their vector through the (tbl, bucket) shuffle (n·tables rows,
+    * ~0.5 KB each) and every candidate's cosine + threshold test
+    * evaluates in the join task, so candidate pairs are never
+    * materialized beyond the stream. The distinct (a pair can collide
+    * in several tables; identical inputs give bit-identical cosines)
+    * sees only THRESHOLD-PASSING rows. The alternative — distinct the
+    * id pairs first, then attach vectors by two keyed joins — re-sorts
+    * the full candidate set with a 0.5 KB payload glued on: the r8
+    * sf10 probe filled the DISK spilling ~200 GB of exactly that sort
+    * before dying. Duplicate cross-table cosine evaluations are the
+    * price, bounded by bucketCap·tables per row — cheap codegen'd
+    * arithmetic against a join that needs no giant sort anywhere.
     */
   def nearDupPairs(e: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 8, bits: Int = 8, dim: Int = 64,
       bucketCap: Int = 256): DataFrame = {
-    val cand = candidatePairs(e, idCol, vecCol, tables, bits, dim, bucketCap)
-    val va = e.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = e.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    import org.apache.spark.sql.expressions.Window
+    val bk = bucketed(e, idCol, vecCol, tables, bits, dim)
+    val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+    val pool = bk.withColumn("prn", row_number().over(wB))
+      .filter(col("prn") <= bucketCap)
+      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"),
+        col("v").as("va"))
+    val probe = bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
+      col("v").as("vb"))
+    pool.join(probe, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim",
         round(VectorOps.dot(col("va"), col("vb")) /
           (sqrt(VectorOps.dot(col("va"), col("va"))) *
             sqrt(VectorOps.dot(col("vb"), col("vb")))), 4) + lit(0.0))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()
       .transform(df => graft.QueryShape.stagedSort(df, col("id_a"), col("id_b")))
   }
 

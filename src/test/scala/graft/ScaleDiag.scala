@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main for the C3/C5 sf10 investigations: prints the
+  * DISTRIBUTIONS that decide join cost — signature/bucket skew,
+  * candidate volume, and output cardinality — instead of guessing
+  * from wall-clock. Usage:
+  *   Test/runMain graft.ScaleDiag <sfDir> [simhash|embedding|both]
+  */
+object ScaleDiag {
+
+  private def stats(df: DataFrame, what: String): Unit = {
+    val s = df.agg(count(lit(1)).as("n_keys"), sum(col("df")).as("rows"),
+      max(col("df")).as("max_df"), sum(col("df") * col("df")).as("sum_df2"),
+      sum(col("df") * least(col("df"), lit(256L))).as("sum_df_cap256"))
+      .collect()(0)
+    println(s"[diag] $what: keys=${s.getLong(0)} rows=${s.getLong(1)} " +
+      s"max_df=${s.getLong(2)} sum_df2=${s.getLong(3)} " +
+      s"sum_df_cap256=${s.getLong(4)}")
+    val top = df.orderBy(col("df").desc).limit(5).collect()
+      .map(_.toSeq.mkString(":")).mkString(" ")
+    println(s"[diag] $what top5: $top")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val what = if (args.length > 1) args(1) else "both"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (what == "simhash" || what == "both") {
+      val reps = Tables.load(spark, dir, "documents")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      println(s"[diag] simhash reps=${reps.count()}")
+      val sigs = reps
+        .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+          graft.functions.SimhashExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("text")))).as("simhash"))
+        .localCheckpoint(true)
+      // exact-signature families (hamming-0 structure)
+      stats(sigs.groupBy(col("simhash")).agg(count(lit(1)).as("df")),
+        "simhash exact-sig families")
+      // old 16-bit block keys
+      val blocks = sigs.select(posexplode(expr(
+        "transform(sequence(0, 3), q -> shiftright(simhash, q * 16) & 65535)"))
+        .as(Seq("b", "v")))
+      stats(blocks.groupBy(col("b"), col("v")).agg(count(lit(1)).as("df")),
+        "16-bit block keys")
+      // new 21-22-bit piece-pair keys
+      val pieces = sigs.withColumn("p", expr(
+        "array(simhash & 2047, shiftright(simhash, 11) & 2047, " +
+          "shiftright(simhash, 22) & 2047, shiftright(simhash, 33) & 2047, " +
+          "shiftright(simhash, 44) & 1023, shiftright(simhash, 54) & 1023)"))
+      val combos = for { p <- 0 until 6; q <- (p + 1) until 6 } yield (p, q)
+      val keyed = pieces.select(explode(array(combos.map { case (p, q) =>
+        struct(lit(p * 6 + q).as("tbl"),
+          (element_at(col("p"), p + 1) * lit(2048L) +
+            element_at(col("p"), q + 1)).as("key"))
+      }: _*)).as("pk")).select(col("pk.tbl").as("tbl"), col("pk.key").as("key"))
+      stats(keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("df")),
+        "piece-pair keys")
+    }
+
+    if (what == "embedding" || what == "both") {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("v"))
+      println(s"[diag] embedding reps=${e.count()}")
+      val bk = graft.operators.RandomHyperplaneLsh
+        .bucketed(e, "vec_id", "v", tables = 8, bits = 8, dim = 64)
+        .select(col("tbl"), col("bucket"))
+      stats(bk.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("df")),
+        "lsh (tbl,bucket) keys")
+    }
+    spark.stop()
+  }
+}
