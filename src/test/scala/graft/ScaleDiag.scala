@@ -70,6 +70,37 @@ object ScaleDiag {
         "piece-pair keys")
     }
 
+    if (what == "ivf") {
+      // phase timing for knn_ivf_trained's pipeline
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[diag] ivf $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val all = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), expr(
+          """transform(sequence(0, 63), d -> element_at(v, d + 1) +
+            | CAST((1103 * (label * 64 + d) + 12289) % 8191 - 4095 AS DOUBLE)
+            |   / 8191.0D)""".stripMargin).as("v"))
+      t("derived-corpus count")(all.count())
+      val q = all.filter(col("vec_id") <= 10)
+      val cent = t("trainCentroidsSampled")(
+        graft.operators.IvfIndex.trainCentroidsSampled(
+          all, "vec_id", "v", k = 12, iters = 4, sampleCap = 1024))
+      t("search")(graft.operators.IvfIndex
+        .search(all, q, cent, "vec_id", "v", nprobe = 2, k = 3).count())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      t("bruteforce")(all.select(col("vec_id").as("nid"), col("v").as("nv"))
+        .join(broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"))),
+          col("nid") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3).count())
+    }
+
     if (what == "embedding" || what == "both") {
       val e = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
