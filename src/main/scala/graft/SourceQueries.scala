@@ -735,33 +735,32 @@ object SourceQueries {
 
   // H17 — TABLE STATISTICS collection (ANALYZE TABLE ... COMPUTE
   // STATISTICS FOR COLUMNS — the numbers a cost-based optimizer
-  // joins/reorders by): per column of `orders`, one pass computes
-  // row count, null count, exact NDV, and min/max (stringified so
-  // heterogeneous column types share one report schema). All columns
-  // fold in a SINGLE scan (one agg, no per-column jobs — at 100 TB
-  // the difference between 1 scan and #columns scans); exact NDV is
-  // the oracle-checkable twin of the HLL the real ANALYZE would use
-  // at scale (I1 carries that contract). The unpivot to one row per
-  // column is driver-side over a 1-row frame.
+  // joins/reorders by): per column of `orders`, compute row count,
+  // null count, exact NDV, and min/max (stringified so heterogeneous
+  // column types share one report schema). ONE AGG PER COLUMN, not
+  // one agg with N countDistinct's: multiple distinct aggregates make
+  // Catalyst plan an Expand that inflates every input row (N+1)× —
+  // the sf10 probe measured that plan at 13.9× for 10× data (one
+  // 90M-row hash table, spilling). Per-column jobs read the SAME
+  // total bytes on columnar storage (each scan prunes to exactly its
+  // own column — `ReadSchema` is 1 field) and each is a spill-free
+  // single-distinct two-phase agg that shuffles only that column's
+  // values. Exact NDV is the oracle-checkable twin of the HLL the
+  // real ANALYZE would use at 100 TB (I1 carries that contract).
   private def srcTableStats(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderpriority")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
-    }
-    val one = orders.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val rows = cols.map { c =>
-      struct(lit(c).as("column"), col("n_rows"),
-        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
-        col(s"ndv_$c").as("ndv"),
-        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
-    }
-    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
-      .orderBy(col("column"))
+    cols.map { c =>
+      orders.select(col(c))
+        .agg(count(lit(1)).as("n_rows"), count(col(c)).as("nn"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column"), col("n_rows"),
+          (col("n_rows") - col("nn")).as("n_nulls"), col("ndv"),
+          col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _).orderBy(col("column"))
   }
 
   private val srcTableStatsSql =
