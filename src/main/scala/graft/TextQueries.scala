@@ -1592,7 +1592,107 @@ object TextQueries {
       |SELECT doc_id, n_windows, n_green, round(z, 4) + 0 AS z_score, flagged
       |FROM z ORDER BY z DESC, doc_id LIMIT 20""".stripMargin
 
+  // E30 — HTML BOILERPLATE EXTRACTION (the C4/RefinedWeb "main
+  // content" step): web-scale corpora start as markup, and the first
+  // pipeline stage separates prose from chrome (nav bars, link
+  // farms, ad units, footers) by LINK DENSITY — the jusText/Arc90
+  // heuristic family: a block whose anchor text is a large share of
+  // its visible text is navigation, not content. The corpus here is
+  // plain text, so the markup is a deterministic fixture (the same
+  // contract as E9's injected PII): each doc renders as a nav bar +
+  // one <p> per 8-word chunk — every 5th chunk (keyed by
+  // doc_id + index) wrapped whole in an <a> to simulate a link-farm
+  // block — + an ad div + a footer, one block per line. The
+  // EXTRACTOR sees only the html string: per line it strips tags,
+  // captures anchor text by regexp group, and keeps blocks with
+  // >= 20 visible chars whose anchor share is < 1/3 (integer
+  // arithmetic — 3*link_len < text_len — so both engines compare
+  // exactly). Entirely codegen'd HOFs over the per-doc line array:
+  // map-only, ZERO shuffle besides the output sort — boilerplate
+  // removal is embarrassingly parallel and must stay that way at
+  // 100 TB (HtmlExtractSpec pins the single-Exchange plan).
+  private def textHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("np", expr("greatest((size(w) + 7) DIV 8, 1)"))
+      .withColumn("blocks", expr(
+        """transform(sequence(0, np - 1), i -> CASE
+          | WHEN (doc_id + i) % 5 = 0 THEN
+          |  concat('<p><a href="#">',
+          |         array_join(slice(w, i * 8 + 1, 8), ' '), '</a></p>')
+          | ELSE concat('<p>', array_join(slice(w, i * 8 + 1, 8), ' '), '</p>')
+          | END)""".stripMargin))
+      .withColumn("html", expr(
+        """concat('<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>',
+          | chr(10), array_join(blocks, chr(10)), chr(10),
+          | '<div><a href="#">Buy now</a> <a href="#">Subscribe</a></div>', chr(10),
+          | '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> (c) ExampleCorp</footer>')""".stripMargin))
+      .withColumn("lines", expr("split(html, chr(10))"))
+      .withColumn("kept", expr(
+        """filter(lines, x ->
+          | length(regexp_replace(x, '<[^>]*>', '')) >= 20 AND
+          | 3 * length(coalesce(
+          |     array_join(regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+          |   < length(regexp_replace(x, '<[^>]*>', '')))""".stripMargin))
+      .withColumn("main", expr(
+        "array_join(transform(kept, x -> regexp_replace(x, '<[^>]*>', '')), ' ')"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_blocks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        length(col("main")).cast("long").as("main_len"),
+        (round(lit(1.0) - length(col("main")).cast("double") /
+          greatest(length(regexp_replace(col("html"), "<[^>]*>", "")), lit(1)), 4)
+          + lit(0.0)).as("boiler_ratio"),
+        substring(md5(col("main")), 1, 8).as("main_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textHtmlExtractSql =
+    """WITH base AS (
+      | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (
+      | SELECT doc_id, w, greatest((len(w) + 7) // 8, 1) AS np FROM base),
+      |b AS (
+      | SELECT doc_id, list_transform(generate_series(0, np - 1), i -> CASE
+      |   WHEN (doc_id + i) % 5 = 0 THEN
+      |    concat('<p><a href="#">',
+      |           array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '), '</a></p>')
+      |   ELSE concat('<p>',
+      |           array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '), '</p>')
+      |   END) AS blocks
+      | FROM p),
+      |h AS (
+      | SELECT doc_id,
+      |  concat('<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>',
+      |   chr(10), array_to_string(blocks, chr(10)), chr(10),
+      |   '<div><a href="#">Buy now</a> <a href="#">Subscribe</a></div>', chr(10),
+      |   '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> (c) ExampleCorp</footer>') AS html
+      | FROM b),
+      |l AS (
+      | SELECT doc_id, html, string_split(html, chr(10)) AS lines FROM h),
+      |k AS (
+      | SELECT doc_id, html, lines, list_filter(lines, x ->
+      |   length(regexp_replace(x, '<[^>]*>', '', 'g')) >= 20 AND
+      |   3 * length(coalesce(
+      |       array_to_string(regexp_extract_all(x, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+      |     < length(regexp_replace(x, '<[^>]*>', '', 'g'))) AS kept
+      | FROM l),
+      |m AS (
+      | SELECT doc_id, len(lines) AS n_blocks, len(kept) AS n_kept,
+      |  coalesce(array_to_string(list_transform(kept, x ->
+      |    regexp_replace(x, '<[^>]*>', '', 'g')), ' '), '') AS main,
+      |  length(regexp_replace(html, '<[^>]*>', '', 'g')) AS total_len
+      | FROM k)
+      |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+      | CAST(n_kept AS BIGINT) AS n_kept,
+      | CAST(length(main) AS BIGINT) AS main_len,
+      | round(1.0 - CAST(length(main) AS DOUBLE) / greatest(total_len, 1), 4) + 0
+      |   AS boiler_ratio,
+      | substring(md5(main), 1, 8) AS main_fp
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_extract" -> (textHtmlExtract _),
     "text_watermark_detect" -> (textWatermarkDetect _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_pmi_collocations" -> (textPmiCollocations _),
@@ -1622,6 +1722,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "text_html_extract" -> textHtmlExtractSql,
     "text_watermark_detect" -> textWatermarkDetectSql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "text_pmi_collocations" -> textPmiCollocationsSql,
