@@ -141,7 +141,21 @@ object DedupQueries {
   // never all-pairs). The |est − exact| column is the number that
   // justifies trusting band-bucket candidacy at 100 TB, measured by
   // the engine itself on its own corpus rather than asserted offline.
-  // Same representative collapse as C2; pair-bounded joins throughout.
+  // Same representative collapse as C2. Two scale contracts, both
+  // added after the r8 sf10 probe measured 24.6× (pairs grew 40.7k →
+  // 3.97M for 10× docs — band buckets concentrate statistical twins,
+  // max df 110 → 967):
+  //  1. BOUNDED pool per band bucket (C3's contract): a pair survives
+  //     iff its LOWER id ranks ≤ 256 in some shared bucket — capped
+  //     join volume Σ df·min(df,256), oracle-replayed rank.
+  //  2. ROW-LOCAL verification: each doc carries its 64-value
+  //     signature and distinct-shingle-hash set as ARRAY payloads
+  //     (one row per doc, ~1 KB); est is a zip_with match count and
+  //     exact is an array_intersect size computed inside the pair
+  //     row. The previous shape re-joined every pair against 64
+  //     per-permutation rows + exploded shingles — |pairs|×112
+  //     shuffled rows (444M at sf10) for math that never needed to
+  //     leave the row.
   private def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
     val reps = docs(s, dir).groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val vals = minhashValuesFor(reps)
@@ -149,41 +163,46 @@ object DedupQueries {
     val bands = vals
       .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
       .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
-    val pairs = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
+    val pool = bands.withColumn("prn", row_number().over(wB))
+      .filter(col("prn") <= 256)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val pairs = pool
       .join(bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b")),
         Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val est = pairs
-      .join(vals.select(col("doc_id").as("id_a"), col("j"), col("m").as("ma")),
-        Seq("id_a"))
-      .join(vals.select(col("doc_id").as("id_b"), col("j"), col("m").as("mb")),
-        Seq("id_b", "j"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)) / lit(64.0)).as("est"))
-    // ground truth over the shingle-HASH universe (distinct p per doc,
-    // the same identities the minhash permutations act on — est and
-    // truth now measure Jaccard over one universe; the oracle mirrors
-    // the p-identity intersect)
-    val sh = reps
-      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
+    // per-doc feature row: ordered 64-value signature + distinct
+    // shingle-hash set (the same p identities the permutations act
+    // on — est and truth measure Jaccard over one universe; the
+    // oracle mirrors the p-identity intersect)
+    val sigs = vals
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("sig"))
+    val psets = reps
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.WordShingleModHashesExpr(
-          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("shingle"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val itr = pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-    val estR = round(col("est"), 4) + lit(0.0)
-    val exactR = round(coalesce(col("i"), lit(0L)).cast("double") /
-      (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 4) + lit(0.0)
-    val out = est
-      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .join(itr, Seq("id_a", "id_b"), "left")
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3)).as("ps0"))
+      .select(col("doc_id"), array_distinct(col("ps0")).as("ps"))
+    val feat = sigs.join(psets, Seq("doc_id"))
+    val out = pairs
+      .join(feat.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("ps").as("ps_a")), Seq("id_a"))
+      .join(feat.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("ps").as("ps_b")), Seq("id_b"))
+      .withColumn("est", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0"))
+      .withColumn("i", size(array_intersect(col("ps_a"), col("ps_b"))).cast("long"))
+      .withColumn("na", size(col("ps_a")).cast("long"))
+      .withColumn("nb", size(col("ps_b")).cast("long"))
       .select(col("id_a"), col("id_b"),
-        estR.as("est_jaccard"), exactR.as("exact_jaccard"),
-        (round(abs(estR - exactR), 4) + lit(0.0)).as("abs_err"))
+        (round(col("est"), 4) + lit(0.0)).as("est_jaccard"),
+        (round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          + lit(0.0)).as("exact_jaccard"),
+        (round(abs((round(col("est"), 4) + lit(0.0)) -
+          (round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+            + lit(0.0))), 4) + lit(0.0)).as("abs_err"))
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
       .localCheckpoint(eager = true)
     vals.unpersist(false)
@@ -216,35 +235,38 @@ object DedupQueries {
       |), bands AS (
       | SELECT doc_id, j // 8 AS band_id, bit_xor((m * 131 + j) % 1000000007) AS band_hash
       | FROM hj GROUP BY doc_id, j // 8
+      |), pool AS (
+      | SELECT band_id, band_hash, doc_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY band_id, band_hash
+      |    ORDER BY doc_id) AS prn FROM bands)
+      | WHERE prn <= 256
       |), pairs AS (
       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      | FROM bands a JOIN bands b USING (band_id, band_hash)
+      | FROM pool a JOIN bands b USING (band_id, band_hash)
       | WHERE a.doc_id < b.doc_id
-      |), est AS (
-      | SELECT p.id_a, p.id_b,
-      |   sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 64.0 AS est
-      | FROM pairs p JOIN hj x ON x.doc_id = p.id_a
-      |  JOIN hj y ON y.doc_id = p.id_b AND y.j = x.j
-      | GROUP BY p.id_a, p.id_b
+      |), sigs AS (
+      | SELECT doc_id, list(m ORDER BY j) AS sig FROM hj GROUP BY doc_id
       |), pd AS (
       | SELECT DISTINCT doc_id, p FROM ph
-      |), sz AS (
-      | SELECT doc_id, count(*) AS n FROM pd GROUP BY doc_id
-      |), itr AS (
-      | SELECT p.id_a, p.id_b, count(*) AS i
-      | FROM pairs p JOIN pd a ON a.doc_id = p.id_a
-      |  JOIN pd b ON b.doc_id = p.id_b AND b.p = a.p
-      | GROUP BY p.id_a, p.id_b)
-      |SELECT e.id_a, e.id_b,
-      | round(e.est, 4) + 0 AS est_jaccard,
-      | round(CAST(coalesce(i.i, 0) AS DOUBLE)
-      |   / (sa.n + sb.n - coalesce(i.i, 0)), 4) + 0 AS exact_jaccard,
-      | round(abs((round(e.est, 4) + 0) - (round(CAST(coalesce(i.i, 0) AS DOUBLE)
-      |   / (sa.n + sb.n - coalesce(i.i, 0)), 4) + 0)), 4) + 0 AS abs_err
-      |FROM est e JOIN sz sa ON sa.doc_id = e.id_a
-      | JOIN sz sb ON sb.doc_id = e.id_b
-      | LEFT JOIN itr i ON i.id_a = e.id_a AND i.id_b = e.id_b
-      |ORDER BY e.id_a, e.id_b""".stripMargin
+      |), psets AS (
+      | SELECT doc_id, list(p) AS ps, count(*) AS n FROM pd GROUP BY doc_id
+      |), scored AS (
+      | SELECT pr.id_a, pr.id_b,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS est,
+      |  len(list_intersect(pa.ps, pb.ps)) AS i,
+      |  pa.n AS na, pb.n AS nb
+      | FROM pairs pr
+      |  JOIN sigs sa ON sa.doc_id = pr.id_a
+      |  JOIN sigs sb ON sb.doc_id = pr.id_b
+      |  JOIN psets pa ON pa.doc_id = pr.id_a
+      |  JOIN psets pb ON pb.doc_id = pr.id_b)
+      |SELECT id_a, id_b,
+      | round(est, 4) + 0 AS est_jaccard,
+      | round(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0 AS exact_jaccard,
+      | round(abs((round(est, 4) + 0) -
+      |   (round(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0)), 4) + 0 AS abs_err
+      |FROM scored ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash: sign-aggregated token hashes per doc. The 61-bit token
     * hash combines two modular polynomials (bases 31/37, distinct

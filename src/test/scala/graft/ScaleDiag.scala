@@ -70,6 +70,24 @@ object ScaleDiag {
         "piece-pair keys")
     }
 
+    if (what == "minhash") {
+      // C10 (dedup_minhash_est) cost drivers: band-bucket skew decides
+      // the candidate join; |pairs| decides the est (×64) and exact
+      // (×shingles/doc) verification joins downstream.
+      val reps = Tables.load(spark, dir, "documents")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      println(s"[diag] minhash reps=${reps.count()}")
+      val bands = DedupQueries.minhashBandsFor(reps).localCheckpoint(true)
+      stats(bands.groupBy(col("band_id"), col("band_hash"))
+        .agg(count(lit(1)).as("df")), "band buckets")
+      val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+      val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("band_id", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+      println(s"[diag] minhash pairs=${pairs.count()}")
+    }
+
     if (what == "ivf") {
       // phase timing for knn_ivf_trained's pipeline
       def t[A](label: String)(f: => A): A = {
