@@ -891,28 +891,44 @@ object SimilarityQueries {
   // and the fusion is an equi-join on (query, candidate) — nothing
   // here is corpus-wide.
   private def knnRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    // Per-query top-20 via HIERARCHICAL two-stage aggregation, not a
+    // row_number window: with only 6 qids, a window partitioned by
+    // qid is six single-partition sorts over the whole candidate set
+    // (the r8 sf10 probe measured the window shape at 18.8× for 10×
+    // data — 500k rows per qid partition). Stage 1 takes a per-
+    // (qid, nid%256 bucket) top-20 (sorted-slice over ~2k collected
+    // structs, fully parallel); stage 2 merges 256×20 survivors per
+    // qid. Exact same (key desc, nid asc) order as the window — the
+    // oracle is unchanged.
+    def topkRanks(df: DataFrame, rankName: String): DataFrame =
+      df // (qid, nid, negKey) — top-20 by (negKey ASC, nid ASC)
+        .groupBy(col("qid"), (col("nid") % 256).as("b"))
+        .agg(expr("slice(array_sort(collect_list(struct(negKey, nid))), 1, 20)").as("t"))
+        .groupBy(col("qid"))
+        .agg(expr("slice(array_sort(flatten(collect_list(t))), 1, 20)").as("t"))
+        .select(col("qid"), posexplode(col("t")).as(Seq("i", "s")))
+        .select(col("qid"), col("s.nid").as("nid"),
+          (col("i") + 1).cast("long").as(rankName))
     val tokens = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
     val terms = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(tokens).as("term")).distinct()
     val qTerms = terms.filter(col("doc_id") <= 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val wLex = Window.partitionBy(col("qid")).orderBy(col("overlap").desc, col("nid"))
-    val lex = terms.select(col("doc_id").as("nid"), col("term"))
-      .join(broadcast(qTerms), "term")
-      .filter(col("nid") =!= col("qid"))
-      .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("overlap"))
-      .withColumn("r_lex", row_number().over(wLex).cast("long"))
-      .filter(col("r_lex") <= 20)
-      .select(col("qid"), col("nid"), col("r_lex"))
+    val lex = topkRanks(
+      terms.select(col("doc_id").as("nid"), col("term"))
+        .join(broadcast(qTerms), "term")
+        .filter(col("nid") =!= col("qid"))
+        .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("overlap"))
+        .select(col("qid"), col("nid"), (-col("overlap")).as("negKey")),
+      "r_lex")
     val all = emb(s, dir)
     val qv = all.filter(col("vec_id") <= 5).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wVec = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val vec = all.select(col("vec_id").as("nid"), col("v").as("nv"))
-      .join(broadcast(qv), col("nid") =!= col("qid"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
-      .withColumn("r_vec", row_number().over(wVec).cast("long"))
-      .filter(col("r_vec") <= 20)
-      .select(col("qid"), col("nid"), col("r_vec"))
+    val vec = topkRanks(
+      all.select(col("vec_id").as("nid"), col("v").as("nv"))
+        .join(broadcast(qv), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          (-VectorOps.cosine(col("qv"), col("nv"))).as("negKey")),
+      "r_vec")
     val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
     lex.join(vec, Seq("qid", "nid"), "full_outer")
       .withColumn("rrf",
