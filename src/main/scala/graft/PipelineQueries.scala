@@ -803,10 +803,13 @@ object PipelineQueries {
   // side assertion.
   private def pipelineSplit(s: SparkSession, dir: String): DataFrame = {
     val M = 1000003L
+    // doc_id is reduced mod M before squaring — identical hash value
+    // ((x² mod M) = ((x mod M)² mod M)) but overflow-safe: sf10 doc_ids
+    // reach 9.9×10⁹, whose square exceeds 2⁶³ under ANSI arithmetic.
+    val dm = col("doc_id") % M
     val d = docs(s, dir)
       .withColumn("h",
-        (((col("doc_id") * col("doc_id")) % M) * 7919L
-          + col("doc_id") * 104729L + 12345L) % M)
+        (((dm * dm) % M) * 7919L + dm * 104729L + 12345L) % M)
       .withColumn("split",
         when(col("h") % 100L < 90, "train")
           .when(col("h") % 100L < 95, "val")
@@ -827,8 +830,8 @@ object PipelineQueries {
   private val pipelineSplitSql =
     """WITH d AS (
       | SELECT doc_id, n_chars,
-      |  (((doc_id * doc_id) % 1000003) * 7919 + doc_id * 104729 + 12345)
-      |    % 1000003 AS h
+      |  ((((doc_id % 1000003) * (doc_id % 1000003)) % 1000003) * 7919
+      |    + (doc_id % 1000003) * 104729 + 12345) % 1000003 AS h
       | FROM documents),
       |s AS (
       | SELECT doc_id, n_chars,

@@ -2107,10 +2107,15 @@ object RelationalQueries {
       .withColumn("se2", col("vu") / col("nu") + col("vr") / col("nr"))
       .withColumn("t_stat",
         (col("mu") - col("mr")) / sqrt(col("se2")))
+      // n²·(n−1) in DOUBLE: the long product overflows past n ≈ 2.1M
+      // (n³ > 2⁶³ — hit at sf10 where the rest arm has ~12M orders);
+      // double is exact below 2⁵³ so the sf0.01 oracle hash is unchanged.
       .withColumn("welch_df",
         col("se2") * col("se2") /
-          (col("vu") * col("vu") / (col("nu") * col("nu") * (col("nu") - 1))
-            + col("vr") * col("vr") / (col("nr") * col("nr") * (col("nr") - 1))))
+          (col("vu") * col("vu") /
+            (col("nu").cast("double") * col("nu") * (col("nu") - 1))
+            + col("vr") * col("vr") /
+            (col("nr").cast("double") * col("nr") * (col("nr") - 1))))
       .select(col("nu"), col("nr"),
         round(col("mu"), 4).as("mean_urgent"),
         round(col("mr"), 4).as("mean_rest"),
@@ -3134,9 +3139,14 @@ object RelationalQueries {
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .select(col("k"), col("cents"),
         explode(sequence(lit(0), lit(B - 1))).as("r"))
+      // reduce k mod M BEFORE squaring: (k² mod M) = ((k mod M)² mod M)
+      // and every other term is likewise stable mod M, so the hash value
+      // is identical — but k² itself overflows long once keys exceed
+      // ~3×10⁹ (sf10 keys reach 9.9×10⁹). All intermediates now ≤ M².
+      .withColumn("km", col("k") % M)
       .withColumn("h",
-        (((col("k") * col("k")) % M) * (lit(7919L) + col("r"))
-          + col("k") * (lit(104729L) + lit(13L) * col("r"))
+        (((col("km") * col("km")) % M) * (lit(7919L) + col("r"))
+          + col("km") * (lit(104729L) + lit(13L) * col("r"))
           + lit(977L) * col("r") + 12345L) % M)
       .withColumn("w",
         thr.map(t => when(col("h") >= t, 1L).otherwise(0L)).reduce(_ + _))
@@ -3160,12 +3170,12 @@ object RelationalQueries {
 
   private val q89Sql =
     """WITH base AS (
-      | SELECT o_orderkey AS k,
+      | SELECT o_orderkey % 1000003 AS km,
       |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, r
       | FROM orders, (SELECT unnest(generate_series(0, 31)) AS r) reps),
       |h AS (
-      | SELECT *, (((k * k) % 1000003) * (7919 + r)
-      |   + k * (104729 + 13 * r) + 977 * r + 12345) % 1000003 AS hv
+      | SELECT *, (((km * km) % 1000003) * (7919 + r)
+      |   + km * (104729 + 13 * r) + 977 * r + 12345) % 1000003 AS hv
       | FROM base),
       |w AS (
       | SELECT r, cents,

@@ -255,10 +255,13 @@ object SketchQueries {
   private def sketchBottomkSample(s: SparkSession, dir: String): DataFrame = {
     val M = 1000003L
     val k = 32
+    // user_id reduced mod M before squaring — same hash value by modular
+    // identity, but overflow-safe (sf10 user_ids reach 9.9×10⁹; the raw
+    // square exceeds 2⁶³ under ANSI arithmetic).
+    val um = col("user_id") % M
     val u = Tables.load(s, dir, "events").select(col("user_id")).distinct()
       .withColumn("h",
-        (((col("user_id") * col("user_id")) % M) * 104729L
-          + col("user_id") * 7919L + 977L) % M)
+        (((um * um) % M) * 104729L + um * 7919L + 977L) % M)
     val bot = u.orderBy(col("h"), col("user_id")).limit(k)
     val stats = bot.agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"),
       min(col("user_id")).as("sample_min_user"),
@@ -278,7 +281,8 @@ object SketchQueries {
   private val sketchBottomkSampleSql =
     """WITH u AS (SELECT DISTINCT user_id FROM events),
       |h AS (SELECT user_id,
-      |        (((user_id * user_id) % 1000003) * 104729 + user_id * 7919 + 977)
+      |        ((((user_id % 1000003) * (user_id % 1000003)) % 1000003) * 104729
+      |   + (user_id % 1000003) * 7919 + 977)
       |          % 1000003 AS h
       |      FROM u),
       |bot AS (SELECT user_id, h FROM h ORDER BY h, user_id LIMIT 32),
@@ -427,8 +431,10 @@ object SketchQueries {
   private def sketchKmvIntersect(s: SparkSession, dir: String): DataFrame = {
     val M = 1000003L
     val k = 64
-    val h = (((col("user_id") * col("user_id")) % M) * 104729L
-      + col("user_id") * 7919L + 977L) % M
+    // mod-M reduction before squaring, as in sketchBottomkSample — the
+    // hash value is identical; the raw square overflows at sf10 key scale.
+    val umk = col("user_id") % M
+    val h = (((umk * umk) % M) * 104729L + umk * 7919L + 977L) % M
     val ev = Tables.load(s, dir, "events")
     // sets with PARTIAL overlap (every user in this corpus has every
     // event type, so membership keys off per-user spend, not type):
@@ -472,7 +478,8 @@ object SketchQueries {
       |     THEN value END), 0) > 600 THEN 1 ELSE 0 END AS in_a,
       |   CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
       |     THEN value END), 0) > 600 THEN 1 ELSE 0 END AS in_b,
-      |   (((user_id * user_id) % 1000003) * 104729 + user_id * 7919 + 977)
+      |   ((((user_id % 1000003) * (user_id % 1000003)) % 1000003) * 104729
+      |   + (user_id % 1000003) * 7919 + 977)
       |     % 1000003 AS h
       |  FROM events WHERE event_type IN ('click', 'purchase')
       |  GROUP BY user_id)
