@@ -299,7 +299,12 @@ object MediaCodec {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(0.9f)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // MEMORY-cached stream, explicitly: ImageIO.createImageOutputStream
+    // defaults to a DISK-backed cache file per call (useCache=true), so a
+    // 32-thread executor decoding millions of payloads hammers the local
+    // filesystem with temp-file create/delete churn — measured super-linear
+    // at sf10 (18x on 10x docs). The whole image lives in memory anyway.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -314,7 +319,14 @@ object MediaCodec {
     * input (ImageIO returns null or errors on garbage).
     */
   def decodeJpeg(bytes: Array[Byte]): BmpData = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // Memory-cached input for the same reason as encodeJpeg: the
+    // InputStream overload of ImageIO.read spools through a disk cache
+    // file per call by default.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself on success;
+    // on the null (no-reader) path the in-memory stream is just GC'd.
+    val img = javax.imageio.ImageIO.read(iis)
     require(img != null, "not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
     val pixels = Array.tabulate(w * h) { i =>
