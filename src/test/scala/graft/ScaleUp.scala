@@ -141,7 +141,19 @@ object ScaleUp {
 
     (keyCols.keySet ++ Seq("region", "nation")).toSeq.sorted.foreach { t =>
       val out = s"$outDir/$t.parquet"
-      scaled(t).write.mode("overwrite").parquet(out)
+      // Fact tables: RANGE-partition on the leading entity key into 32
+      // key-clustered files. The naive write inherited the source's single
+      // partition, so every scaled table landed in ONE file with ONE row
+      // group — scans then run as a single task however wide the executor
+      // (a 57 MB documents.parquet serialized every text op at sf10).
+      // 32 files ≈ local[32] width at either scale keeps factors
+      // apples-to-apples, and key clustering preserves min/max pruning.
+      val df = scaled(t)
+      val laidOut = keyCols.get(t) match {
+        case Some(keys) => df.repartitionByRange(32, col(keys.head))
+        case None => df // dimensions keep their single tiny file
+      }
+      laidOut.write.mode("overwrite").parquet(out)
       val n = spark.read.parquet(out).count()
       println(s"[scaleup] $t: $n rows -> $out")
     }
