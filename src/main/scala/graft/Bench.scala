@@ -80,6 +80,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE pick shuffle width per-stage: start wide (so the few
+      // billion-row candidate shuffles — knn_graph, dedup sweeps — get
+      // spill-free ~64 MB tasks instead of 32 one-GB ones) and coalesce
+      // small stages back down at runtime. This is the production story:
+      // size the shuffle by DATA, not by a static partition count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config(Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -194,12 +194,27 @@ object RandomHyperplaneLsh {
       .join(pool, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
-    val vecs = corpus.select(col(idCol), col(vecCol))
+    // Vectors ride the two attach joins as FLOATS: the corpus embeddings
+    // are float-origin, so double→float→double is value-exact and the
+    // cosine (computed in double after the cast-back) is bit-identical —
+    // but the candidate-pair shuffle, the dominant byte volume of the
+    // whole build (|pairs| ≈ n·tables·cap rows), carries 256 B per vector
+    // instead of 512 B.
+    // Norms are precomputed ONCE per node (8 bytes alongside the float
+    // vector) instead of per pair — cosine as dot/(nq·nn) runs one dot
+    // product per candidate instead of three. Same norm expression on the
+    // same input ⇒ bit-identical cosine values.
+    val vecs = corpus.select(col(idCol),
+      col(vecCol).cast("array<float>").as("vf"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     cand
-      .join(vecs.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
-      .join(vecs.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .join(vecs.select(col(idCol).as("qid"), col("vf").as("qv"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(vecs.select(col(idCol).as("nid"), col("vf").as("nv"),
+        col("nrm").as("nn")), Seq("nid"))
+      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
+        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
