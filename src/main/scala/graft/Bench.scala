@@ -80,12 +80,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // Let AQE pick shuffle width per-stage: start wide (so the few
-      // billion-row candidate shuffles — knn_graph, dedup sweeps — get
-      // spill-free ~64 MB tasks instead of 32 one-GB ones) and coalesce
-      // small stages back down at runtime. This is the production story:
-      // size the shuffle by DATA, not by a static partition count.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Optional wide-start shuffle: SPARK_GRAFT_INIT_PARTITIONS lets a
+      // big-SF probe start shuffles wide (billion-row candidate exchanges
+      // get ~64 MB tasks) and have AQE coalesce small stages down — the
+      // production sizing story. Default = cpus: measured at sf0.1/sf1,
+      // a wide start costs sub-second queries ~1 s of fixed scheduling
+      // overhead, which swamps the tiny-SF bench.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config(Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
