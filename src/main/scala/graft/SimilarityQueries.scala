@@ -1718,7 +1718,84 @@ object SimilarityQueries {
       | round(avg(a), 4) + 0 AS mean_intra_dist
       |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // D26 — TWO-STAGE RERANK (the ADC serving pattern): stage 1 scans the
+  // corpus against each query using only the uint8-QUANTIZED
+  // reconstruction — the pass that touches every row reads 64-byte
+  // codes, 8× fewer bytes than raw doubles at 100 TB — and takes a
+  // per-query top-32 shortlist; stage 2 re-scores the shortlist with
+  // exact cosine and re-ranks, exact math over 32 rows per query.
+  // Quantization is D7's affine uint8 convention (floor((x−mn)/scale),
+  // reconstruction mn + q·scale); the approx score is cos(exact query,
+  // reconstructed neighbor) — classic asymmetric distance. Stage-1
+  // top-32 uses the hierarchical two-stage slice (no single-partition
+  // windows — the D15 lesson); stage 2's window sees ≤32 rows per qid.
+  // `approx_rank` rides into the output so the result exposes how much
+  // exact rescoring reordered the shortlist. Deterministic end-to-end
+  // ⇒ DuckDB replays both stages exactly.
+  private def knnTwoStageRerank(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rec = all
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("scale", (array_max(col("v")) - col("mn")) / 255.0)
+      .withColumn("rv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN mn
+          | ELSE mn + least(CAST(floor((x - mn) / scale) AS BIGINT), 255L) * scale
+          | END)""".stripMargin))
+      .select(col("vec_id").as("nid"), col("rv"))
+    val cand = rec.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (-VectorOps.cosine(col("qv"), col("rv"))).as("negKey"))
+    val short = cand
+      .groupBy(col("qid"), (col("nid") % 256).as("b"))
+      .agg(expr("slice(array_sort(collect_list(struct(negKey, nid))), 1, 32)").as("t"))
+      .groupBy(col("qid"))
+      .agg(expr("slice(array_sort(flatten(collect_list(t))), 1, 32)").as("t"))
+      .select(col("qid"), posexplode(col("t")).as(Seq("i", "s")))
+      .select(col("qid"), col("s.nid").as("nid"),
+        (col("i") + 1).cast("long").as("approx_rank"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    all.select(col("vec_id").as("nid"), col("v").as("nv"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"), col("approx_rank"))
+      .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
+  }
+
+  private val knnTwoStageRerankSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 5),
+      |rec0 AS (SELECT vec_id AS nid, v, list_min(v) AS mn,
+      |   (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      |rec AS (SELECT nid,
+      |   list_transform(v, x -> CASE WHEN scale = 0 THEN mn
+      |     ELSE mn + least(CAST(floor((x - mn) / scale) AS BIGINT), 255) * scale
+      |     END) AS rv
+      |  FROM rec0),
+      |a AS (SELECT qid, nid,
+      |   list_dot_product(qv, rv) /
+      |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS approx
+      |  FROM q JOIN rec ON nid <> qid),
+      |ar AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY approx DESC, nid) AS BIGINT) AS approx_rank FROM a),
+      |short AS (SELECT * FROM ar WHERE approx_rank <= 32),
+      |x AS (SELECT s.qid, s.nid, s.approx_rank,
+      |   list_dot_product(q.qv, e.v) /
+      |   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |  FROM short s JOIN e ON e.vec_id = s.nid JOIN q ON q.qid = s.qid),
+      |r AS (SELECT qid, nid, approx_rank, cos,
+      |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+      |  FROM x)
+      |SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim, approx_rank
+      |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_two_stage_rerank" -> (knnTwoStageRerank _),
     "vec_cluster_metrics" -> (vecClusterMetrics _),
     "knn_graph" -> (knnGraph _),
     "vec_pca_power" -> (vecPcaPower _),
@@ -1746,6 +1823,7 @@ object SimilarityQueries {
     "vec_quantize_int8" -> (vecQuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "knn_two_stage_rerank" -> knnTwoStageRerankSql,
     "vec_pca_power" -> vecPcaPowerSql,
     "knn_graph" -> knnGraphSql,
     "vec_cluster_metrics" -> vecClusterMetricsSql,
