@@ -2123,7 +2123,60 @@ object PipelineQueries {
       |WHERE cos_sim >= 0.35
       |ORDER BY vec_id, probe_id""".stripMargin
 
+  // J33 — REJECTION SAMPLING with Horvitz-Thompson reweighting: the
+  // unbiased quality-proportional downsample a pretraining mix runs
+  // instead of a hard quality cutoff (keep doc with probability p(doc),
+  // weight survivors 1/p — estimators over the sample stay unbiased for
+  // the corpus). p here is a length-derived quality proxy clamped to
+  // [0.1, 0.9]; the accept draw is the house mod-M hash reduced BEFORE
+  // squaring (the KeyMagnitudeSpec rule), so the whole pass is one
+  // deterministic map + one hash agg — no RNG state, no shuffle of
+  // text, and DuckDB replays every accept decision bit-for-bit. The
+  // ht_ok boolean asserts the reweighted doc-count estimator landed
+  // within 5% of the true count — the property that makes this
+  // REJECTION sampling rather than filtering.
+  private def pipelineRejectionSample(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000003L
+    val dm = col("doc_id") % M
+    val u = ((((dm * dm) % M) * 7919L + dm * 104729L + 12345L) % M)
+      .cast("double") / M
+    val p = least(lit(0.9), greatest(lit(0.1),
+      col("n_chars").cast("double") / 500.0))
+    val d = docs(s, dir)
+      .withColumn("p", p).withColumn("keep", u < p)
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("keep"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("kept_frac"),
+        round(sum(when(col("keep"), lit(1.0) / col("p"))
+          .otherwise(lit(0.0))), 2).as("ht_estimate"))
+      .withColumn("ht_ok",
+        abs(col("ht_estimate") - col("n_docs")) <= col("n_docs") * 0.05)
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_frac"),
+        col("ht_estimate"), col("ht_ok"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineRejectionSampleSql =
+    """WITH d AS (
+      | SELECT source, n_chars,
+      |  ((((doc_id % 1000003) * (doc_id % 1000003)) % 1000003) * 7919
+      |    + (doc_id % 1000003) * 104729 + 12345) % 1000003 AS h,
+      |  least(0.9, greatest(0.1, CAST(n_chars AS DOUBLE) / 500.0)) AS p
+      | FROM documents),
+      |k AS (SELECT source, p, CAST(h AS DOUBLE) / 1000003 < p AS keep FROM d)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / count(*), 4) AS kept_frac,
+      | round(sum(CASE WHEN keep THEN 1.0 / p ELSE 0.0 END), 2) AS ht_estimate,
+      | abs(round(sum(CASE WHEN keep THEN 1.0 / p ELSE 0.0 END), 2) - count(*))
+      |   <= count(*) * 0.05 AS ht_ok
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_rejection_sample" -> (pipelineRejectionSample _),
     "pipeline_semantic_contamination" -> (pipelineSemanticContamination _),
     "pipeline_skew_audit" -> (pipelineSkewAudit _),
     "pipeline_train_classifier" -> (pipelineTrainClassifier _),
@@ -2158,6 +2211,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> (pipelineTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_rejection_sample" -> pipelineRejectionSampleSql,
     "pipeline_semantic_contamination" -> pipelineSemanticContaminationSql,
     "pipeline_skew_audit" -> pipelineSkewAuditSql,
     "pipeline_train_classifier" -> pipelineTrainClassifierSql,
