@@ -1380,10 +1380,14 @@ object DedupQueries {
   }
 
   private val dedupCdcChunksSql = {
-    val terms = (0 until 8).map { j =>
-      val pow = (0 until (7 - j)).foldLeft(1L)((a, _) => a * 131L)
-      s"CAST(CASE WHEN i + $j <= length(t) THEN ord(substring(t, i + $j, 1)) ELSE 0 END AS BIGINT) * CAST($pow AS BIGINT)"
-    }.mkString(" + ")
+    // Horner fold reduced mod 1e9+7 at every step — mirrors
+    // CdcCutsExpr exactly, so neither engine can overflow (running
+    // value stays < ~1.3e11) regardless of code-unit magnitude.
+    val chars = (0 until 8).map { j =>
+      s"CAST(CASE WHEN i + $j <= length(t) THEN ord(substring(t, i + $j, 1)) ELSE 0 END AS BIGINT)"
+    }
+    val terms = chars.tail.foldLeft(s"${chars.head} % 1000000007")(
+      (acc, c) => s"(($acc) * 131 + $c) % 1000000007")
     s"""WITH d AS (SELECT doc_id, text AS t FROM documents),
        |g AS (SELECT doc_id, t, list_transform(
        |        generate_series(1, greatest(length(t) - 7, 1)),

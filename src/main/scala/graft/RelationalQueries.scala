@@ -2108,8 +2108,11 @@ object RelationalQueries {
       .withColumn("t_stat",
         (col("mu") - col("mr")) / sqrt(col("se2")))
       // n²·(n−1) in DOUBLE: the long product overflows past n ≈ 2.1M
-      // (n³ > 2⁶³ — hit at sf10 where the rest arm has ~12M orders);
-      // double is exact below 2⁵³ so the sf0.01 oracle hash is unchanged.
+      // (n³ > 2⁶³ — hit at sf10 where the rest arm has ~12M orders).
+      // Not exact past 2⁵³, but welch_df rounds to 2 decimals and the
+      // term only enters as a denominator of a tiny correction, so the
+      // oracle hash is unchanged at every probed SF. The oracle SQL
+      // mirrors the DOUBLE cast so both engines take the same path.
       .withColumn("welch_df",
         col("se2") * col("se2") /
           (col("vu") * col("vu") /
@@ -2142,8 +2145,8 @@ object RelationalQueries {
       | SELECT *, vu / nu + vr / nr AS se2 FROM u CROSS JOIN r)
       |SELECT nu, nr, round(mu, 4) AS mean_urgent, round(mr, 4) AS mean_rest,
       | round((mu - mr) / sqrt(se2), 4) AS t_stat,
-      | round(se2 * se2 / (vu * vu / (nu * nu * (nu - 1))
-      |   + vr * vr / (nr * nr * (nr - 1))), 2) AS welch_df,
+      | round(se2 * se2 / (vu * vu / (CAST(nu AS DOUBLE) * nu * (nu - 1))
+      |   + vr * vr / (CAST(nr AS DOUBLE) * nr * (nr - 1))), 2) AS welch_df,
       | abs((mu - mr) / sqrt(se2)) >= 1.96 AS significant_5pct
       |FROM w""".stripMargin
 

@@ -926,8 +926,15 @@ object SimilarityQueries {
     val vec = topkRanks(
       all.select(col("vec_id").as("nid"), col("v").as("nv"))
         .join(broadcast(qv), col("nid") =!= col("qid"))
+        // nanvl: a zero-norm vector yields NaN cosine; Spark's array
+        // sort ranks NaN LAST ascending while the oracle's ORDER BY
+        // approx DESC ranks it FIRST — pin NaN → -Inf so the
+        // hierarchical slice ranks it first like the window it
+        // replaced (no zero vectors in the corpus today; this keeps
+        // engines aligned if generation changes).
         .select(col("qid"), col("nid"),
-          (-VectorOps.cosine(col("qv"), col("nv"))).as("negKey")),
+          nanvl(-VectorOps.cosine(col("qv"), col("nv")),
+            lit(Double.NegativeInfinity)).as("negKey")),
       "r_vec")
     val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
     lex.join(vec, Seq("qid", "nid"), "full_outer")
@@ -1745,8 +1752,12 @@ object SimilarityQueries {
           | END)""".stripMargin))
       .select(col("vec_id").as("nid"), col("rv"))
     val cand = rec.join(broadcast(q), col("nid") =!= col("qid"))
+      // nanvl → -Inf: rank a NaN (zero-norm) cosine FIRST like the
+      // oracle's ORDER BY approx DESC, not last as Spark's ascending
+      // array sort would (see knnRrfFusion note).
       .select(col("qid"), col("nid"),
-        (-VectorOps.cosine(col("qv"), col("rv"))).as("negKey"))
+        nanvl(-VectorOps.cosine(col("qv"), col("rv")),
+          lit(Double.NegativeInfinity)).as("negKey"))
     val short = cand
       .groupBy(col("qid"), (col("nid") % 256).as("b"))
       .agg(expr("slice(array_sort(collect_list(struct(negKey, nid))), 1, 32)").as("t"))

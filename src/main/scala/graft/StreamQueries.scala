@@ -973,6 +973,14 @@ object StreamQueries {
   private[graft] val PsiBins = 8
   private[graft] val PsiBinCents = 5000L
 
+  /** Rows whose bin falls outside [0, PsiBins) are DROPPED — the
+    * batch twin's 0..7 spine join silently drops them too, so the
+    * maintainer can't diverge (callers clamp the top with least(),
+    * but a negative value would otherwise produce a negative bin).
+    * Days are assumed in order ACROSS micro-batches (within a batch
+    * they're sorted); an earlier day arriving after a later one folds
+    * into the open day, the standard watermarkless-monitor contract.
+    */
   class PsiProcessor extends StatefulProcessor[String, PsiEvent, PsiDaySummary] {
     @transient private var state: ValueState[PsiState] = _
 
@@ -990,7 +998,8 @@ object StreamQueries {
         if (st.ref.isEmpty) st = st.copy(ref = st.counts)
         else out += StreamQueries.psiSummary(key, st.day - st.d0, st.ref,
           st.counts)
-      rows.toSeq.sortBy(_.day).foreach { e =>
+      rows.toSeq.sortBy(_.day)
+        .filter(e => e.bin >= 0L && e.bin < PsiBins).foreach { e =>
         if (st.day == Long.MinValue) st = st.copy(d0 = e.day, day = e.day)
         if (e.day > st.day) {
           closeDay()

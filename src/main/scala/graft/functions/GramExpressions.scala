@@ -369,11 +369,20 @@ case class WinnowFingerprintExpr(child: Expression, win: Int, window: Int)
   * Windows past the end pad with 0, mirroring the oracle's
   * `generate_series(1, greatest(len - win + 1, 1))` replay, so the
   * empty text yields [0, 0] (one empty chunk) on both engines.
+  *
+  * The Horner fold reduces mod the prime 1e9+7 at EVERY step (like
+  * WordShingleModHashesExpr), so the running code never exceeds
+  * ~1.3e11 and the JVM long can never silently wrap where a checked
+  * BIGINT engine would raise — the cut test is `(code mod P) mod
+  * modulus == 0`, identical on both engines for any code-unit
+  * values. Positions and codes use UTF-16 units on the JVM; engine
+  * parity with code-point oracles (DuckDB) therefore holds for BMP
+  * text (the documents corpus is ASCII).
   */
 case class CdcCutsExpr(child: Expression, win: Int, modulus: Int)
     extends UnaryExpression {
 
-  require(win >= 1 && win <= 8, "window must be in [1, 8] (codes fit a long)")
+  require(win >= 1 && win <= 8, "window must be in [1, 8]")
   require(modulus >= 2, "modulus must be >= 2")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -393,7 +402,8 @@ case class CdcCutsExpr(child: Expression, win: Int, modulus: Int)
       var h = 0L
       var k = 0
       while (k < win) {
-        h = h * 131L + (if (i + k < n) s.charAt(i + k).toLong else 0L)
+        h = (h * 131L + (if (i + k < n) s.charAt(i + k).toLong else 0L)) %
+          1000000007L
         k += 1
       }
       val cut = i + win
