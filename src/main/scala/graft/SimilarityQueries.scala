@@ -1630,9 +1630,30 @@ object SimilarityQueries {
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("n_copies"))
     val distinctVecs = all.join(reps.select(col("vkey"), col("vec_id")),
         Seq("vkey", "vec_id")).select(col("vec_id"), col("v"))
-    val edges = graft.operators.RandomHyperplaneLsh
-      .knnGraph(distinctVecs, "vec_id", "v", k = 3, tables = 8, bits = 8,
-        dim = 64)
+    // OCCUPANCY-TARGETED bucket geometry + NN-DESCENT (the r8
+    // verdict's scale fix, every constant probed at sf1 AND sf10):
+    // bits grows with the RAW corpus count so expected bucket size
+    // stays ≤ 32 per table — candidate volume Θ(n·tables·cap), linear
+    // by construction, where the old fixed bits=8 grew ~df² between
+    // the cap-free and cap-bound regimes (29.7×/470.8 s at sf10). The
+    // raw count (not the collapsed one) drives the knob on both
+    // engines — a size hint, not a semantic input, one cheap columnar
+    // count. A TIGHT cap (64) bounds the skewed hot buckets where the
+    // volume actually lives (cap 128→64 alone: 146.8→54.8 s at sf10,
+    // recall −0.008), and the recall the cheaper generator gives up
+    // is bought back by TWO NN-descent rounds (O(n·k²) each):
+    // measured recall@3 0.930 at sf1 (12.5 s) and 0.926 at sf10
+    // (54.8 s, factor 4.4×) vs the old 0.75 at 470.8 s / 29.7×.
+    val n = Tables.load(s, dir, "embeddings").count()
+    val bits = graft.operators.RandomHyperplaneLsh.adaptiveBits(n)
+    val base = graft.operators.RandomHyperplaneLsh
+      .knnGraphEdges(distinctVecs, "vec_id", "v", k = 3, tables = 4,
+        bits = bits, dim = 64, bucketCap = 64)
+    val edges = (1 to 2).foldLeft(base)((e, _) =>
+        graft.operators.RandomHyperplaneLsh
+          .refineOnce(e, distinctVecs, "vec_id", "v", k = 3))
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
     val rev = edges.select(col("qid").as("nid"), col("nid").as("qid"))
       .withColumn("mutual", lit(true))
     edges.join(rev, Seq("qid", "nid"), "left")
@@ -1641,35 +1662,65 @@ object SimilarityQueries {
       .transform(QueryShape.stagedSort(_, col("qid"), col("rn")))
   }
 
-  private val knnGraphSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private val knnGraphSql = {
+    // cosine over exact vectors — shared by the base scoring and every
+    // refinement round
+    def cos(candCte: String) =
+      s"""SELECT qid, nid,
+         |        list_dot_product(x.v, y.v) /
+         |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+         |       FROM $candCte JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = nid""".stripMargin
+    // one NN-descent round: prev (qid,nid,cos) → t$i (qid,nid,cos)
+    def round(i: Int, prev: String) =
+      s"""und$i AS (SELECT qid, nid FROM $prev UNION ALL SELECT nid, qid FROM $prev),
+         |c2$i AS (SELECT DISTINCT a.qid AS qid, b.nid AS nid
+         |       FROM und$i a JOIN und$i b ON a.nid = b.qid WHERE a.qid <> b.nid),
+         |c2n$i AS (SELECT c.qid, c.nid FROM c2$i c
+         |        LEFT JOIN $prev t ON t.qid = c.qid AND t.nid = c.nid
+         |        WHERE t.qid IS NULL),
+         |sc$i AS (${cos(s"c2n$i")}),
+         |all$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM sc$i),
+         |t$i AS (SELECT qid, nid, cos FROM (
+         |        SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |        FROM all$i) WHERE rn <= 3)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bt AS (SELECT min(b) AS bits
+      |       FROM (SELECT unnest(generate_series(8, 24)) AS b) bs
+      |       WHERE (CAST(32 AS BIGINT) << b) >= (SELECT count(*) FROM e)),
       |pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
       |        CAST(((1103*(p*64+d)+12289) % 8191) - 4095 AS DOUBLE)) AS w
-      |       FROM (SELECT unnest(generate_series(0, 63)) AS p) ps),
-      |bk AS (SELECT e.vec_id, p // 8 AS tbl,
-      |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
-      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |       FROM (SELECT unnest(generate_series(0,
+      |         4 * (SELECT bits FROM bt) - 1)) AS p) ps),
+      |bk AS (SELECT e.vec_id, p // (SELECT bits FROM bt) AS tbl,
+      |        sum(CASE WHEN list_dot_product(v, w) >= 0
+      |            THEN CAST(1 AS BIGINT) << (p % (SELECT bits FROM bt))
+      |            ELSE 0 END) AS bucket
+      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // (SELECT bits FROM bt)),
       |pool AS (SELECT tbl, bucket, vec_id FROM (
       |          SELECT tbl, bucket, vec_id,
       |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS prn
-      |          FROM bk) WHERE prn <= 128),
+      |          FROM bk) WHERE prn <= 64),
       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
       |         FROM bk q JOIN pool c ON q.tbl = c.tbl AND q.bucket = c.bucket
       |          AND c.vec_id <> q.vec_id),
-      |sc AS (SELECT qid, nid,
-      |        list_dot_product(x.v, y.v) /
-      |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-      |      FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = nid),
-      |r AS (SELECT qid, nid, cos,
-      |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
-      |      FROM sc),
-      |topk AS (SELECT qid, rn, nid, round(cos, 4) + 0 AS cos_sim
-      |         FROM r WHERE rn <= 3)
+      |sc AS (${cos("cand")}),
+      |t0 AS (SELECT qid, nid, cos FROM (
+      |        SELECT qid, nid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |        FROM sc) WHERE rn <= 3),
+      |${round(1, "t0")},
+      |${round(2, "t1")},
+      |topk AS (SELECT qid,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn,
+      |         nid, round(cos, 4) + 0 AS cos_sim
+      |        FROM t2)
       |SELECT t.qid, t.rn, t.nid, t.cos_sim,
       | (rv.qid IS NOT NULL) AS mutual
       |FROM topk t LEFT JOIN (SELECT DISTINCT qid, nid FROM topk) rv
       |  ON rv.qid = t.nid AND rv.nid = t.qid
       |ORDER BY t.qid, t.rn""".stripMargin
+  }
 
   // D24 — CLUSTER QUALITY metrics (simplified silhouette): for each
   // vector, a = distance to its own centroid, b = distance to the

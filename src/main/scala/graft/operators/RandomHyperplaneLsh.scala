@@ -45,16 +45,22 @@ object RandomHyperplaneLsh {
     }.reduce(_ + _)
 
   /** One row per (input row × table): `idCol`, vecCol as `v`, `tbl`,
-    * `bucket`. The equi-join surface for candidate generation.
+    * `bucket`. The equi-join surface for candidate generation. All
+    * `tables` codes come from ONE fused native expression
+    * ([[graft.functions.HyperplaneBucketsExpr]]) — the per-plane
+    * composition it replaces fell off the codegen budget past ~30
+    * planes (r9 sf10 probe: 4×13 planes cost 8× of 2×13 on half the
+    * candidates); values are bit-identical, so oracles replay
+    * unchanged.
     */
   def bucketed(e: DataFrame, idCol: String, vecCol: String,
       tables: Int, bits: Int, dim: Int): DataFrame = {
-    val tb = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"), bucket(col(vecCol), t, bits, dim).as("bucket"))
-    }
+    val codes = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HyperplaneBucketsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+        tables, bits, dim))
     e.select(col(idCol), col(vecCol).as("v"),
-        explode(array(tb: _*)).as("tb"))
-      .select(col(idCol), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(codes).as(Seq("tbl", "bucket")))
   }
 
   /** Distinct unordered candidate pairs (`id_a < id_b`) that share at
@@ -151,6 +157,87 @@ object RandomHyperplaneLsh {
       .transform(df => graft.QueryShape.stagedSort(df, col("qid"), col("rn")))
   }
 
+  /** OCCUPANCY-TARGETED bucket width: the smallest `bits ≥ minBits`
+    * with expected bucket occupancy `n / 2^bits ≤ targetOcc` — the
+    * header's own scale prescription made executable. Integer-only
+    * derivation ((1 << bits) · targetOcc ≥ n), so DuckDB replays it
+    * exactly with no log2 float boundary. With occupancy pinned,
+    * candidate volume is Θ(n · tables · targetOcc) — LINEAR in the
+    * corpus by construction, where a fixed `bits` grows per-bucket
+    * work ∝ n²/2^bits until the cap binds (the r8 sf10 probe measured
+    * that regime at 29.7×). The per-table recall cost of each extra
+    * bit is bought back by one NN-descent round ([[refineOnce]]).
+    */
+  def adaptiveBits(n: Long, targetOcc: Long = 32L, minBits: Int = 8,
+      maxBits: Int = 24): Int = {
+    var b = minBits
+    while (b < maxBits && (targetOcc << b) < n) b += 1
+    b
+  }
+
+  /** (id, float vector, precomputed norm) — the attach-join payload:
+    * float cast is value-exact for float-origin corpora (half the
+    * shuffle bytes), the norm rides as 8 bytes so cosine costs one
+    * dot product per candidate instead of three.
+    */
+  private def floatVecs(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol),
+      col(vecCol).cast("array<float>").as("vf"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+
+  /** Exact cosine for id-only candidate pairs via two keyed attach
+    * joins (vectors NEVER ride the candidate-generation shuffle).
+    * Returns (qid, nid, cos) with full double precision.
+    */
+  private def scoreAttach(cand: DataFrame, vecs: DataFrame,
+      idCol: String): DataFrame =
+    cand
+      .join(vecs.select(col(idCol).as("qid"), col("vf").as("qv"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(vecs.select(col(idCol).as("nid"), col("vf").as("nv"),
+        col("nrm").as("nn")), Seq("nid"))
+      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
+        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+
+  /** One NN-DESCENT round (Dong et al., WWW'11) over a directed top-k
+    * edge list: neighbors-of-neighbors in the UNDIRECTED graph become
+    * new candidates — one self-equi-join on the ≤ 2k·n edge list, so
+    * the round costs O(n·k²) candidates regardless of corpus size or
+    * bucket geometry. This is the recall lever that lets the LSH
+    * generator run CHEAP (occupancy-targeted bits): locally, if q's
+    * list holds n and n's list holds m, (q, m) gets scored even when
+    * no bucket ever co-housed them. Pairs already in the base list
+    * are anti-joined out (their cosine is already known); the merged
+    * set re-ranks per node. Returns (qid, rn, nid, cos) — cos raw.
+    */
+  def refineOnce(edges: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The base list fans out FOUR ways below (two und branches, the
+    // anti join, the final union) — without a lineage cut the whole
+    // LSH build re-executes per branch (measured 3× at sf1).
+    // Checkpointing n·k id+cos rows is the standard move for any
+    // iterative graph refinement; at cluster scale this is a
+    // checkpoint to storage, here a local one.
+    val e = edges.select(col("qid"), col("nid"), col("cos"))
+      .localCheckpoint(true)
+    val und = e.select(col("qid"), col("nid"))
+      .union(e.select(col("nid").as("qid"), col("qid").as("nid")))
+    val cand2 = und.as("a")
+      .join(und.as("b"), col("a.nid") === col("b.qid"))
+      .select(col("a.qid").as("qid"), col("b.nid").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+      .distinct()
+      .join(e.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+    val scored = scoreAttach(cand2, floatVecs(corpus, idCol, vecCol), idCol)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    e.union(scored)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** All-pairs k-NN GRAPH over one corpus: same bucket-candidate
     * generation as [[knn]], but the bucket join is a plain SHUFFLE
     * equi-join — when the "query" side is the whole corpus there is
@@ -159,6 +246,17 @@ object RandomHyperplaneLsh {
     * directed edges (qid, rn, nid, cos_sim).
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64,
+      bucketCap: Int = 128): DataFrame =
+    knnGraphEdges(corpus, idCol, vecCol, k, tables, bits, dim, bucketCap)
+      .select(col("qid"), col("rn"), col("nid"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+
+  /** [[knnGraph]] with the cos column RAW (unrounded) — the form the
+    * NN-descent refinement merges with newly scored candidates so
+    * ranking never mixes rounded and unrounded keys.
+    */
+  def knnGraphEdges(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64,
       bucketCap: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -194,31 +292,12 @@ object RandomHyperplaneLsh {
       .join(pool, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
-    // Vectors ride the two attach joins as FLOATS: the corpus embeddings
-    // are float-origin, so double→float→double is value-exact and the
-    // cosine (computed in double after the cast-back) is bit-identical —
-    // but the candidate-pair shuffle, the dominant byte volume of the
-    // whole build (|pairs| ≈ n·tables·cap rows), carries 256 B per vector
-    // instead of 512 B.
-    // Norms are precomputed ONCE per node (8 bytes alongside the float
-    // vector) instead of per pair — cosine as dot/(nq·nn) runs one dot
-    // product per candidate instead of three. Same norm expression on the
-    // same input ⇒ bit-identical cosine values.
-    val vecs = corpus.select(col(idCol),
-      col(vecCol).cast("array<float>").as("vf"),
-      VectorOps.norm(col(vecCol)).as("nrm"))
+    // Vectors ride the two attach joins as FLOATS with precomputed
+    // norms (see floatVecs/scoreAttach) — the candidate-pair shuffle,
+    // the dominant byte volume of the build, carries ids only.
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    cand
-      .join(vecs.select(col(idCol).as("qid"), col("vf").as("qv"),
-        col("nrm").as("qn")), Seq("qid"))
-      .join(vecs.select(col(idCol).as("nid"), col("vf").as("nv"),
-        col("nrm").as("nn")), Seq("nid"))
-      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
-        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
-      .select(col("qid"), col("nid"), col("cos"))
+    scoreAttach(cand, floatVecs(corpus, idCol, vecCol), idCol)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("nid"),
-        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
   }
 }

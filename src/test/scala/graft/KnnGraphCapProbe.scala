@@ -11,17 +11,21 @@ import org.apache.spark.sql.expressions.Window
   * measures both sides: wall-clock of the capped graph AND recall@3
   * of its edges against exact brute-force top-3 on a deterministic
   * probe-node sample.
-  * Configs are tables:cap pairs (candidate volume ∝ tables·cap, so
-  * e.g. 8:128 and 12:85 are iso-cost but trade pool depth for
-  * independent collision chances).
-  *   sbt "Test/runMain graft.KnnGraphCapProbe target/sf1 8:128,12:85"
+  * Configs are tables:cap[:bits[:refine]] tuples — bits 0 means
+  * occupancy-targeted adaptiveBits(raw n), refine 1 adds one
+  * NN-descent round (the r9 production shape is 8:128:0:1).
+  *   sbt "Test/runMain graft.KnnGraphCapProbe target/sf1 8:128:8:0,8:128:0:1"
   */
 object KnnGraphCapProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf1")
-    val configs = args.lift(1).getOrElse("8:128,12:85").split(",").map { s0 =>
-      val Array(t, c) = s0.split(":"); (t.toInt, c.toInt)
-    }
+    val configs = args.lift(1).getOrElse("8:128:8:0,8:128:0:1")
+      .split(",").map { s0 =>
+        val parts = s0.split(":")
+        (parts(0).toInt, parts(1).toInt,
+          parts.lift(2).map(_.toInt).getOrElse(8),
+          parts.lift(3).map(_.toInt).getOrElse(0))
+      }
     val nProbe = args.lift(2).map(_.toInt).getOrElse(300)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,18 +66,25 @@ object KnnGraphCapProbe {
       .localCheckpoint(true)
     println(s"[probe] exact edges: ${exact.count()}")
 
-    configs.foreach { case (tables, cap) =>
+    val rawN = Tables.load(spark, dir, "embeddings").count()
+    configs.foreach { case (tables, cap, bits0, refine) =>
+      val bits = if (bits0 == 0)
+        graft.operators.RandomHyperplaneLsh.adaptiveBits(rawN) else bits0
       val t0 = System.nanoTime()
-      val g = graft.operators.RandomHyperplaneLsh
-        .knnGraph(distinctVecs, "vec_id", "v", k = 3, tables = tables,
-          bits = 8, dim = 64, bucketCap = cap)
+      val base = graft.operators.RandomHyperplaneLsh
+        .knnGraphEdges(distinctVecs, "vec_id", "v", k = 3, tables = tables,
+          bits = bits, dim = 64, bucketCap = cap)
+      val g = (1 to refine).foldLeft(base)((e, _) =>
+          graft.operators.RandomHyperplaneLsh
+            .refineOnce(e, distinctVecs, "vec_id", "v", k = 3))
         .select(col("qid"), col("nid"))
         .localCheckpoint(true)
       val edges = g.count()
       val secs = (System.nanoTime() - t0) / 1e9
       val hit = exact.join(g, Seq("qid", "nid")).count()
       val denom = exact.count()
-      println(f"[probe] tables=$tables%2d cap=$cap%4d: graph $secs%.1f s, " +
+      println(f"[probe] tables=$tables%2d cap=$cap%4d bits=$bits%2d " +
+        f"refine=$refine: graph $secs%.1f s, " +
         f"$edges edges, recall@3 on $nProbe probes = " +
         f"${hit.toDouble / denom}%.4f ($hit/$denom)")
     }
