@@ -911,7 +911,128 @@ object SourceQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // H20 — the TABLE-FORMAT LIFECYCLE composed (VERDICT r8 ask #7:
+  // H13 commit log, H15 equality deletes, H18 as-of time travel and
+  // H19 vacuum exist as singles — production lakes break where they
+  // INTERACT): one table carries an append history (v0: f0; v1:
+  // f0+f1), then a row-level DELETE commit (v2 pins the same data
+  // files plus equality-delete file d0 — merge-on-read, no rewrite),
+  // then VACUUM sweeps with an orphan planted. The composition proves
+  // the two contracts the singles can't: (1) DELETES DON'T LEAK INTO
+  // HISTORY — the as-of read resolves v1 (ts 2500 < the delete
+  // commit) and serves the undeleted rows even though d0 is standing
+  // in the directory, because delete application is COMMIT-pinned,
+  // not directory-discovered; (2) VACUUM RESPECTS DELETE FILES — the
+  // sweep's referenced set unions files AND deletes across every
+  // commit, so d0 and the historical data files survive while the
+  // true orphan dies, and both snapshots re-read IDENTICALLY after
+  // the sweep (the aggregates the oracle checks come from the
+  // post-vacuum reads). All resolution is O(commits) driver-side
+  // JSON, the H13 contract.
+  private def srcTableLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDir.scratch("lifecycle")
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/data/f0")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .write.mode("overwrite").parquet(s"$tmp/data/f1")
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .write.mode("overwrite").parquet(s"$tmp/data/f_orphan")
+    // the delete commit's equality-delete file: a customer slice
+    orders.filter(col("o_custkey") % 10 === 7).select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/deletes/d0")
+    val log = new java.io.File(s"$tmp/_log"); log.mkdirs()
+    def commit(v: Int, tsMs: Long, files: Seq[String],
+        deletes: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/_log/$v.json"),
+        s"""{"version": $v, "ts_ms": $tsMs, "files": [${
+          files.map("\"" + _ + "\"").mkString(", ")}], "deletes": [${
+          deletes.map("\"" + _ + "\"").mkString(", ")}]}""")
+    commit(0, 1000L, Seq("f0"), Seq.empty)
+    commit(1, 2000L, Seq("f0", "f1"), Seq.empty)
+    commit(2, 3000L, Seq("f0", "f1"), Seq("d0"))
+    // parse the log once: (version, ts, data files, delete files)
+    val commits = new java.io.File(s"$tmp/_log").listFiles()
+      .filter(_.getName.endsWith(".json")).toSeq
+      .map { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val v = """"version":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        val ts = """"ts_ms":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+        def names(section: String): Seq[String] = {
+          val i = txt.indexOf(section)
+          val seg = txt.substring(i, txt.indexOf(']', i))
+          """"([a-z0-9_]+)"""".r.findAllMatchIn(seg).map(_.group(1)).toSeq
+            .filterNot(Set(section))
+        }
+        (v, ts, names("files"), names("deletes"))
+      }.sortBy(_._1)
+    // VACUUM: referenced = data files ∪ delete files of EVERY commit
+    val refData = commits.flatMap(_._3).toSet
+    val refDel = commits.flatMap(_._4).toSet
+    val dataDir = new java.io.File(s"$tmp/data")
+    val delDir = new java.io.File(s"$tmp/deletes")
+    val before = dataDir.listFiles().map(_.getName).toSeq ++
+      delDir.listFiles().map(_.getName).toSeq
+    val orphans = dataDir.listFiles().map(_.getName).filterNot(refData) ++
+      delDir.listFiles().map(_.getName).filterNot(refDel)
+    require(orphans.toSeq == Seq("f_orphan"),
+      s"vacuum must remove exactly the orphan, got ${orphans.toSeq}")
+    orphans.foreach { o =>
+      val d = new java.io.File(s"$tmp/data/$o")
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val after = dataDir.listFiles().map(_.getName).toSeq ++
+      delDir.listFiles().map(_.getName).toSeq
+    require(after.contains("d0"),
+      "vacuum swept a commit-referenced delete file — history is broken")
+    // POST-VACUUM reads. as-of ts 2500 → v1 (before the delete commit):
+    // deletes must NOT apply even though d0 stands in the directory
+    val asOf = commits.filter(_._2 <= 2500L).maxBy(_._1)
+    require(asOf._1 == 1L && asOf._4.isEmpty,
+      s"as-of resolution regressed: version ${asOf._1}, deletes ${asOf._4}")
+    def snapshotRead(c: (Long, Long, Seq[String], Seq[String])): DataFrame = {
+      val data = s.read.parquet(c._3.map(f => s"$tmp/data/$f"): _*)
+      if (c._4.isEmpty) data
+      else {
+        val dels = c._4.map(d => s.read.parquet(s"$tmp/deletes/$d"))
+          .reduce(_ unionByName _).distinct()
+        data.join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+      }
+    }
+    val tip = commits.maxBy(_._1)
+    val out = Seq(("v1_asof", snapshotRead(asOf)), ("v2_tip", snapshotRead(tip)))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(name))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("files_before", lit(before.size.toLong))
+      .withColumn("files_after", lit(after.size.toLong))
+      .withColumn("n_vacuumed", lit(orphans.length.toLong))
+      .select(col("snap"), col("n_rows"), col("sum_price"),
+        col("files_before"), col("files_after"), col("n_vacuumed"))
+      .orderBy(col("snap"))
+    TmpDir.releasing(out, tmp)
+  }
+
+  private val srcTableLifecycleSql =
+    """SELECT 'v1_asof' AS snap, count(*) AS n_rows,
+      | round(sum(o_totalprice), 2) AS sum_price,
+      | CAST(4 AS BIGINT) AS files_before, CAST(3 AS BIGINT) AS files_after,
+      | CAST(1 AS BIGINT) AS n_vacuumed
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |UNION ALL
+      |SELECT 'v2_tip' AS snap, count(*) AS n_rows,
+      | round(sum(o_totalprice), 2) AS sum_price,
+      | CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |  AND NOT (o_custkey % 10 = 7)
+      |ORDER BY snap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_table_lifecycle" -> (srcTableLifecycle _),
     "src_vacuum" -> (srcVacuum _),
     "src_as_of_timestamp" -> (srcAsOfTimestamp _),
     "src_table_stats" -> (srcTableStats _),
@@ -933,6 +1054,7 @@ object SourceQueries {
     "src_compact_small_files" -> (srcCompactSmallFiles _))
 
   val oracles: Map[String, String] = Map(
+    "src_table_lifecycle" -> srcTableLifecycleSql,
     "src_table_stats" -> srcTableStatsSql,
     "src_as_of_timestamp" -> srcAsOfTimestampSql,
     "src_vacuum" -> srcVacuumSql,
