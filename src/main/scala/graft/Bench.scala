@@ -192,8 +192,20 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+    // Heavy-key detail (median > 2 s) rides at the END of the stdout
+    // line: the driver's BENCH_r{N}.json keeps only the stdout TAIL
+    // when the 300-key line overflows its capture (r8's artifact held
+    // ~200 trailing bytes), so the keys where round-over-round
+    // decisions are made — exactly the ones the ±15-50% small-key
+    // variance note does NOT cover — must be the bytes that survive.
+    // [median, min, max] of the 3 trials, sorted heaviest first.
+    val heavy = results.toSeq.filter(_._2._1 > 2.0)
+      .sortBy(-_._2._1)
+      .map { case (k, (med, mn, mx)) =>
+        "\"" + k + "\":[" + fmt(med) + "," + fmt(mn) + "," + fmt(mx) + "]"
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
     // full artifact: untracked target/ copy AND the tracked bench/ copy
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
     Seq("target/bench_full.json", "bench/bench_full_latest.json").foreach { p =>

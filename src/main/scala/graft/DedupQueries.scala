@@ -273,7 +273,7 @@ object DedupQueries {
     * moduli) so the whole signature is integer arithmetic reproducible
     * in the DuckDB oracle.
     */
-  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashSigs(s: SparkSession, dir: String): DataFrame = {
     // signatures over exact-content REPRESENTATIVES (min doc_id per
     // text) — C7's r5 lesson applied family-wide: the block self-join
     // below is quadratic in duplicate-family size (the sf1 replica
@@ -311,8 +311,15 @@ object DedupQueries {
   // The hamming verify also runs BEFORE the distinct now, so the
   // dedup shuffle carries only true near-dup pairs, not every bucket
   // collision.
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(s, dir)
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(simhashSigs(s, dir), cap = 256)
+      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
+
+  /** C3's pair pipeline with the pool cap exposed (production cap =
+    * 256; DedupCapProbe measures the recall-vs-cap curve at sf1 so
+    * the constant is evidence, not folklore).
+    */
+  private[graft] def simhashNearDupPairs(sigs: DataFrame, cap: Int): DataFrame = {
     // piece layout: offsets 0,11,22,33 (11 bits) + 44,54 (10 bits);
     // the & masks kill the arithmetic-shift sign extension
     val pieces = expr(
@@ -342,7 +349,7 @@ object DedupQueries {
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tbl"), col("key")).orderBy(col("doc_id"))
     val a = keyed.withColumn("prn", row_number().over(wK))
-      .filter(col("prn") <= 256)
+      .filter(col("prn") <= cap)
       .select(col("tbl"), col("key"),
         col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = keyed.select(col("tbl"), col("key"),
@@ -353,7 +360,6 @@ object DedupQueries {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
-      .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
   }
 
   private val dedupSimhashSql = {
@@ -685,6 +691,16 @@ object DedupQueries {
     // content, not once per copy.
     val reps = docs(s, dir).groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
+    winnowingPairs(reps, maxDf = 256)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C4's fp-bucket pair pipeline with the absolute df cap exposed
+    * (production maxDf = 256; DedupCapProbe records the pairs-vs-cap
+    * curve at sf1 so the constant is evidence, not folklore).
+    */
+  private[graft] def winnowingPairs(reps: DataFrame, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val fpCol = GraftBridge.column(graft.functions.WinnowFingerprintExpr(
       GraftBridge.expression(lower(col("text"))), 8, 4))
     val fps = reps.select(col("doc_id"), explode(fpCol).as("fp"))
@@ -700,7 +716,6 @@ object DedupQueries {
     // near-dup family larger than maxDf is dropped here — that regime
     // belongs to C1 exact collapse + C2 MinHash banding. maxDf doesn't
     // bind below n = 5120 docs, so small-SF oracles are unchanged.
-    val maxDf = 256
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 20 <= col("n") && col("df") <= maxDf)
@@ -712,7 +727,6 @@ object DedupQueries {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 10) // bimodal at sf0.01: real dups >= 10, template noise <= 8
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val dedupWinnowingSql = {
