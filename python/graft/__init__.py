@@ -143,6 +143,21 @@ def _bridge(spark):
     return spark._jvm.graft.ecs.PyBridge
 
 
+_STEP_POOL = None
+
+
+def _step_pool():
+    """Shared executor for World.step_async — sized for concurrent
+    simulations, not data parallelism (the data parallelism lives in
+    the Spark jobs each step launches)."""
+    global _STEP_POOL
+    if _STEP_POOL is None:
+        import concurrent.futures
+        _STEP_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="graft-step")
+    return _STEP_POOL
+
+
 def query_names(spark):
     """Names of every built-in graft operator (SparkEntry registry)."""
     return list(_bridge(spark).queryNames())
@@ -205,6 +220,26 @@ class World:
 
     def step(self, dt=1.0):
         self._jworld.step(float(dt))
+
+    def step_eager(self, dt=1.0):
+        """One step with per-archetype updates materialized as
+        CONCURRENT Spark jobs (``World.stepEager`` — wall time is the
+        processor DAG's critical path, state identical to ``step``;
+        the engine's A18 query audits that equality on the store)."""
+        self._jworld.stepEager(float(dt))
+
+    def step_async(self, dt=1.0):
+        """The reference's ``async def step`` shape (world.py:23):
+        returns a ``concurrent.futures.Future`` so MANY worlds step
+        concurrently from Python — each future drives its own JVM-side
+        eager step (Spark schedules the jobs in parallel; py4j calls
+        are thread-safe, one connection per thread). ``.result()``
+        joins the step::
+
+            fs = [w.step_async(0.1) for w in worlds]
+            for f in fs: f.result()
+        """
+        return _step_pool().submit(self.step_eager, dt)
 
     @property
     def current_step(self):

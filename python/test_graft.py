@@ -113,3 +113,40 @@ def test_graft_sql_functions(spark):
                count(DISTINCT l_partkey) AS exact
         FROM li_pytest""").collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_step_async_many_worlds(spark):
+    """The reference's async-step shape (world.py:23): several sims
+    step CONCURRENTLY from Python and land exactly the same state a
+    sequential step would."""
+    from graft import Component, World, sql_processor
+
+    class Position(Component):
+        x: float
+        y: float
+
+    class Velocity(Component):
+        vx: float
+        vy: float
+
+    def make_world(i):
+        w = World.make(spark, simulation=f"pytest_async_{i}")
+        w.add_processor(sql_processor(
+            "Movement", [Position, Velocity],
+            {"position__x": "position__x + velocity__vx * {dt}",
+             "position__y": "position__y + velocity__vy * {dt}"},
+            priority=1))
+        w.spawn(Position(x=float(i), y=0.0), Velocity(vx=1.0, vy=-1.0))
+        return w
+
+    worlds = [make_world(i) for i in range(3)]
+    for _ in range(2):  # two concurrent rounds
+        futures = [w.step_async(dt=0.5) for w in worlds]
+        for f in futures:
+            f.result(timeout=120)
+    for i, w in enumerate(worlds):
+        assert w.current_step == 2
+        rows = next(iter(w.query(Position).values())).collect()
+        assert len(rows) == 1
+        assert abs(rows[0]["position__x"] - (i + 1.0)) < 1e-9
+        assert abs(rows[0]["position__y"] + 1.0) < 1e-9
