@@ -1,9 +1,9 @@
 #!/bin/bash
 # Run one (or a few, comma-separated) SparkEntry queries through the
 # Bench child JVM directly, with a wall-clock timeout. Usage:
-#   scripts/bench_one.sh <keys> <sf_dir> [timeout_sec] [trials] [cpus]
+#   scripts/bench_one.sh <keys> <sf_dir> [timeout_sec] [trials] [cpus] [xmx]
 set -u
-KEYS="$1"; SF="$2"; TMO="${3:-300}"; TRIALS="${4:-1}"; CPUS="${5:-32}"
+KEYS="$1"; SF="$2"; TMO="${3:-300}"; TRIALS="${4:-1}"; CPUS="${5:-32}"; XMX="${6:-16g}"
 OUT=$(mktemp /tmp/bench_one.XXXX.tsv)
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -15,7 +15,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 SPARK_GRAFT_CHILD=1 SPARK_GRAFT_ONLY="$KEYS" SPARK_GRAFT_OUT="$OUT" \
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_TRIALS="$TRIALS" SPARK_GRAFT_CPUS="$CPUS" \
-timeout -k 10 "$TMO" java $ADD_OPENS -Xmx16g \
+timeout -k 10 "$TMO" java $ADD_OPENS -Xmx"$XMX" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
   > /tmp/bench_one.log 2>&1
