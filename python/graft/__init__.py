@@ -48,6 +48,90 @@ _PY_TO_SPARK = {
     "bytes": "binary",
 }
 
+# Canonical field-type name for annotations declared as either the
+# type object (``x: float``) or a string (``x: "float"``).
+_TYPE_NAME = {
+    float: "float", int: "int", str: "str", bool: "bool", bytes: "bytes",
+    "float": "float", "int": "int", "str": "str", "bool": "bool",
+    "bytes": "bytes",
+}
+
+
+class ValidationError(TypeError):
+    """Field-level spawn validation failure (the reference components
+    are pydantic ``LanceModel`` subclasses, so bad field values fail at
+    construction with per-field messages — this mirrors that contract).
+    ``errors`` is a list of ``(field, message)`` pairs."""
+
+    def __init__(self, cls_name, errors):
+        self.errors = list(errors)
+        lines = [f"{len(self.errors)} validation error"
+                 f"{'s' if len(self.errors) != 1 else ''} for {cls_name}"]
+        for field, msg in self.errors:
+            lines.append(f"{field}\n  {msg}")
+        super().__init__("\n".join(lines))
+
+
+def _coerce(tp, v):
+    """Validate + coerce one value to its annotated field type,
+    pydantic-v2-lax style: int→float, integral float→int, numeric
+    strings→numbers, "true"/"false"/0/1→bool, str/bytearray→bytes.
+    Returns the coerced value or raises ValueError(message)."""
+    name = _TYPE_NAME.get(tp)
+    if name is None:
+        # Unsupported annotation: let it through — _schema_json raises
+        # the clear "unsupported type" error for it at registration.
+        return v
+    if name == "float":
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            raise ValueError(_bad("a valid number", v))
+        try:
+            return float(v)
+        except ValueError:
+            raise ValueError(_bad("a valid number", v))
+    if name == "int":
+        if isinstance(v, bool):
+            raise ValueError(_bad("a valid integer", v))
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            if v.is_integer():
+                return int(v)
+            raise ValueError(_bad(
+                "a valid integer, got a float with a fractional part", v))
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                raise ValueError(_bad("a valid integer", v))
+        raise ValueError(_bad("a valid integer", v))
+    if name == "str":
+        if isinstance(v, str):
+            return v
+        raise ValueError(_bad("a valid string", v))
+    if name == "bool":
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, int) and v in (0, 1):
+            return bool(v)
+        if isinstance(v, str) and v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        raise ValueError(_bad("a valid boolean", v))
+    if name == "bytes":
+        if isinstance(v, bytes):
+            return v
+        if isinstance(v, bytearray):
+            return bytes(v)
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        raise ValueError(_bad("valid bytes", v))
+    raise ValueError(_bad(name, v))
+
+
+def _bad(expected, v):
+    return (f"Input should be {expected} "
+            f"[input_value={v!r}, type={type(v).__name__}]")
+
 
 def session(jar=None, master=None, app_name="graft", shuffle_partitions=None):
     """Build a SparkSession with the graft surface installed (the
@@ -99,21 +183,31 @@ class Component:
     """
 
     def __init__(self, **kwargs):
-        fields = self.field_names()
-        missing = [f for f in fields if f not in kwargs]
-        extra = [k for k in kwargs if k not in fields]
-        if missing or extra:
-            raise TypeError(
-                f"{type(self).__name__}: missing={missing} unexpected={extra}")
+        types = self.field_types()
+        errors = [(f, "Field required") for f in types if f not in kwargs]
+        errors += [(k, "Unexpected keyword argument")
+                   for k in kwargs if k not in types]
         for k, v in kwargs.items():
-            setattr(self, k, v)
+            if k not in types:
+                continue
+            try:
+                setattr(self, k, _coerce(types[k], v))
+            except ValueError as e:
+                errors.append((k, str(e)))
+        if errors:
+            raise ValidationError(type(self).__name__, errors)
 
     @classmethod
     def field_names(cls):
-        names = []
+        return list(cls.field_types())
+
+    @classmethod
+    def field_types(cls):
+        """Ordered {field: annotated type} across the MRO."""
+        types = {}
         for klass in reversed(cls.__mro__):
-            names.extend(getattr(klass, "__annotations__", {}).keys())
-        return names
+            types.update(getattr(klass, "__annotations__", {}))
+        return types
 
     @classmethod
     def _schema_json(cls):

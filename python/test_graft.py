@@ -150,3 +150,46 @@ def test_step_async_many_worlds(spark):
         assert len(rows) == 1
         assert abs(rows[0]["position__x"] - (i + 1.0)) < 1e-9
         assert abs(rows[0]["position__y"] + 1.0) < 1e-9
+
+
+def test_component_field_validation():
+    """Pydantic-style spawn validation (reference components are
+    LanceModel/pydantic subclasses): per-field messages, lax coercion
+    (int->float, integral float->int, "true"->bool), no Spark needed."""
+    from graft import Component, ValidationError
+
+    class Doc(Component):
+        doc_id: int
+        score: float
+        lang: str
+        kept: bool
+        payload: bytes
+
+    d = Doc(doc_id=3.0, score=2, lang="en", kept="true", payload="raw")
+    assert d.doc_id == 3 and isinstance(d.doc_id, int)
+    assert d.score == 2.0 and isinstance(d.score, float)
+    assert d.kept is True
+    assert d.payload == b"raw"
+
+    with pytest.raises(ValidationError) as ei:
+        Doc(doc_id="seven", score="high", lang=4, kept="maybe")
+    msg = str(ei.value)
+    errs = dict(ei.value.errors)
+    assert "5 validation errors for Doc" in msg
+    assert "valid integer" in errs["doc_id"]
+    assert "valid number" in errs["score"]
+    assert "valid string" in errs["lang"]
+    assert "valid boolean" in errs["kept"]
+    assert errs["payload"] == "Field required"
+
+    with pytest.raises(ValidationError) as ei2:
+        Doc(doc_id=1, score=0.5, lang="en", kept=True, payload=b"x",
+            bogus=1)
+    assert dict(ei2.value.errors)["bogus"] == "Unexpected keyword argument"
+
+    # bool must never silently satisfy a numeric field
+    with pytest.raises(ValidationError):
+        Doc(doc_id=True, score=0.5, lang="en", kept=True, payload=b"x")
+    # fractional float must not round into an int field
+    with pytest.raises(ValidationError):
+        Doc(doc_id=1.5, score=0.5, lang="en", kept=True, payload=b"x")

@@ -1670,11 +1670,21 @@ object SimilarityQueries {
          |        list_dot_product(x.v, y.v) /
          |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
          |       FROM $candCte JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = nid""".stripMargin
-    // one NN-descent round: prev (qid,nid,cos) → t$i (qid,nid,cos)
+    // one NN-descent round: prev (qid,nid,cos) → t$i (qid,nid,cos);
+    // each wedge side samples ≤ 24 edges per middle node (mirrors
+    // refineOnce's deterministic reverse-neighbor cap)
     def round(i: Int, prev: String) =
       s"""und$i AS (SELECT qid, nid FROM $prev UNION ALL SELECT nid, qid FROM $prev),
+         |ua$i AS (SELECT mid, qid FROM (
+         |       SELECT nid AS mid, qid,
+         |        row_number() OVER (PARTITION BY nid ORDER BY qid) AS mrn
+         |       FROM und$i) WHERE mrn <= 24),
+         |ub$i AS (SELECT mid, nid FROM (
+         |       SELECT qid AS mid, nid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY nid) AS mrn
+         |       FROM und$i) WHERE mrn <= 24),
          |c2$i AS (SELECT DISTINCT a.qid AS qid, b.nid AS nid
-         |       FROM und$i a JOIN und$i b ON a.nid = b.qid WHERE a.qid <> b.nid),
+         |       FROM ua$i a JOIN ub$i b ON a.mid = b.mid WHERE a.qid <> b.nid),
          |c2n$i AS (SELECT c.qid, c.nid FROM c2$i c
          |        LEFT JOIN $prev t ON t.qid = c.qid AND t.nid = c.nid
          |        WHERE t.qid IS NULL),

@@ -883,37 +883,33 @@ object TextQueries {
   // pin their fractions to 0.0 on both sides instead of dividing by
   // zero — the q53 lesson.
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("doc_id"), expr(
-      "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = toks.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_toks"),
-      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_uni"))
-    val bi = toks.select(col("doc_id"), explode(expr(
-        """if(size(toks) >= 2,
-          |  transform(sequence(1, size(toks) - 1),
-          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),
-          |  array())""".stripMargin)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    // Per-doc mode counts are ROW-LOCAL: one native pass
+    // (RepetitionStatsExpr) replaces the exploded groupBy(doc_id, tok)
+    // / groupBy(doc_id, bigram) shape, whose O(total tokens) hash-agg
+    // shuffle went superlinear once it started spilling (r9 sf100
+    // probe: 16.1× wall for 10× data on 640M exploded rows). The
+    // whole query is now a single scan -> project -> sort: zero
+    // joins, zero aggregations, nothing shuffles but the final
+    // (small-row) ordering.
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RepetitionStatsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
     val frac = (num: Column, den: Column) =>
       when(den <= 0L, lit(0.0)).otherwise(round(num / den, 4) + lit(0.0))
-    val out = base
-      .join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+    docs(s, dir).select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_toks"),
+        element_at(col("st"), 2).as("n_distinct"),
+        element_at(col("st"), 3).as("top_uni"),
+        element_at(col("st"), 4).as("top_bi"))
       .withColumn("dup_frac", frac(col("n_toks") - col("n_distinct"), col("n_toks")))
-      .withColumn("top_uni_frac", frac(coalesce(col("top_uni"), lit(0L)), col("n_toks")))
-      .withColumn("top_bi_frac", frac(coalesce(col("top_bi"), lit(0L)), col("n_toks") - 1L))
+      .withColumn("top_uni_frac", frac(col("top_uni"), col("n_toks")))
+      .withColumn("top_bi_frac", frac(col("top_bi"), col("n_toks") - 1L))
       .withColumn("gopher_ok",
         col("dup_frac") <= 0.6 && col("top_uni_frac") <= 0.3 && col("top_bi_frac") <= 0.25)
       .select(col("doc_id"), col("n_toks"), col("n_distinct"),
         col("dup_frac"), col("top_uni_frac"), col("top_bi_frac"), col("gopher_ok"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(eager = true)
-    toks.unpersist(false)
-    out
   }
 
   private val textRepetitionSql =

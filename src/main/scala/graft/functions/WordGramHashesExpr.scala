@@ -299,3 +299,112 @@ object WordGramHashesExpr {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 }
+
+/** Per-document repetition statistics in ONE compiled pass:
+  * `[n_toks, n_distinct, top_unigram_count, top_bigram_count]` over
+  * the same lowercased `[a-z0-9]` token stream as [[SimhashExpr]] /
+  * [[WordGramHashesExpr]].
+  *
+  * Replaces text_repetition's exploded `groupBy(doc_id, tok)` /
+  * `groupBy(doc_id, bigram)` aggregations — per-document mode counts
+  * are ROW-LOCAL, and at scale the exploded shape shuffles
+  * O(total tokens) rows (640M at the r9 sf100 probe, 16.1× wall for
+  * 10× data once the hash agg started spilling) for work a single
+  * pass computes in place. Token identity is the 64-bit FNV-1a code
+  * (distinct tokens collide w.p. ~1/2⁶⁴ — the same contract as
+  * [[WordGramHashesExpr]]); counts come from sorted code runs, so the
+  * only allocation is the per-row code array.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStatsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_repetition_stats"
+}
+
+object RepetitionStatsExpr {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** Sorted-run distinct count + max run length. Mutates `a`. */
+  private def runStats(a: Array[Long]): (Long, Long) = {
+    if (a.length == 0) return (0L, 0L)
+    java.util.Arrays.sort(a)
+    var distinct = 1L
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < a.length) {
+      if (a(i) == a(i - 1)) { run += 1; if (run > best) best = run }
+      else { distinct += 1; run = 1 }
+      i += 1
+    }
+    (distinct, best)
+  }
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes.clone()
+    val n = bytes.length
+    // token spans over lowercased [a-z0-9] runs (the SimhashExpr walk)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val b = bytes(i)
+      val lower: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok && !inTok) { starts.add(i); inTok = true }
+      if (!isTok && inTok) { ends.add(i); inTok = false }
+      bytes(i) = lower
+      i += 1
+    }
+    if (inTok) ends.add(n)
+    val ntok = starts.size()
+    val uni = new Array[Long](ntok)
+    var t = 0
+    while (t < ntok) {
+      var h = FnvOffset
+      var p = starts.get(t).intValue()
+      val e = ends.get(t).intValue()
+      while (p < e) { h ^= (bytes(p) & 0xffL); h *= FnvPrime; p += 1 }
+      uni(t) = h
+      t += 1
+    }
+    // bigram code = FNV continued across "tok_i ' ' tok_{i+1}" — the
+    // same separator convention as WordGramHashesExpr's k-windows
+    val bi = new Array[Long](math.max(ntok - 1, 0))
+    t = 0
+    while (t < ntok - 1) {
+      var h = FnvOffset
+      var p = starts.get(t).intValue()
+      var e = ends.get(t).intValue()
+      while (p < e) { h ^= (bytes(p) & 0xffL); h *= FnvPrime; p += 1 }
+      h ^= ' '.toLong; h *= FnvPrime
+      p = starts.get(t + 1).intValue()
+      e = ends.get(t + 1).intValue()
+      while (p < e) { h ^= (bytes(p) & 0xffL); h *= FnvPrime; p += 1 }
+      bi(t) = h
+      t += 1
+    }
+    val (nDistinct, topUni) = runStats(uni)
+    val (_, topBi) = runStats(bi)
+    new GenericArrayData(Array(ntok.toLong, nDistinct, topUni, topBi))
+  }
+}

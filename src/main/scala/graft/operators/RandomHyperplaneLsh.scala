@@ -186,21 +186,6 @@ object RandomHyperplaneLsh {
       col(vecCol).cast("array<float>").as("vf"),
       VectorOps.norm(col(vecCol)).as("nrm"))
 
-  /** Exact cosine for id-only candidate pairs via two keyed attach
-    * joins (vectors NEVER ride the candidate-generation shuffle).
-    * Returns (qid, nid, cos) with full double precision.
-    */
-  private def scoreAttach(cand: DataFrame, vecs: DataFrame,
-      idCol: String): DataFrame =
-    cand
-      .join(vecs.select(col(idCol).as("qid"), col("vf").as("qv"),
-        col("nrm").as("qn")), Seq("qid"))
-      .join(vecs.select(col(idCol).as("nid"), col("vf").as("nv"),
-        col("nrm").as("nn")), Seq("nid"))
-      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
-        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
-      .select(col("qid"), col("nid"), col("cos"))
-
   /** One NN-DESCENT round (Dong et al., WWW'11) over a directed top-k
     * edge list: neighbors-of-neighbors in the UNDIRECTED graph become
     * new candidates — one self-equi-join on the ≤ 2k·n edge list, so
@@ -213,7 +198,7 @@ object RandomHyperplaneLsh {
     * set re-ranks per node. Returns (qid, rn, nid, cos) — cos raw.
     */
   def refineOnce(edges: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, midCap: Int = 24): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The base list fans out FOUR ways below (two und branches, the
     // anti join, the final union) — without a lineage cut the whole
@@ -223,15 +208,58 @@ object RandomHyperplaneLsh {
     // checkpoint to storage, here a local one.
     val e = edges.select(col("qid"), col("nid"), col("cos"))
       .localCheckpoint(true)
+    // The eager checkpoint truncates lineage: every shuffle file
+    // upstream of it is now garbage, but ContextCleaner only reaps
+    // them after a driver GC notices the dead Exchange objects — and
+    // at sf100 the un-reaped base-build + prior-round files (tens of
+    // GB) accumulated into "No space left on device" mid-query. One
+    // driver GC per refinement round is Spark's own periodicGC move,
+    // bounded and cluster-safe.
+    System.gc()
     val und = e.select(col("qid"), col("nid"))
       .union(e.select(col("nid").as("qid"), col("qid").as("nid")))
-    val cand2 = und.as("a")
-      .join(und.as("b"), col("a.nid") === col("b.qid"))
-      .select(col("a.qid").as("qid"), col("b.nid").as("nid"))
+    // IN-JOIN scoring here too (r9 sf100): each side of the
+    // neighbors-of-neighbors join attaches its OUTER endpoint's
+    // vector first — O(n·k) rows with a 280 B payload — so the
+    // O(n·k²) candidate stream scores in-task and only (qid, nid,
+    // cos) triples shuffle for the distinct/anti-join/window. The
+    // previous shape distinct'd id pairs first, then re-shuffled the
+    // candidate volume twice with vectors attached. Same output set:
+    // duplicates of a pair (several middle nodes m) score
+    // bit-identically, so distinct-on-triple == distinct-then-score.
+    // REVERSE-NEIGHBOR SAMPLING (NN-descent's own ρ-sampling, Dong
+    // et al. §2.3, made deterministic): each middle node contributes
+    // at most `midCap` edges PER SIDE of the wedge join — the r9
+    // sf100 diag measured und hubs of degree ~1044 (every member of a
+    // capped hot bucket ranks its top-3 from the same 64-id pool, so
+    // pool members become everyone's neighbor) and Σ in·out = 1.07 G
+    // wedge candidates, a 34 GB distinct that filled the disk. With
+    // the cap, wedge volume is ≤ Σ min(d, midCap)² ≤ n·midCap² by
+    // construction — skew-proof, like the bucket pools. The rank is
+    // (mid, id)-ordered, so DuckDB replays the identical sample.
+    val wA = Window.partitionBy(col("mid")).orderBy(col("qid"))
+    val wB = Window.partitionBy(col("mid")).orderBy(col("nid"))
+    val fv = floatVecs(corpus, idCol, vecCol)
+    val aSide = und
+      .select(col("nid").as("mid"), col("qid"))
+      .withColumn("mrn", row_number().over(wA))
+      .filter(col("mrn") <= midCap)
+      .join(fv.select(col(idCol).as("qid"), col("vf").as("qv"),
+        col("nrm").as("qn")), Seq("qid"))
+      .select(col("mid"), col("qid"), col("qv"), col("qn"))
+    val bSide = und.select(col("qid").as("mid"), col("nid"))
+      .withColumn("mrn", row_number().over(wB))
+      .filter(col("mrn") <= midCap)
+      .join(fv.select(col(idCol).as("nid"), col("vf").as("nv"),
+        col("nrm").as("nn")), Seq("nid"))
+      .select(col("mid"), col("nid"), col("nv"), col("nn"))
+    val scored = aSide.join(bSide, Seq("mid"))
       .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
+        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
       .distinct()
       .join(e.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
-    val scored = scoreAttach(cand2, floatVecs(corpus, idCol, vecCol), idCol)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     e.union(scored)
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -260,16 +288,19 @@ object RandomHyperplaneLsh {
       k: Int, tables: Int = 8, bits: Int = 8, dim: Int = 64,
       bucketCap: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ID-ONLY candidate join (the module's own scale rule, re-learned
-    // by the r8 sf1 probe: the previous shape carried both 64-dim
-    // vector payloads through the bucket join AND the distinct —
-    // ~60× the bytes of an id pair — and one hot bucket spilled 19 GB
-    // from a single task on the native-cardinality 200k corpus, where
-    // jittered near-copies co-bucket but don't digest-collapse. With
-    // ids only, the same candidate volume is two longs per row, and
-    // vectors attach AFTER the distinct via two keyed joins — exactly
-    // the candidatePairs/nearDupPairs shape that measured 15.7 s at
-    // sf1.)
+    // IN-JOIN scoring (the nearDupPairs shape, forced here by the r9
+    // sf100 probe): the previous id-only candidate set + two vector
+    // attach joins re-shuffled every candidate PAIR with a 256-byte
+    // vector glued on — n·tables·bucketCap pairs ≈ 512M at sf100,
+    // ~150 GB of shuffle per attach join, which filled the disk and
+    // killed the spill ("SPILL_OUT_OF_MEMORY: No space left on
+    // device"). Instead both sides of the bucket equi-join carry
+    // their float vector + precomputed norm — O(n·tables) rows of
+    // ~280 B, NOT O(candidates) — every candidate cosine evaluates
+    // in-task (codegen'd dot product over a streamed join row), and
+    // only 24-byte (qid, nid, cos) triples ever hit a shuffle. The
+    // cross-table distinct stays safe on the triple: the same pair
+    // scores bit-identically in every table it collides in.
     //
     // BOUNDED candidate pool per bucket: each node compares against at
     // most the `bucketCap` lowest-id members of each of its buckets
@@ -282,21 +313,42 @@ object RandomHyperplaneLsh {
     // (every test SF), and inside a capped hot bucket the pool members
     // are mutually near by LSH construction, so ranked top-k remains a
     // faithful ANN answer. The oracle mirrors the same rank filter.
-    val b = bucketed(corpus, idCol, vecCol, tables, bits, dim)
-    val ids = b.select(col("tbl"), col("bucket"), col(idCol))
+    val codes = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HyperplaneBucketsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+        tables, bits, dim))
+    val bk = corpus.select(col(idCol),
+      col(vecCol).cast("array<float>").as("vf"),
+      VectorOps.norm(col(vecCol)).as("nrm"),
+      posexplode(codes).as(Seq("tbl", "bucket")))
     val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
-    val pool = ids.withColumn("prn", row_number().over(wB))
+    val pool = bk.withColumn("prn", row_number().over(wB))
       .filter(col("prn") <= bucketCap)
-      .select(col("tbl"), col("bucket"), col(idCol).as("nid"))
-    val cand = ids.select(col("tbl"), col("bucket"), col(idCol).as("qid"))
-      .join(pool, Seq("tbl", "bucket"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid")).distinct()
-    // Vectors ride the two attach joins as FLOATS with precomputed
-    // norms (see floatVecs/scoreAttach) — the candidate-pair shuffle,
-    // the dominant byte volume of the build, carries ids only.
+      .select(col("tbl"), col("bucket"), col(idCol).as("nid"),
+        col("vf").as("nv"), col("nrm").as("nn"))
+    val probe = bk.select(col("tbl"), col("bucket"), col(idCol).as("qid"),
+      col("vf").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scoreAttach(cand, floatVecs(corpus, idCol, vecCol), idCol)
+    // RANK-PRUNE BEFORE THE DISTINCT: a pair collides in at most
+    // `tables` tables and every collision scores the identical
+    // (qid, nid, cos) triple, so the 3rd-distinct neighbor's last
+    // duplicate sits at raw rank ≤ k·tables — pruning there loses
+    // nothing. The win is physical: Spark's partial WindowGroupLimit
+    // applies the rank filter MAP-SIDE on the bucket-join output, so
+    // the O(n·tables·bucketCap) candidate stream (512M triples / 18 GB
+    // at the r9 sf100 probe — enough to fill the local disk together
+    // with the refinement shuffles) never reaches an exchange; only
+    // ≤ k·tables rows per (qid, map task) shuffle for the dedup + the
+    // exact re-rank.
+    probe.join(pool, Seq("tbl", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
+        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+      .withColumn("prn0", row_number().over(w))
+      .filter(col("prn0") <= k * tables)
+      .drop("prn0")
+      .distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }

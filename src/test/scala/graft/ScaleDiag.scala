@@ -119,6 +119,85 @@ object ScaleDiag {
         .filter(col("rn") <= 3).count())
     }
 
+    if (what == "knng") {
+      // phase volume/time breakdown for knn_graph at scale
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[diag] knng $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val all = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("vkey", md5(to_json(struct(col("v")))))
+      val reps = all.groupBy(col("vkey"))
+        .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("n_copies"))
+      val distinctVecs = all.join(reps.select(col("vkey"), col("vec_id")),
+          Seq("vkey", "vec_id")).select(col("vec_id"), col("v"))
+        .localCheckpoint(true)
+      val n = t("distinctVecs count")(distinctVecs.count())
+      val bits = graft.operators.RandomHyperplaneLsh.adaptiveBits(
+        Tables.load(spark, dir, "embeddings").count())
+      println(s"[diag] knng n=$n bits=$bits")
+      val bk = graft.operators.RandomHyperplaneLsh
+        .bucketed(distinctVecs, "vec_id", "v", tables = 4, bits = bits, dim = 64)
+        .select(col("tbl"), col("bucket"))
+      stats(bk.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("df")),
+        "knng (tbl,bucket) keys (cap 64 pools)")
+      val base = t("base knnGraphEdges")(
+        graft.operators.RandomHyperplaneLsh
+          .knnGraphEdges(distinctVecs, "vec_id", "v", k = 3, tables = 4,
+            bits = bits, dim = 64, bucketCap = 64).localCheckpoint(true))
+      println(s"[diag] knng base edges=${base.count()}")
+      val und = base.select(col("qid"), col("nid"))
+        .union(base.select(col("nid").as("qid"), col("qid").as("nid")))
+      stats(und.groupBy(col("qid")).agg(count(lit(1)).as("df")),
+        "und out-degree")
+      val r1 = t("refine round 1")(
+        graft.operators.RandomHyperplaneLsh
+          .refineOnce(base, distinctVecs, "vec_id", "v", k = 3)
+          .localCheckpoint(true))
+      println(s"[diag] knng r1 edges=${r1.count()}")
+      val r2 = t("refine round 2")(
+        graft.operators.RandomHyperplaneLsh
+          .refineOnce(r1, distinctVecs, "vec_id", "v", k = 3)
+          .localCheckpoint(true))
+      println(s"[diag] knng r2 edges=${r2.count()}")
+    }
+
+    if (what == "semdedup") {
+      // phase timing for pipeline_semdedup at scale
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[diag] semdedup $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val reps = e.groupBy(col("v"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n_exact"))
+      t("reps")(reps.count())
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val m = graft.operators.IvfIndex
+        .assign(reps.select(col("rep_id"), col("v")), cent, "rep_id", "v", keep = 1)
+        .join(reps.select(col("rep_id"), col("n_exact")), Seq("rep_id"))
+        .localCheckpoint(true)
+      t("assign+checkpoint")(m.count())
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("rep_id"))
+      val pool = m.select(col("cid"), col("rep_id"), col("v"))
+        .withColumn("prn", row_number().over(wC))
+        .filter(col("prn") <= 256)
+        .select(col("cid"), col("rep_id").as("pool_id"), col("v").as("pool_v"))
+      t("pool")(pool.count())
+      val dup = m.select(col("rep_id"), col("v"), col("cid"))
+        .join(broadcast(pool), Seq("cid"))
+        .filter(col("pool_id") < col("rep_id") &&
+          round(VectorOps.cosine(col("pool_v"), col("v")), 4) >= 0.3)
+        .select(col("rep_id")).distinct()
+      t("dup-scan")(dup.count())
+    }
+
     if (what == "embedding" || what == "both") {
       val e = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
