@@ -425,25 +425,77 @@ object DedupQueries {
   // (graft.functions.GramCodeArrayExpr) and the per-pair step is a
   // codegen'd sorted merge — no per-pair string hash sets; Jaccard
   // values are exactly the string-gram values.
-  private[graft] def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Shared skeleton for C4/C8: every bounded-offset pair
+    * (id_a, id_b = id_a + off, off ∈ 1..maxOff, both present) with the
+    * sorted-merge gram-intersection count and both set sizes.
+    *
+    * SCALE SHAPE (r9 sf100 rewrite): the previous pair-skeleton +
+    * two-attach-join form re-exchanged 50M pairs carrying a ~5 KB
+    * distinct-gram array (the first attach's output is the second
+    * attach's shuffle input — ~80 GB of sort/spill churn at sf100,
+    * 21× wall for 10× data even cache-warm). Bounded offsets are a
+    * LOCALITY property: bucket doc_ids into 2¹⁴-id ranges (plus a
+    * lookahead copy of each bucket's first maxOff ids into the
+    * previous bucket, flagged so it never plays id_a), and every pair
+    * is adjacent inside one sorted bucket — ONE shuffle of the gram
+    * table, then a per-partition sliding window of ≤ maxOff buffered
+    * rows emits every intersection in-task. mapPartitions is the
+    * honest tool here: a self-join whose matches are all within a
+    * bounded sort distance is per-partition imperative logic, and no
+    * join/window composition expresses it without re-shuffling
+    * payload-width rows. Per-task memory is maxOff gram arrays.
+    */
+  private[graft] def boundedOffsetIntersects(s: SparkSession, dir: String,
+      maxOff: Int = 10): DataFrame = {
     import org.apache.spark.sql.GraftBridge
+    import s.implicits._
+    val B = 1L << 14
     val gramCodes = GraftBridge.column(
       graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))
     val grams = docs(s, dir).select(col("doc_id"), gramCodes.as("g"))
-    val pairs = docs(s, dir).select(col("doc_id").as("id_a"),
-        explode(expr("sequence(1, 10)")).as("off"))
-      .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
-    val inter = GraftBridge.column(graft.functions.SortedIntersectCountExpr(
-      GraftBridge.expression(col("ga")), GraftBridge.expression(col("gb"))))
-    pairs
-      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
-      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
-      .withColumn("inter", inter)
+      .withColumn("bk", (col("doc_id") / lit(B)).cast("long"))
+      .withColumn("cp", lit(false))
+    val lookahead = grams
+      .filter(pmod(col("doc_id"), lit(B)) < maxOff && col("bk") > 0)
+      .withColumn("bk", col("bk") - 1)
+      .withColumn("cp", lit(true))
+    grams.unionByName(lookahead)
+      .select(col("bk"), col("doc_id"), col("g"), col("cp"))
+      .repartition(col("bk"))
+      .sortWithinPartitions(col("bk"), col("doc_id"))
+      .as[(Long, Long, Array[Long], Boolean)]
+      .mapPartitions { iter =>
+        def merge(x: Array[Long], y: Array[Long]): Long = {
+          var i = 0; var j = 0; var c = 0L
+          while (i < x.length && j < y.length) {
+            if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+            else if (x(i) < y(j)) i += 1
+            else j += 1
+          }
+          c
+        }
+        val buf = scala.collection.mutable.ArrayDeque.empty[(Long, Long, Array[Long], Boolean)]
+        iter.flatMap { case cur @ (bk, id, g, _) =>
+          while (buf.nonEmpty &&
+            (buf.head._1 != bk || buf.head._2 < id - maxOff)) buf.removeHead()
+          val out = buf.iterator
+            .filter(!_._4) // a lookahead copy never plays id_a
+            .map { case (_, ida, ga, _) =>
+              (ida, id, merge(ga, g), ga.length, g.length)
+            }.toList
+          buf.append(cur)
+          out
+        }
+      }
+      .toDF("id_a", "id_b", "inter", "na", "nb")
+  }
+
+  private[graft] def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    boundedOffsetIntersects(s, dir)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
-          (size(col("ga")) + size(col("gb")) - col("inter")), 4).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
-  }
 
   // C8 — CONTAINMENT near-dup (asymmetric overlap): |A∩B| / |A| —
   // what Jaccard misses. A short doc quoted whole inside a long one
@@ -452,26 +504,13 @@ object DedupQueries {
   // this measure. Same bounded-offset narrow skeleton + injective
   // gram codes + codegen'd sorted-merge intersect as C4; emits both
   // directions' containments per pair.
-  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    val gramCodes = GraftBridge.column(
-      graft.functions.GramCodeArrayExpr(GraftBridge.expression(col("text")), 3))
-    val grams = docs(s, dir).select(col("doc_id"), gramCodes.as("g"))
-    val pairs = docs(s, dir).select(col("doc_id").as("id_a"),
-        explode(expr("sequence(1, 10)")).as("off"))
-      .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
-    val inter = GraftBridge.column(graft.functions.SortedIntersectCountExpr(
-      GraftBridge.expression(col("ga")), GraftBridge.expression(col("gb"))))
-    pairs
-      .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), Seq("id_a"))
-      .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), Seq("id_b"))
-      .withColumn("inter", inter)
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    boundedOffsetIntersects(s, dir)
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") / size(col("ga")), 4).as("cont_a_in_b"),
-        round(col("inter").cast("double") / size(col("gb")), 4).as("cont_b_in_a"))
+        round(col("inter").cast("double") / col("na"), 4).as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("nb"), 4).as("cont_b_in_a"))
       .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
-  }
 
   private val dedupContainmentSql =
     """WITH g AS (

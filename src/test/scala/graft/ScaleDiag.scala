@@ -68,6 +68,21 @@ object ScaleDiag {
       }: _*)).as("pk")).select(col("pk.tbl").as("tbl"), col("pk.key").as("key"))
       stats(keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("df")),
         "piece-pair keys")
+      // candidate 5-piece layout: 13/13/13/13/12-bit pieces, C(5,2)=10
+      // pair tables with ~26-bit keys (d<=3 leaves >=2 clean pieces ->
+      // >=1 clean pair, same pigeonhole completeness)
+      val pieces5 = sigs.withColumn("p", expr(
+        "array(simhash & 8191, shiftright(simhash, 13) & 8191, " +
+          "shiftright(simhash, 26) & 8191, shiftright(simhash, 39) & 8191, " +
+          "shiftright(simhash, 52) & 4095)"))
+      val combos5 = for { p <- 0 until 5; q <- (p + 1) until 5 } yield (p, q)
+      val keyed5 = pieces5.select(explode(array(combos5.map { case (p, q) =>
+        struct(lit(p * 5 + q).as("tbl"),
+          (element_at(col("p"), p + 1) * lit(8192L) +
+            element_at(col("p"), q + 1)).as("key"))
+      }: _*)).as("pk")).select(col("pk.tbl").as("tbl"), col("pk.key").as("key"))
+      stats(keyed5.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("df")),
+        "5-piece pair keys")
     }
 
     if (what == "minhash") {
