@@ -76,7 +76,18 @@ def _coerce(tp, v):
     """Validate + coerce one value to its annotated field type,
     pydantic-v2-lax style: int→float, integral float→int, numeric
     strings→numbers, "true"/"false"/0/1→bool, str/bytearray→bytes.
-    Returns the coerced value or raises ValueError(message)."""
+    Returns the coerced value or raises ValueError(message).
+
+    Deliberate deltas from pydantic v2's lax mode (narrower and more
+    predictable for a storage schema):
+      - bool accepts only "true"/"false" (any case) and 0/1 — not the
+        wider "yes"/"no"/"on"/"off"/"y"/"n"/"t"/"f" family.
+      - int rejects integral NUMERIC STRINGS with a decimal point
+        ("3.0"): a string field that looks like a float is treated as
+        a float mistake, not an int.
+      - float accepts "inf"/"-inf"/"nan" strings (Python float()
+        semantics); pydantic rejects non-finite strings by default.
+    """
     name = _TYPE_NAME.get(tp)
     if name is None:
         # Unsupported annotation: let it through — _schema_json raises

@@ -318,20 +318,32 @@ object DedupQueries {
   /** C3's pair pipeline with the pool cap exposed (production cap =
     * 256; DedupCapProbe measures the recall-vs-cap curve at sf1 so
     * the constant is evidence, not folklore).
+    *
+    * PIECE LAYOUT (r10, the r9 verdict's documented knob): 5 pieces
+    * (4×13 + 1×12 bits) → 10 piece-PAIR tables of ≤ 26-bit keys,
+    * replacing the 6-piece/15-table/21-22-bit layout. Same d ≤ 3
+    * pigeonhole completeness (≤ 3 flips hit ≤ 3 pieces → ≥ 2 intact
+    * pieces → their pair table collides; SimhashBlockSpec proves it
+    * exhaustively and that d = 3 is tight — 4 flips across 4 pieces
+    * leave no intact pair), but 10/15 the explode volume and ~16-32×
+    * sparser keys: the r9 sf100 probe measured the 21-bit keys
+    * concentrating statistically-twinned same-language docs (max df
+    * 80k at sf10) into cap-transition buckets — wider keys push the
+    * cap regime a decade out.
     */
   private[graft] def simhashNearDupPairs(sigs: DataFrame, cap: Int): DataFrame = {
-    // piece layout: offsets 0,11,22,33 (11 bits) + 44,54 (10 bits);
+    // piece layout: offsets 0,13,26,39 (13 bits) + 52 (12 bits);
     // the & masks kill the arithmetic-shift sign extension
     val pieces = expr(
-      "array(simhash & 2047, shiftright(simhash, 11) & 2047, " +
-        "shiftright(simhash, 22) & 2047, shiftright(simhash, 33) & 2047, " +
-        "shiftright(simhash, 44) & 1023, shiftright(simhash, 54) & 1023)")
-    val combos = for { p <- 0 until 6; q <- (p + 1) until 6 } yield (p, q)
+      "array(simhash & 8191, shiftright(simhash, 13) & 8191, " +
+        "shiftright(simhash, 26) & 8191, shiftright(simhash, 39) & 8191, " +
+        "shiftright(simhash, 52) & 4095)")
+    val combos = for { p <- 0 until 5; q <- (p + 1) until 5 } yield (p, q)
     val keyed = sigs.withColumn("pieces", pieces)
       .select(col("doc_id"), col("simhash"),
         explode(array(combos.map { case (p, q) =>
-          struct(lit(p * 6 + q).as("tbl"),
-            (element_at(col("pieces"), p + 1) * lit(2048L) +
+          struct(lit(p * 5 + q).as("tbl"),
+            (element_at(col("pieces"), p + 1) * lit(8192L) +
               element_at(col("pieces"), q + 1)).as("key"))
         }: _*)).as("pk"))
       .select(col("doc_id"), col("simhash"),
@@ -391,14 +403,13 @@ object DedupQueries {
        | SELECT doc_id, $simhashExpr AS simhash FROM bits
        |), pieces AS (
        | SELECT doc_id, simhash,
-       |  [simhash & 2047, (simhash >> 11) & 2047, (simhash >> 22) & 2047,
-       |   (simhash >> 33) & 2047, (simhash >> 44) & 1023,
-       |   (simhash >> 54) & 1023] AS p
+       |  [simhash & 8191, (simhash >> 13) & 8191, (simhash >> 26) & 8191,
+       |   (simhash >> 39) & 8191, (simhash >> 52) & 4095] AS p
        | FROM sig
        |), keyed AS (
        | SELECT doc_id, simhash, c.tbl,
-       |  p[c.pi + 1] * 2048 + p[c.qi + 1] AS key
-       | FROM pieces CROSS JOIN (VALUES (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 0, 4), (5, 0, 5), (8, 1, 2), (9, 1, 3), (10, 1, 4), (11, 1, 5), (15, 2, 3), (16, 2, 4), (17, 2, 5), (22, 3, 4), (23, 3, 5), (29, 4, 5)) c(tbl, pi, qi)
+       |  p[c.pi + 1] * 8192 + p[c.qi + 1] AS key
+       | FROM pieces CROSS JOIN (VALUES (1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 0, 4), (7, 1, 2), (8, 1, 3), (9, 1, 4), (13, 2, 3), (14, 2, 4), (19, 3, 4)) c(tbl, pi, qi)
        |), pool AS (
        | SELECT tbl, key, doc_id, simhash FROM (
        |  SELECT *, row_number() OVER (PARTITION BY tbl, key
@@ -549,9 +560,9 @@ object DedupQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // C5 — corpus-wide embedding near-dup: multi-table random-hyperplane
-  // sign LSH (8 tables × 8 bits, SQL-portable integer-hash planes)
-  // generates candidates as an equi-join on (table, bucket) — no
-  // all-pairs product — then exact cosine verifies. The synthetic
+  // sign LSH (8 tables × adaptive bits, SQL-portable integer-hash
+  // planes) generates candidates as an equi-join on (table, bucket) —
+  // no all-pairs product — then exact cosine verifies. The synthetic
   // corpus has no true near-dups (max cosine ≈ 0.51), so the verify
   // threshold is 0.3 to exercise the full pipeline end-to-end; the
   // planted-pair recall proof (cos ≥ 0.99 pairs at arbitrary id
@@ -566,25 +577,44 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("v"))
+    // OCCUPANCY-TARGETED bits (the knn_graph r8 prescription, applied
+    // here after the r9 sf100 probe measured this key as the board's
+    // worst scaler at 11.3×/251 s): fixed bits=8 left expected bucket
+    // occupancy n/256 ≈ 7800 at the 2M-vector decade, so the capped
+    // pool×bucket join evaluated ~4G candidate cosines; adaptive bits
+    // pins occupancy ≤ 32 and candidate volume to Θ(n·tables·occ).
+    // 8 tables hold the near-dup recall contract: at cos ≥ 0.99
+    // (θ ≤ 0.029π, per-bit agree 0.971) a 16-bit table collides with
+    // p ≈ 0.63 and any-of-8 with p ≈ 0.9997. The raw count (not the
+    // collapsed one) drives the knob on both engines — a size hint,
+    // not a semantic input, one cheap columnar count.
+    val n = Tables.load(s, dir, "embeddings").count()
+    val bits = graft.operators.RandomHyperplaneLsh.adaptiveBits(n)
     // bucketCap=256 bounds per-bucket pair volume (the r8 sf10 probe
     // OOM'd the uncapped bucket self-join on the 2M-vector corpus
     // where jitter families co-bucket); the pool rank is oracle-
     // mirrored below and never binds at test SFs
     graft.operators.RandomHyperplaneLsh
-      .nearDupPairs(e, "vec_id", "v", threshold = 0.3, tables = 8, bits = 8,
-        dim = 64, bucketCap = 256)
+      .nearDupPairs(e, "vec_id", "v", threshold = 0.3, tables = 8,
+        bits = bits, dim = 64, bucketCap = 256)
   }
 
   private val dedupEmbeddingSql =
     """WITH e AS (SELECT min(vec_id) AS vec_id, v FROM (
       |       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |     GROUP BY v),
+      |bt AS (SELECT min(b) AS bits
+      |       FROM (SELECT unnest(generate_series(8, 24)) AS b) bs
+      |       WHERE (CAST(32 AS BIGINT) << b) >= (SELECT count(*) FROM embeddings)),
       |pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
       |        CAST(((1103*(p*64+d)+12289) % 8191) - 4095 AS DOUBLE)) AS w
-      |       FROM (SELECT unnest(generate_series(0, 63)) AS p) ps),
-      |bk AS (SELECT e.vec_id, p // 8 AS tbl,
-      |        sum(CASE WHEN list_dot_product(v, w) >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
-      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // 8),
+      |       FROM (SELECT unnest(generate_series(0,
+      |         8 * (SELECT bits FROM bt) - 1)) AS p) ps),
+      |bk AS (SELECT e.vec_id, p // (SELECT bits FROM bt) AS tbl,
+      |        sum(CASE WHEN list_dot_product(v, w) >= 0
+      |            THEN CAST(1 AS BIGINT) << (p % (SELECT bits FROM bt))
+      |            ELSE 0 END) AS bucket
+      |       FROM e CROSS JOIN pl GROUP BY e.vec_id, p // (SELECT bits FROM bt)),
       |pool AS (SELECT tbl, bucket, vec_id FROM (
       |          SELECT tbl, bucket, vec_id,
       |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id)

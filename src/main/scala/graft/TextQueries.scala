@@ -891,6 +891,14 @@ object TextQueries {
     // whole query is now a single scan -> project -> sort: zero
     // joins, zero aggregations, nothing shuffles but the final
     // (small-row) ordering.
+    // ORACLE VALIDITY DOMAIN (the gram expressions' standing
+    // precondition, restated here because RepetitionStatsExpr changes
+    // token identity): the native pass tokenizes by an ASCII byte walk
+    // with FNV-64 token codes, while the SQL oracle lower()+regexps
+    // Unicode strings — equivalent on ASCII corpora (this one) but NOT
+    // in general (e.g. U+212A KELVIN SIGN lowercases to 'k' in the SQL
+    // path yet is a separator byte-wise), and modulo 64-bit hash
+    // collisions between distinct tokens (negligible per-doc).
     val st = org.apache.spark.sql.GraftBridge.column(
       graft.functions.RepetitionStatsExpr(
         org.apache.spark.sql.GraftBridge.expression(col("text"))))

@@ -82,12 +82,23 @@ object HnswLite {
     * rank shuffle PER LEVEL, the dominant cost the r8 sf1 probe
     * measured at 22 s). Both vectors drop before the shuffle; nv
     * re-attaches with one keyed join of n·b rows against `nodes`.
+    *
+    * `smallEdges` (r10, the sf100 fix): an edge frame is level-sized —
+    * n/fanout rows at the bottom, shrinking by fanout per level — and
+    * at every probed scale the frames the route chain joins are ≤
+    * corpus/16 rows. Broadcasting them makes the beam join MAP-SIDE:
+    * without the hint the planner shuffle-joins, re-exchanging the
+    * n·beam beam rows WITH their ~550 B vectors on every level (the
+    * r9 sf100 probe's 9.6× constant lived exactly here — 8M beam rows
+    * × 3 levels of payload re-shuffle). The caller gates the hint on
+    * the edge frame's KNOWN row count (sizes(j)), not a guess.
     */
   private def descend(beam: DataFrame, edges: DataFrame, b: Int,
-      nodes: DataFrame): DataFrame = {
+      nodes: DataFrame, smallEdges: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("nid")).orderBy(col("dd"), col("ccid"))
-    val picked = beam.join(edges.select(col("parent").as("pid"), col("cid").as("ccid"),
-        col("cv").as("ccv")), Seq("pid"))
+    val e = edges.select(col("parent").as("pid"), col("cid").as("ccid"),
+      col("cv").as("ccv"))
+    val picked = beam.join(if (smallEdges) broadcast(e) else e, Seq("pid"))
       .withColumn("dd", d2(col("nv"), col("ccv")))
       .select(col("nid"), col("ccid"), col("dd"))
       .withColumn("rk", row_number().over(w))
@@ -150,8 +161,12 @@ object HnswLite {
         beamFromSmall(nodes, topCand, routeBeam)
           .localCheckpoint(eager = true)
       }
+      // edge frames are level-sized (sizes(jj) rows): broadcast while
+      // they fit comfortably (≤ 2^18 rows ≈ 140 MB of doubles); past
+      // that the shuffle join is the honest plan on a real cluster
       for (jj <- m - 2 to target by -1)
-        beam = descend(beam, edges(jj), if (jj == target) 1 else routeBeam, nodes)
+        beam = descend(beam, edges(jj), if (jj == target) 1 else routeBeam,
+          nodes, smallEdges = sizes(jj) <= (1L << 18))
       val assigned = timed("  route: descend chain") {
         beam.select(col("nid"), col("nv"), col("pid"))
           .localCheckpoint(eager = true)

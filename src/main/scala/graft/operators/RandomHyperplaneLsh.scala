@@ -114,22 +114,48 @@ object RandomHyperplaneLsh {
       threshold: Double, tables: Int = 8, bits: Int = 8, dim: Int = 64,
       bucketCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bk = bucketed(e, idCol, vecCol, tables, bits, dim)
+    import org.apache.spark.sql.GraftBridge
+    // PACKED-POOL scoring (r10, forced by the sf100 probe): the bucket
+    // pool (≤ bucketCap lowest-id members, float vector + precomputed
+    // norm each) packs into ONE ROW PER (tbl, bucket), so the
+    // candidate "join" is 1:1 — each probe row meets exactly one
+    // packed row, and LshPoolMatchesExpr loops the members in-task.
+    // The previous in-join scoring still materialized a ~600 B joined
+    // row per candidate BEFORE the cosine filter: on this corpus's
+    // hot buckets (clustered embeddings concentrate 20-75k vectors
+    // per key regardless of bits — measured by ScaleDiag at sf100)
+    // that was 3.2G candidate rows ≈ 1.9 TB of row churn, 251-463 s
+    // for ~200 GFLOP of math. Packed, the same candidates cost one
+    // widened-float fused loop each and only threshold-PASSING pairs
+    // become rows. Float carry is value-exact for this float32-origin
+    // corpus, and na·nb is the oracle's sqrt(dot)·sqrt(dot) sequence.
+    val codes = GraftBridge.column(
+      graft.functions.HyperplaneBucketsExpr(
+        GraftBridge.expression(col(vecCol)), tables, bits, dim))
+    val bk = e.select(col(idCol),
+      col(vecCol).cast("array<float>").as("vf"),
+      VectorOps.norm(col(vecCol)).as("nrm"),
+      posexplode(codes).as(Seq("tbl", "bucket")))
     val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
-    val pool = bk.withColumn("prn", row_number().over(wB))
+    // the groupBy reuses the window's (tbl, bucket) exchange — packing
+    // adds no shuffle; collect_list order is the sorted window output
+    // (irrelevant anyway: every member is scored)
+    val packed = bk.withColumn("prn", row_number().over(wB))
       .filter(col("prn") <= bucketCap)
-      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"),
-        col("v").as("va"))
-    val probe = bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
-      col("v").as("vb"))
-    pool.join(probe, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(VectorOps.dot(col("va"), col("vb")) /
-          (sqrt(VectorOps.dot(col("va"), col("va"))) *
-            sqrt(VectorOps.dot(col("vb"), col("vb")))), 4) + lit(0.0))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("vf"),
+        col("nrm"))).as("pool"))
+    val matches = GraftBridge.column(graft.functions.LshPoolMatchesExpr(
+      GraftBridge.expression(col("vb")), GraftBridge.expression(col("nb")),
+      GraftBridge.expression(col("id_b")), GraftBridge.expression(col("pool")),
+      threshold - 1e-4))
+    bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
+        col("vf").as("vb"), col("nrm").as("nb"))
+      .join(packed, Seq("tbl", "bucket"))
+      .select(col("id_b"), explode(matches).as("m"))
+      .select(col("m.id_a").as("id_a"), col("id_b"),
+        (round(col("m.cos"), 4) + lit(0.0)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
       .distinct()
       .transform(df => graft.QueryShape.stagedSort(df, col("id_a"), col("id_b")))
   }
@@ -214,8 +240,14 @@ object RandomHyperplaneLsh {
     // at sf100 the un-reaped base-build + prior-round files (tens of
     // GB) accumulated into "No space left on device" mid-query. One
     // driver GC per refinement round is Spark's own periodicGC move,
-    // bounded and cluster-safe.
-    System.gc()
+    // bounded and cluster-safe. Gated on edge count (cheap — e is an
+    // eager local checkpoint, the count scans cached blocks): below 1M
+    // edges the upstream shuffle files are small and a forced full GC
+    // is pure driver pause (sf1 runs, spec/probe callers); the sf100
+    // disk blow-up this guards against starts at ~6M edges. Caveat:
+    // under -XX:+DisableExplicitGC this is a silent no-op — on such a
+    // deployment rely on spark.cleaner.periodicGC.interval instead.
+    if (e.count() >= 1_000_000L) System.gc()
     val und = e.select(col("qid"), col("nid"))
       .union(e.select(col("nid").as("qid"), col("qid").as("nid")))
     // IN-JOIN scoring here too (r9 sf100): each side of the
@@ -255,8 +287,11 @@ object RandomHyperplaneLsh {
       .select(col("mid"), col("nid"), col("nv"), col("nn"))
     val scored = aSide.join(bSide, Seq("mid"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
-        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
+      // float-native dot (r10): DotProductExpr widens per element —
+      // bit-identical to the double-cast form without the per-row
+      // Cast allocating two 512 B arrays per candidate
+      .withColumn("cos", VectorOps.dot(col("qv"), col("nv")) /
+        (col("qn") * col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
       .distinct()
       .join(e.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
@@ -342,8 +377,9 @@ object RandomHyperplaneLsh {
     // exact re-rank.
     probe.join(pool, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", VectorOps.dot(col("qv").cast("array<double>"),
-        col("nv").cast("array<double>")) / (col("qn") * col("nn")))
+      // float-native dot (r10) — no per-candidate Cast allocation
+      .withColumn("cos", VectorOps.dot(col("qv"), col("nv")) /
+        (col("qn") * col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
       .withColumn("prn0", row_number().over(w))
       .filter(col("prn0") <= k * tables)

@@ -55,7 +55,8 @@ object ScaleDiag {
         .as(Seq("b", "v")))
       stats(blocks.groupBy(col("b"), col("v")).agg(count(lit(1)).as("df")),
         "16-bit block keys")
-      // new 21-22-bit piece-pair keys
+      // r8-r9 6-piece layout (21-22-bit piece-pair keys), kept for
+      // side-by-side concentration comparison with the shipped 5-piece
       val pieces = sigs.withColumn("p", expr(
         "array(simhash & 2047, shiftright(simhash, 11) & 2047, " +
           "shiftright(simhash, 22) & 2047, shiftright(simhash, 33) & 2047, " +
@@ -68,9 +69,9 @@ object ScaleDiag {
       }: _*)).as("pk")).select(col("pk.tbl").as("tbl"), col("pk.key").as("key"))
       stats(keyed.groupBy(col("tbl"), col("key")).agg(count(lit(1)).as("df")),
         "piece-pair keys")
-      // candidate 5-piece layout: 13/13/13/13/12-bit pieces, C(5,2)=10
-      // pair tables with ~26-bit keys (d<=3 leaves >=2 clean pieces ->
-      // >=1 clean pair, same pigeonhole completeness)
+      // SHIPPED (r10) 5-piece layout: 13/13/13/13/12-bit pieces,
+      // C(5,2)=10 pair tables with ~26-bit keys (d<=3 leaves >=2 clean
+      // pieces -> >=1 clean pair, same pigeonhole completeness)
       val pieces5 = sigs.withColumn("p", expr(
         "array(simhash & 8191, shiftright(simhash, 13) & 8191, " +
           "shiftright(simhash, 26) & 8191, shiftright(simhash, 39) & 8191, " +
@@ -219,11 +220,14 @@ object ScaleDiag {
         .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
         .select(col("vec_id"), col("v"))
       println(s"[diag] embedding reps=${e.count()}")
+      // SPARK_GRAFT_DIAG_BITS overrides the per-table width so the
+      // bits-vs-concentration tradeoff is measurable side by side
+      val bits = sys.env.getOrElse("SPARK_GRAFT_DIAG_BITS", "8").toInt
       val bk = graft.operators.RandomHyperplaneLsh
-        .bucketed(e, "vec_id", "v", tables = 8, bits = 8, dim = 64)
+        .bucketed(e, "vec_id", "v", tables = 8, bits = bits, dim = 64)
         .select(col("tbl"), col("bucket"))
       stats(bk.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("df")),
-        "lsh (tbl,bucket) keys")
+        s"lsh (tbl,bucket) keys bits=$bits")
     }
     spark.stop()
   }

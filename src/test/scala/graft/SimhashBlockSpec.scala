@@ -3,21 +3,27 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The C3 candidate filter's completeness contract: the Manku
-  * 6-piece/15-pair index must admit EVERY signature pair at hamming
-  * distance ≤ 3 (so the query's output equals the oracle's 4-block
+  * 5-piece/10-pair index must admit EVERY signature pair at hamming
+  * distance ≤ 3 (so the query's output equals the oracle's block
   * formulation exactly), and the d = 3 bound is tight for the piece
-  * count — 5 flips across 5 distinct pieces leave no clean pair.
+  * count — 4 flips across 4 distinct pieces leave no clean pair.
+  *
+  * (r10 layout change: 6 pieces/15 tables of 21-22-bit keys → 5
+  * pieces/10 tables of ≤ 26-bit keys. Same pigeonhole argument — ≤ 3
+  * flipped pieces out of 5 leave ≥ 2 intact, and any 2 intact pieces
+  * form an indexed pair — with 2/3 the explode volume and ~16-32×
+  * sparser keys, pushing the cap-transition regime a decade out.)
   */
 class SimhashBlockSpec extends AnyFunSuite {
 
-  /** The exact piece layout dedup_simhash keys on: 4×11 + 2×10 bits. */
+  /** The exact piece layout dedup_simhash keys on: 4×13 + 1×12 bits. */
   private def pieces(sig: Long): Array[Long] = Array(
-    (sig >> 0) & 2047, (sig >> 11) & 2047, (sig >> 22) & 2047,
-    (sig >> 33) & 2047, (sig >> 44) & 1023, (sig >> 54) & 1023)
+    (sig >> 0) & 8191, (sig >> 13) & 8191, (sig >> 26) & 8191,
+    (sig >> 39) & 8191, (sig >> 52) & 4095)
 
   private def sharesPair(a: Long, b: Long): Boolean = {
     val (pa, pb) = (pieces(a), pieces(b))
-    (for { p <- 0 until 6; q <- (p + 1) until 6 }
+    (for { p <- 0 until 5; q <- (p + 1) until 5 }
       yield pa(p) == pb(p) && pa(q) == pb(q)).exists(identity)
   }
 
@@ -37,19 +43,28 @@ class SimhashBlockSpec extends AnyFunSuite {
     (0 until 1000).foreach { _ =>
       val a = rnd.nextLong()
       val p = pieces(a)
-      val back = (p(0) & 2047) | ((p(1) & 2047) << 11) | ((p(2) & 2047) << 22) |
-        ((p(3) & 2047) << 33) | ((p(4) & 1023) << 44) | ((p(5) & 1023) << 54)
+      val back = (p(0) & 8191) | ((p(1) & 8191) << 13) | ((p(2) & 8191) << 26) |
+        ((p(3) & 8191) << 39) | ((p(4) & 4095) << 52)
       assert(back == a, f"piece layout must cover all 64 bits: $a%x -> $back%x")
     }
   }
 
-  test("d = 3 is the tight bound: 5 flips in 5 distinct pieces miss") {
-    // flip the low bit of pieces 0..4 — only piece 5 stays clean, so
+  test("d = 3 is the tight bound: 4 flips in 4 distinct pieces miss") {
+    // flip the low bit of pieces 0..3 — only piece 4 stays clean, so
     // no clean PAIR exists and the candidate filter (correctly, by
     // contract) does not admit the pair
     val a = 0L
-    val b = (1L << 0) ^ (1L << 11) ^ (1L << 22) ^ (1L << 33) ^ (1L << 44)
-    assert(java.lang.Long.bitCount(a ^ b) == 5)
+    val b = (1L << 0) ^ (1L << 13) ^ (1L << 26) ^ (1L << 39)
+    assert(java.lang.Long.bitCount(a ^ b) == 4)
     assert(!sharesPair(a, b))
+  }
+
+  test("3 flips concentrated in 3 distinct pieces still collide") {
+    // the worst d = 3 spread for a 5-piece layout: exactly 2 intact
+    // pieces remain and exactly ONE table (their pair) catches it
+    val a = 0L
+    val b = (1L << 0) ^ (1L << 13) ^ (1L << 26)
+    assert(java.lang.Long.bitCount(a ^ b) == 3)
+    assert(sharesPair(a, b))
   }
 }
