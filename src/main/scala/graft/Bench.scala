@@ -101,7 +101,7 @@ object Bench {
     val sb = new StringBuilder
     ordered.foreach { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to trials).flatMap { _ =>
+      def trial(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           exhaust(fn(spark, sfDir))
@@ -113,6 +113,15 @@ object Bench {
             None
         }
       }
+      var times = (1 to trials).flatMap(_ => trial())
+      // HEAVY keys get 5-trial medians (VERDICT r9 ask #9: the >2 s
+      // keys are where round-over-round regressions are decided, and
+      // their 3-trial medians moved ~25% on overlapping spreads —
+      // undecidable). Only in the standard 3-trial run: explicit
+      // SPARK_GRAFT_TRIALS settings (probes, quick checks) are
+      // respected as-is.
+      if (trials == 3 && times.nonEmpty && median(times) > 2.0)
+        times = times ++ (1 to 2).flatMap(_ => trial())
       // Between queries, nudge the JVM so Spark's ContextCleaner can
       // drop checkpoint blocks whose owners (e.g. finished ECS worlds)
       // are no longer referenced — within-suite residue control.
@@ -204,8 +213,8 @@ object Bench {
       .map { case (k, (med, mn, mx)) =>
         "\"" + k + "\":[" + fmt(med) + "," + fmt(mn) + "," + fmt(mx) + "]"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":$trials,"isolation":"jvm-per-suite","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":"$trials (+2 for keys >2s)","isolation":"jvm-per-suite","queries":$qs,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":"$trials (+2 for keys >2s)","isolation":"jvm-per-suite","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
     // full artifact: untracked target/ copy AND the tracked bench/ copy
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
     Seq("target/bench_full.json", "bench/bench_full_latest.json").foreach { p =>

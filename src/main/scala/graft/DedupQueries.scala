@@ -351,27 +351,50 @@ object DedupQueries {
     // BOUNDED pool per (tbl, key) — the r8 sf10 diagnostic measured
     // sum(df^2) = 49G over piece-pair keys on the 500k-doc corpus
     // (statistically-twinned same-language docs concentrate even
-    // 21-bit keys: max df 80k), so the uncapped join is quadratic in
-    // practice. A pair survives iff its LOWER id ranks <= 256 in some
-    // shared key (within one key b in pool => a in pool); the rank is
-    // deterministic and replayed by the oracle, capped volume is
-    // sum(df*min(df,256)) = 1.35G at sf10 vs 49G uncapped. Pairs in
-    // the capped blind spot are mass near-dup families - C1/C2's
-    // regime, the same contract as winnowing's maxDf.
+    // wide keys: max df 431k at sf100 for 26-bit keys), so the
+    // uncapped join is quadratic in practice. A pair survives iff its
+    // LOWER id ranks <= cap in some shared key (within one key b in
+    // pool => a in pool); the rank is deterministic and replayed by
+    // the oracle. Pairs in the capped blind spot are mass near-dup
+    // families — C1/C2's regime, the same contract as winnowing's
+    // maxDf.
+    //
+    // PACKED-POOL + CANONICAL-TABLE emission (r10, the dedup_embedding
+    // treatment — forced by the sf100 probe, where the plain (tbl,key)
+    // equi-join materialized ~10G candidate joined rows and hot keys
+    // serialized into single SMJ key-group tasks, 157 s): the pool
+    // packs ONE ROW PER KEY (24 B members), each probe row meets
+    // exactly one packed row map-side, SimhashPoolMatchesExpr runs the
+    // xor+popcount loop in-task, and a pair emits only at its first
+    // shared-pooled table — no distinct over the emitted set, no
+    // duplicate scoring, and a 431k-row hot key costs one streamed
+    // 6 KB broadcast-equivalent row instead of one straggler task.
+    // Output set == the old distinct pool join's
+    // (SimhashPackedParitySpec pins it with a binding cap).
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tbl"), col("key")).orderBy(col("doc_id"))
-    val a = keyed.withColumn("prn", row_number().over(wK))
+    val pooled = keyed.withColumn("prn", row_number().over(wK))
       .filter(col("prn") <= cap)
-      .select(col("tbl"), col("key"),
-        col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = keyed.select(col("tbl"), col("key"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("tbl", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
+      .drop("prn")
+      .localCheckpoint(true)
+    val mask = pooled.groupBy(col("doc_id"))
+      .agg(bit_or(expr("shiftleft(1L, tbl)")).as("poolmask"))
+    val packed = pooled.join(broadcast(mask), Seq("doc_id"))
+      .groupBy(col("tbl"), col("key"))
+      .agg(collect_list(struct(col("doc_id").as("id"),
+        col("simhash").as("sig"), col("poolmask"))).as("pool"))
+    val matches = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SimhashPoolMatchesExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("sh_b")),
+        org.apache.spark.sql.GraftBridge.expression(col("id_b")),
+        org.apache.spark.sql.GraftBridge.expression(col("tbl")),
+        org.apache.spark.sql.GraftBridge.expression(col("pool")), 3))
+    keyed.select(col("tbl"), col("key"), col("doc_id").as("id_b"),
+        col("simhash").as("sh_b"))
+      .join(packed, Seq("tbl", "key"))
+      .select(col("id_b"), explode(matches).as("m"))
+      .select(col("m.id_a").as("id_a"), col("id_b"),
+        col("m.hamming").as("hamming"))
   }
 
   private val dedupSimhashSql = {

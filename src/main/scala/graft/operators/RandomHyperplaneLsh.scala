@@ -129,34 +129,54 @@ object RandomHyperplaneLsh {
     // widened-float fused loop each and only threshold-PASSING pairs
     // become rows. Float carry is value-exact for this float32-origin
     // corpus, and na·nb is the oracle's sqrt(dot)·sqrt(dot) sequence.
-    val codes = GraftBridge.column(
+    val codesCol = GraftBridge.column(
       graft.functions.HyperplaneBucketsExpr(
         GraftBridge.expression(col(vecCol)), tables, bits, dim))
     val bk = e.select(col(idCol),
       col(vecCol).cast("array<float>").as("vf"),
       VectorOps.norm(col(vecCol)).as("nrm"),
-      posexplode(codes).as(Seq("tbl", "bucket")))
+      codesCol.as("codes"))
+      .select(col(idCol), col("vf"), col("nrm"), col("codes"),
+        posexplode(col("codes")).as(Seq("tbl", "bucket")))
     val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol))
+    // pooled rows materialize once (they feed both the poolmask agg
+    // and the packing — unmaterialized, the window would execute
+    // twice); at cluster scale this is a persist of n·tables rows
+    val pooled = bk.withColumn("prn", row_number().over(wB))
+      .filter(col("prn") <= bucketCap)
+      .drop("prn")
+      .localCheckpoint(true)
+    // poolmask: bit t set = the id is inside table t's capped pool (of
+    // whatever bucket it lands in there). Small frame (one row per
+    // id), broadcast back into the packing so no second exchange of
+    // the vector-carrying pooled rows is needed.
+    val mask = pooled.groupBy(col(idCol))
+      .agg(bit_or(expr("shiftleft(1L, tbl)")).as("poolmask"))
     // the groupBy reuses the window's (tbl, bucket) exchange — packing
     // adds no shuffle; collect_list order is the sorted window output
     // (irrelevant anyway: every member is scored)
-    val packed = bk.withColumn("prn", row_number().over(wB))
-      .filter(col("prn") <= bucketCap)
+    val packed = pooled.join(broadcast(mask), Seq(idCol))
       .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(struct(col(idCol).as("id"), col("vf"),
-        col("nrm"))).as("pool"))
+        col("nrm"), col("codes"), col("poolmask"))).as("pool"))
     val matches = GraftBridge.column(graft.functions.LshPoolMatchesExpr(
       GraftBridge.expression(col("vb")), GraftBridge.expression(col("nb")),
-      GraftBridge.expression(col("id_b")), GraftBridge.expression(col("pool")),
+      GraftBridge.expression(col("id_b")), GraftBridge.expression(col("cb")),
+      GraftBridge.expression(col("tbl")), GraftBridge.expression(col("pool")),
       threshold - 1e-4))
+    // CANONICAL-TABLE emission inside the expression means every
+    // unordered pair surfaces exactly once across the 8-table fan-out
+    // — no distinct over the (at decade 4: hundreds of millions of
+    // rows) emitted pair set, and no duplicate scoring of cross-table
+    // collisions. The emitted set equals the old distinct's set;
+    // LshRecallSpec pins the equivalence against a naive pool join.
     bk.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
-        col("vf").as("vb"), col("nrm").as("nb"))
+        col("vf").as("vb"), col("nrm").as("nb"), col("codes").as("cb"))
       .join(packed, Seq("tbl", "bucket"))
       .select(col("id_b"), explode(matches).as("m"))
       .select(col("m.id_a").as("id_a"), col("id_b"),
         (round(col("m.cos"), 4) + lit(0.0)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
       .transform(df => graft.QueryShape.stagedSort(df, col("id_a"), col("id_b")))
   }
 

@@ -98,6 +98,59 @@ class AnnRecallFloorSpec extends SparkSpec {
         "0.7 contract on a planted-cluster corpus")
   }
 
+  test("knn_hnsw: the query's own recall contract holds on planted clusters") {
+    // D12 end-to-end on the registry corpus: the layered-pivot beam
+    // search must keep its in-query recall gate (avg recall@3 vs brute
+    // force >= 0.7) on data with real cluster structure, not just the
+    // 50k planted one-off in HnswLiteSpec.
+    val row = SimilarityQueries.queries("knn_hnsw")(spark, corpusDir)
+      .collect().head
+    assert(row.getAs[Long]("n_queries") == 11L)
+    assert(row.getAs[Boolean]("hnsw_recall_ok"),
+      "HNSW-lite recall vs brute force fell below the 0.7 contract on " +
+        "a planted-cluster corpus")
+  }
+
+  test("knn_binary_hamming: recall@5 >= 0.65 vs brute force on planted clusters") {
+    // D18 end-to-end: the 64-bit sign-code Hamming prefilter (top-50)
+    // + exact re-rank — the one-off spec only pinned Hamming-0 mates.
+    // The floor is 0.65, NOT the 0.85 of the finer tiers, and that is
+    // the operator's honest behavior, not slack: on tight planted
+    // clusters (500 members sharing nearly every sign bit) hundreds of
+    // candidates TIE at hamming ≈ 0, the top-50 tie-breaks by id, and
+    // the code simply cannot rank inside a cluster — the documented
+    // saturation regime of 1-bit-per-dimension codes (measured 0.6909
+    // here, deterministic). Regressions below 0.65 mean the code or
+    // re-rank broke, not the tie-break.
+    val got = SimilarityQueries.queries("knn_binary_hamming")(spark, corpusDir)
+      .select(col("qid"), col("nid")).localCheckpoint(true)
+    val probes = vecs.filter(col("vec_id") <= 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val exact = bruteTopK(probes, 5).localCheckpoint(true)
+    val recall = got.join(exact, Seq("qid", "nid")).count().toDouble /
+      exact.count()
+    info(f"knn_binary_hamming recall@5: $recall%.4f")
+    assert(recall >= 0.65,
+      f"binary-Hamming recall@5 $recall%.4f fell below the 0.65 floor")
+  }
+
+  test("knn_two_stage_rerank: recall@10 >= 0.85 vs brute force on planted clusters") {
+    // D26 end-to-end: the int8-reconstruction shortlist (32) + exact
+    // re-rank must recover the true top-10 on clustered data.
+    val got = SimilarityQueries.queries("knn_two_stage_rerank")(spark, corpusDir)
+      .select(col("qid"), col("nid")).localCheckpoint(true)
+    val probes = vecs.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val exact = bruteTopK(probes, 10).localCheckpoint(true)
+    val recall = got.join(exact, Seq("qid", "nid")).count().toDouble /
+      exact.count()
+    info(f"knn_two_stage_rerank recall@10: $recall%.4f")
+    assert(recall >= 0.85,
+      f"two-stage-rerank recall@10 $recall%.4f fell below the 0.85 floor")
+  }
+
   test("residual-PQ LUT: approx_ip reconstructs q·c + <q-c, x-c> exactly when codes are exact") {
     // VERDICT r8 ask #4: the residual encoding itself was gated only
     // by the recall floor. Plant a corpus where PQ reconstruction is

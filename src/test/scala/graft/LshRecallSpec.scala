@@ -84,4 +84,61 @@ class LshRecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@5 $mean < 0.8 (per-query: $recalls)")
   }
+
+  test("canonical-table emission == naive distinct pool join (and truly duplicate-free)") {
+    // The r10 packed-pool rewrite emits each pair exactly once (at its
+    // first shared-pooled table) instead of distinct-ing the 8-table
+    // fan-out. This pins the equivalence against a naive reference
+    // built from the same primitives: bucket codes via
+    // HyperplaneBucketsExpr, pool = lowest-cap ids per (tbl, bucket),
+    // pair survives iff some shared bucket pools its lower id. A tiny
+    // cap (4) on a clustered corpus forces the cap to BIND, so the
+    // poolmask logic is exercised where membership differs per table.
+    val rows = for { c <- 0 until 10; m <- 0 until 40 } yield {
+      val id = (c * 40 + m).toLong
+      val center = randVec(c + 7000L)
+      (id, if (m == 0) center else nearDup(center, id + 90000L))
+    }
+    val e = rows.toDF("vec_id", "v")
+    val (tables, bits, cap, thr) = (8, 8, 4, 0.2)
+
+    val got = RandomHyperplaneLsh
+      .nearDupPairs(e, "vec_id", "v", threshold = thr, tables = tables,
+        bits = bits, dim = dim, bucketCap = cap)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // duplicate-free by construction — canonical emission's whole point
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      "canonical emission produced duplicate pairs")
+
+    // naive reference: explode all tables, pool by rank, join, distinct
+    import org.apache.spark.sql.expressions.Window
+    val codes = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HyperplaneBucketsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("v")),
+        tables, bits, dim))
+    val bk = e.select(col("vec_id"), col("v"),
+      posexplode(codes).as(Seq("tbl", "bucket")))
+    val wB = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+    val pool = bk.withColumn("prn", row_number().over(wB))
+      .filter(col("prn") <= cap)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+    val want = pool.join(bk.select(col("tbl"), col("bucket"),
+        col("vec_id").as("id_b"), col("v").as("vb")), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        (round(VectorOps.cosine(col("va"), col("vb")), 4) + lit(0.0)))
+      .filter(col("cos_sim") >= thr)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(want.nonEmpty, "fixture produced no pairs — the test is vacuous")
+    assert(got.toSet == want.toSet,
+      s"canonical emission diverged from the naive distinct pool join: " +
+        s"only-got=${(got.toSet -- want.toSet).take(5)} " +
+        s"only-want=${(want.toSet -- got.toSet).take(5)}")
+  }
 }

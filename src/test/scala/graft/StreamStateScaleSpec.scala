@@ -98,4 +98,84 @@ class StreamStateScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("G20 CDC maintainer at 10M keys on RocksDB: flat per-batch latency curve") {
+    // VERDICT r9 ask #8 — the decade-up: 10 load batches of 1M keys
+    // each grow state 1M → 10M, then a 10⁵-key delta lands on the full
+    // 10⁷-key store. The measured PER-BATCH LATENCY CURVE is the
+    // point: if batch time grows with STATE SIZE (not batch size), the
+    // maintainer is sweeping state instead of point-updating it, and
+    // changelog/checkpoint config starts to matter a decade early.
+    // Sink is noop — correctness at cardinality is already pinned by
+    // the 1M test above; this one gates the scale properties, so the
+    // driver holds at most the MemoryStream's retained batches
+    // (~10M small case objects ≈ 1.5 GB — inside the 8g test heap).
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Graft.RocksDbProvider)
+    val keys10m = 10000000L
+    val batchKeys = 1000000
+    val input = MemoryStream[CdcEvent]
+    val q = StreamQueries.cdcApplyStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("noop").start()
+    try {
+      val loadTimes = (0 until 10).map { b =>
+        val base = b.toLong * batchKeys
+        input.addData((0 until batchKeys).map { i =>
+          val k = base + i
+          CdcEvent(k, k, 1000L + (k % 7), "upsert", (k % 100).toDouble)
+        })
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val op = q.lastProgress.stateOperators.head
+        assert(op.numRowsTotal == base + batchKeys,
+          s"state after load batch $b: ${op.numRowsTotal}")
+        sec
+      }
+      info("load-batch latency curve (1M keys per batch, state 1M->10M): " +
+        loadTimes.map(t => f"$t%.1f").mkString(" "))
+      // flatness: the last batch works against 10x the state of the
+      // first — allow generous JVM/compaction noise, fail a sweep
+      // (which would be ~10x). Compare against the max of the first
+      // three so one slow warmup batch can't mask growth.
+      val early = loadTimes.take(3).max
+      assert(loadTimes.last <= early * 3.0,
+        f"per-batch latency grew with state size: first-three max " +
+          f"$early%.1f s -> last ${loadTimes.last}%.1f s")
+      import scala.jdk.CollectionConverters._
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb custom metrics, got ${metrics.keySet}")
+      info("rocksdb: " + metrics.asScala.toSeq.sortBy(_._1)
+        .filter { case (k, _) => k.contains("SstFile") || k.contains("Memtable") ||
+          k.contains("totalBytes") || k.contains("CommitLatency") }
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
+
+      // O(delta) on the full store: 10⁵ touched keys across the space
+      input.addData((0 until delta).map { i =>
+        val k = i.toLong * 100 // spread across all 10M keys
+        if (i % 2 == 0) CdcEvent(k, keys10m + i, 10000L, "upsert", 7.5)
+        else CdcEvent(k, keys10m + i, 10000L, "delete", 0.0)
+      })
+      val t1 = System.nanoTime()
+      q.processAllAvailable()
+      val deltaSec = (System.nanoTime() - t1) / 1e9
+      val op = q.lastProgress.stateOperators.head
+      assert(op.numRowsTotal == keys10m,
+        s"delta batch must not grow state: ${op.numRowsTotal}")
+      assert(op.numRowsUpdated == delta.toLong,
+        s"delta batch must touch exactly its keys: ${op.numRowsUpdated}")
+      val meanLoad = loadTimes.sum / loadTimes.size
+      info(f"delta batch (10^5 keys on 10^7-key state): $deltaSec%.1f s " +
+        f"vs mean load $meanLoad%.1f s")
+      assert(deltaSec <= meanLoad * 0.6,
+        f"delta batch ($deltaSec%.1f s) not O(delta) vs mean load " +
+          f"($meanLoad%.1f s) — point access regressed to a sweep")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
