@@ -1269,37 +1269,105 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTruth = truth.count()
-    // one banding pipeline for every config: key = (r, band_id)
-    val rs = Seq(4, 8, 16).toDF("r")
-    val bands = vals.crossJoin(broadcast(rs))
-      .groupBy(col("r"), col("doc_id"), expr("j DIV r").as("band_id"))
-      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
-    val cand = bands
-      .select(col("r"), col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
-      .join(bands.select(col("r"), col("band_id"), col("band_hash"),
-        col("doc_id").as("id_b")), Seq("r", "band_id", "band_hash"))
+    // —— signature-family collapse (r10, after the sf100 spill death:
+    // `No space left on device` with 67 GB free). Band hashes are pure
+    // functions of the 64-value minhash signature, so CANDIDACY is
+    // decided per SIGNATURE, not per doc: docs sharing a signature
+    // (short resampled docs concentrate onto few signatures) collide
+    // in every band of every r, and the old shape materialized those
+    // families' C(n,2) pairs through a distinct, three times over.
+    // Now (1) a family of n docs contributes C(n,2) to n_candidates
+    // in CLOSED FORM; (2) cross-family totals weight each (distinct)
+    // colliding rep pair by n_a·n_b — the band join runs over one rep
+    // per signature, where the degenerate mass is gone; (3) the
+    // windowed counters come from ONE id-bucket self-join (O(n·window)
+    // output, the truth join's own shape) whose per-r collision flags
+    // evaluate in-task over the 28 packed band hashes (zip_with ∘
+    // exists) — no quadratic pair set ever becomes rows. Bit-identical
+    // to the oracle's DISTINCT-pair counts: the decomposition is by
+    // pair identity (same-signature vs not), not an approximation.
+    val sigArr = vals.groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")
+        .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 28 band hashes packed one array per signature: slots 1-16 are
+    // r=4's 16 bands, 17-24 r=8's, 25-28 r=16's — the same
+    // xor((m_j·131 + j) mod p) fold over GLOBAL j the banding used.
+    val bhExpr = expr(
+      """concat(
+        |  transform(sequence(0, 15), b -> aggregate(sequence(b*4, b*4+3), 0L,
+        |    (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007))),
+        |  transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
+        |    (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007))),
+        |  transform(sequence(0, 3), b -> aggregate(sequence(b*16, b*16+15), 0L,
+        |    (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007))))"""
+        .stripMargin)
+    val fams = sigArr.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("nf"))
+      .withColumn("bh", bhExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val famClosed = fams
+      .agg(coalesce(sum(expr("nf * (nf - 1) DIV 2")), lit(0L)))
+      .collect()(0).getLong(0) // one scalar: Σ C(n_f, 2)
+    val famBands = fams.select(col("rep_id"), col("nf"),
+      posexplode(col("bh")).as(Seq("slot", "band_hash")))
+    val crossSums = famBands
+      .select(col("slot"), col("band_hash"), col("rep_id").as("id_a"),
+        col("nf").as("na"))
+      .join(famBands.select(col("slot"), col("band_hash"),
+        col("rep_id").as("id_b"), col("nf").as("nb")), Seq("slot", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("r"), col("id_a"), col("id_b")).distinct()
-    val out = cand
-      .withColumn("in_window", col("id_b") <= col("id_a") + windowW)
+      .withColumn("r", when(col("slot") < 16, 4L).when(col("slot") < 24, 8L)
+        .otherwise(16L))
+      .select(col("r"), col("id_a"), col("id_b"),
+        (col("na") * col("nb")).as("w"))
+      .distinct() // a rep pair colliding in several bands of one r counts once
+      .groupBy(col("r")).agg(sum(col("w")).as("cross_cand"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val docBh = sigArr.withColumn("bh", bhExpr).select(col("doc_id"), col("bh"))
+    val windFlags = docBh
+      .select(col("doc_id").as("id_a"), col("bh").as("bha"),
+        explode(array(expr(s"doc_id DIV $windowW"),
+          expr(s"doc_id DIV $windowW + 1"))).as("bkt"))
+      .join(docBh.select(col("doc_id").as("id_b"), col("bh").as("bhb"),
+        expr(s"doc_id DIV $windowW").as("bkt")), Seq("bkt"))
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + windowW)
+      .select(col("id_a"), col("id_b"),
+        expr("exists(zip_with(slice(bha, 1, 16), slice(bhb, 1, 16)," +
+          " (x, y) -> x = y), v -> v)").as("c4"),
+        expr("exists(zip_with(slice(bha, 17, 8), slice(bhb, 17, 8)," +
+          " (x, y) -> x = y), v -> v)").as("c8"),
+        expr("exists(zip_with(slice(bha, 25, 4), slice(bhb, 25, 4)," +
+          " (x, y) -> x = y), v -> v)").as("c16"))
+      .filter(col("c4") || col("c8") || col("c16"))
       .join(truth.withColumn("is_true", lit(1L)), Seq("id_a", "id_b"), "left")
-      .groupBy(col("r"))
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("in_window"), 1L).otherwise(0L)).as("n_window_candidates"),
-        sum(when(col("in_window") && col("is_true").isNotNull, 1L)
-          .otherwise(0L)).as("n_true_found"))
-      .withColumn("n_true_total", lit(nTruth))
-      .withColumn("recall",
-        when(lit(nTruth) === 0, 1.0)
-          .otherwise(round(col("n_true_found") / col("n_true_total"), 4)
-            + lit(0.0)))
-      .select((lit(64) / col("r")).cast("long").as("bands"),
-        col("r").cast("long").as("rows_per_band"), col("n_candidates"),
-        col("n_window_candidates"), col("n_true_found"),
-        col("n_true_total"), col("recall"))
+      .agg(
+        sum(when(col("c4"), 1L).otherwise(0L)).as("wc4"),
+        sum(when(col("c8"), 1L).otherwise(0L)).as("wc8"),
+        sum(when(col("c16"), 1L).otherwise(0L)).as("wc16"),
+        sum(when(col("c4") && col("is_true").isNotNull, 1L).otherwise(0L))
+          .as("tf4"),
+        sum(when(col("c8") && col("is_true").isNotNull, 1L).otherwise(0L))
+          .as("tf8"),
+        sum(when(col("c16") && col("is_true").isNotNull, 1L).otherwise(0L))
+          .as("tf16"))
+      .collect()(0) // one row of six counters
+    def cnt(i: Int): Long = if (windFlags.isNullAt(i)) 0L else windFlags.getLong(i)
+    val rows = Seq(4L, 8L, 16L).zipWithIndex.map { case (r, i) =>
+      val nTrue = cnt(i + 3)
+      val recall = if (nTruth == 0) 1.0
+      else BigDecimal(nTrue.toDouble / nTruth)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (64L / r, r, famClosed + crossSums.getOrElse(r, 0L), cnt(i), nTrue,
+        nTruth, recall)
+    }
+    val out = rows.toDF("bands", "rows_per_band", "n_candidates",
+      "n_window_candidates", "n_true_found", "n_true_total", "recall")
       .orderBy(col("rows_per_band"))
       .localCheckpoint(eager = true)
     vals.unpersist(false)
+    sigArr.unpersist(false)
+    fams.unpersist(false)
     digests.unpersist(false)
     truth.unpersist(false)
     out

@@ -45,18 +45,15 @@ object EcsQueries {
     override val priority = 1
     val components: Seq[ComponentMeta] = PosVel
     def process(df: DataFrame, dt: Double): DataFrame = {
-      val pairs = graft.operators.SpatialGrid.neighborPairs(
-        df, col("entity_id"), col("position__x"), col("position__y"), radius)
-      val sym = pairs.select(col("id_a").as("entity_id"), col("id_b").as("nb"))
-        .unionByName(pairs.select(col("id_b").as("entity_id"), col("id_a").as("nb")))
-      val nbrs = sym.join(
-        df.select(col("entity_id").as("nb"), col("position__x").as("nx"),
-          col("position__y").as("ny"), col("velocity__vx").as("nvx"),
-          col("velocity__vy").as("nvy")), Seq("nb"))
-        .groupBy(col("entity_id"))
-        .agg(count(lit(1)).as("n_nb"),
-          sum(col("nx")).as("sx"), sum(col("ny")).as("sy"),
-          sum(col("nvx")).as("svx"), sum(col("nvy")).as("svy"))
+      // r10: packed-pool neighbor sums replace the pair-materializing
+      // neighborPairs → symmetrize → attach-join → groupBy shape,
+      // which died on disk at sf100 (fixed-extent box: 10x points →
+      // ~100x true near-pairs → ~20G pair rows). neighborSums keeps
+      // the quadratic term in-task CPU and shuffles only O(points).
+      val nbrs = graft.operators.SpatialGrid.neighborSums(
+        df, col("entity_id"), col("position__x"), col("position__y"),
+        col("velocity__vx"), col("velocity__vy"), radius)
+        .withColumnRenamed("id", "entity_id")
       df.join(nbrs, Seq("entity_id"), "left")
         .withColumn("velocity__vx", when(col("n_nb").isNotNull,
             col("velocity__vx")

@@ -1017,18 +1017,25 @@ object PipelineQueries {
   // division. Docs with zero alphanumeric tokens have no margin and
   // drop from both engines identically.
   private def pipelineQualityCalibration(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
-      .withColumn("bucket", expr(
-        """aggregate(
-          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
-          |  CAST(7 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % 64)
-      .withColumn("w",
-        (((col("bucket") * col("bucket")) % 997L) * 7919L
-          + col("bucket") * 104729L + 65537L) % 1001L - 500L)
-    val margins = tok.groupBy(col("doc_id")).agg(sum(col("w")).as("margin"))
+    // r10: the margin is ROW-LOCAL — Σ_tokens w(bucket(tok)) ==
+    // Σ_b counts[b]·w(b) — so one native histogram pass
+    // (HashBucketCountsExpr, the oracle's own integer fold) plus a
+    // 64-slot SQL dot-product replaces the explode → groupBy(doc_id)
+    // shuffle whose 750M token rows spilled at sf100 (20.6x wall for
+    // 10x docs). The counts-sum > 0 filter keeps the explode shape's
+    // behavior of never emitting token-less docs into the deciles.
+    val margins = docs(s, dir)
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HashBucketCountsExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 64))
+        .as("cnts"))
+      .filter(expr("aggregate(cnts, 0L, (acc, c) -> acc + c) > 0"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc + element_at(cnts, b + 1) *
+          |    ((((CAST(b AS BIGINT) * b) % 997) * 7919
+          |      + b * 104729 + 65537) % 1001 - 500))""".stripMargin)
+        .as("margin"))
     val gate = docs(s, dir).select(col("doc_id"),
       length(col("text")).cast("long").as("len"),
       length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("punct"))

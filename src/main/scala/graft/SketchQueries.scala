@@ -170,16 +170,25 @@ object SketchQueries {
     val ev = Tables.load(s, dir, "events")
     val inA = col("event_type") === "click"
     val inB = col("event_type") === "purchase"
-    val agg = ev.filter(inA || inB).agg(
-      SketchAggregates.hll(when(inA, col("user_id"))).as("est_a"),
-      SketchAggregates.hll(when(inB, col("user_id"))).as("est_b"),
+    // One groupBy(user_id) replaces the three countDistincts (r10: the
+    // multi-distinct Expand multiplied 100M filtered events 4x into a
+    // spilling global distinct-agg at sf100 — 20.5x for 10x rows).
+    // HLL is set-semantic (duplicates leave the registers unchanged),
+    // so sketching the DISTINCT users yields bit-identical estimates,
+    // and the exact counts become plain sums over the grouped frame —
+    // one map-side-combined shuffle, no Expand, nothing spills.
+    val users = ev.filter(inA || inB).groupBy(col("user_id"))
+      .agg(max(when(inA, 1L).otherwise(0L)).as("a"),
+        max(when(inB, 1L).otherwise(0L)).as("b"))
+    val agg = users.agg(
+      SketchAggregates.hll(when(col("a") === 1L, col("user_id"))).as("est_a"),
+      SketchAggregates.hll(when(col("b") === 1L, col("user_id"))).as("est_b"),
       SketchAggregates.hll(col("user_id")).as("est_union"),
-      countDistinct(when(inA, col("user_id"))).as("exact_a"),
-      countDistinct(when(inB, col("user_id"))).as("exact_b"),
-      countDistinct(col("user_id")).as("exact_union"),
-      (countDistinct(when(inA, col("user_id"))) +
-        countDistinct(when(inB, col("user_id"))) -
-        countDistinct(col("user_id"))).as("exact_inter"))
+      sum(col("a")).as("exact_a"),
+      sum(col("b")).as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+        .as("exact_inter"))
     agg.select(
       col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
       (abs(col("est_a") - col("exact_a")) <= col("exact_a") * 0.05).as("a_ok"),

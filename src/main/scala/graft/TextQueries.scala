@@ -331,25 +331,23 @@ object TextQueries {
   // (ties to the lowest bucket via struct ordering), exact-integer
   // L2 norm. One explode + two hash aggs; fully oracle-replayed.
   private def textHashFeatures(s: SparkSession, dir: String): DataFrame = {
-    val buckets = 64
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
-      .withColumn("bucket", expr(
-        """aggregate(
-          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
-          |  CAST(7 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % buckets)
-    tok.groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nnz"),
-        sum(col("c")).as("n_tokens"),
-        min(struct((-col("c")).as("nc"), col("bucket").as("b"))).as("top"),
-        round(sqrt(sum(col("c") * col("c")).cast("double")), 4).as("l2"))
-      .select(col("doc_id"), col("nnz"), col("n_tokens"),
-        col("top.b").as("top_bucket"), (-col("top.nc")).as("top_count"),
-        col("l2"))
+    // r10: one native pass (HashFeaturesExpr — the oracle's own
+    // (acc·31+c) mod 1e9+7 mod 64 fold, ASCII-corpus precondition as
+    // for the gram expressions) replaces explode → groupBy(doc_id,
+    // bucket) → groupBy(doc_id): the 750M exploded token rows spilled
+    // through both shuffles at sf100 (15.4x wall for 10x docs). Now
+    // the only shuffle is the final small-row orderBy. The
+    // n_tokens > 0 filter reproduces the explode shape's behavior of
+    // never emitting token-less docs; l2 derives from the carried
+    // sum(c²) in SQL so the IEEE sqrt/round matches the oracle.
+    docs(s, dir)
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HashFeaturesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 64)).as("f"))
+      .filter(expr("f[1] > 0"))
+      .select(col("doc_id"), expr("f[0]").as("nnz"), expr("f[1]").as("n_tokens"),
+        expr("f[2]").as("top_bucket"), expr("f[3]").as("top_count"),
+        round(sqrt(expr("f[4]").cast("double")), 4).as("l2"))
       .orderBy(col("doc_id"))
   }
 

@@ -408,3 +408,147 @@ object RepetitionStatsExpr {
     new GenericArrayData(Array(ntok.toLong, nDistinct, topUni, topBi))
   }
 }
+
+/** Row-local hashed bag-of-words features for E15 (text_hash_features):
+  * one pass over the text replaces the explode → groupBy(doc_id,
+  * bucket) → groupBy(doc_id) shape whose 750M exploded token rows
+  * spilled through two shuffle levels at sf100 (15.4x wall for 10x
+  * docs). Tokens are lowercased [a-z0-9] byte runs and the bucket is
+  * the ORACLE'S OWN integer fold — ((acc·31 + c) mod 1e9+7) mod 64
+  * with acc seeded 7 — so results are bit-identical to the SQL twin
+  * on ASCII corpora (the gram expressions' standing precondition:
+  * SQL `lower`/`ascii` and the byte walk agree only on ASCII).
+  *
+  * Returns array<long>: [nnz, n_tokens, top_bucket, top_count,
+  * sum(c²)]; callers derive l2 = round(sqrt(sum c²), 4) in SQL so the
+  * IEEE rounding matches the oracle, and drop n_tokens == 0 docs (the
+  * explode shape never emitted them).
+  */
+case class HashFeaturesExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashFeaturesExpr.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashFeaturesExpr.compute($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashFeaturesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash_features"
+}
+
+object HashFeaturesExpr {
+
+  private final val Mod = 1000000007L
+
+  def compute(text: UTF8String, buckets: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val counts = new Array[Long](buckets)
+    var h = 7L
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      val b: Byte = if (i < n) bytes(i) else ' '.toByte
+      val lower: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok) {
+        if (!inTok) { h = 7L; inTok = true }
+        h = (h * 31L + (lower & 0xffL)) % Mod
+      } else if (inTok) {
+        counts((h % buckets).toInt) += 1L
+        inTok = false
+      }
+      i += 1
+    }
+    var nnz = 0L
+    var nTokens = 0L
+    var topBucket = 0L
+    var topCount = 0L
+    var sumSq = 0L
+    var bkt = 0
+    while (bkt < buckets) {
+      val c = counts(bkt)
+      if (c > 0L) {
+        nnz += 1L
+        nTokens += c
+        sumSq += c * c
+        if (c > topCount) { topCount = c; topBucket = bkt.toLong }
+      }
+      bkt += 1
+    }
+    new GenericArrayData(Array(nnz, nTokens, topBucket, topCount, sumSq))
+  }
+}
+
+/** 64-slot hashed token-bucket histogram for J17 — same tokenization
+  * and ((acc·31 + c) mod 1e9+7) mod `buckets` fold as
+  * [[HashFeaturesExpr]] (ASCII-corpus precondition likewise), but
+  * returns the raw counts array so callers can take EXACT integer
+  * dot-products against per-bucket weight functions in SQL:
+  * Σ_tokens w(bucket(tok)) == Σ_b counts[b]·w(b). Replaces J17's
+  * explode → groupBy(doc_id) margin shuffle (750M token rows spilling
+  * at sf100, 20.6x wall for 10x docs) with a scan-local pass.
+  */
+case class HashBucketCountsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashBucketCountsExpr.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashBucketCountsExpr.compute($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashBucketCountsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash_bucket_counts"
+}
+
+object HashBucketCountsExpr {
+
+  private final val Mod = 1000000007L
+
+  def compute(text: UTF8String, buckets: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val counts = new Array[Long](buckets)
+    var h = 7L
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      val b: Byte = if (i < n) bytes(i) else ' '.toByte
+      val lower: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok) {
+        if (!inTok) { h = 7L; inTok = true }
+        h = (h * 31L + (lower & 0xffL)) % Mod
+      } else if (inTok) {
+        counts((h % buckets).toInt) += 1L
+        inTok = false
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}

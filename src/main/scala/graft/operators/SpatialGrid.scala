@@ -30,6 +30,50 @@ object SpatialGrid {
     * doubles (products stay < 2^53), which is what the oracle relies
     * on.
     */
+  /** Per-point neighbor sums (count + Σx + Σy + Σvx + Σvy over all
+    * OTHER points within `radius`) without materializing the pair
+    * set. The flocking step needs only these sums, and in a
+    * fixed-extent box the true pair count grows quadratically with
+    * density — 15M entities at sf100 made ~20G pairs, which killed
+    * the pair-join on disk. Here cells pack into one pool row each
+    * (collect_list), pools join their 9-cell block pool-to-pool
+    * (O(cells·9) rows of ~cell-size arrays), and
+    * GridNeighborSumsExpr scans center x neighbor IN-TASK, emitting
+    * one partial per center point; the 9 partials of a cell collapse
+    * map-side in the final groupBy (same join key → same partition),
+    * so the only O(points)-scale shuffles carry ~50 B rows. The
+    * quadratic term is pure CPU — the shape that survives a decade-up.
+    * Sums are exact when coordinates/velocities are integer-valued
+    * doubles (the oracle's replay condition, as for neighborPairs).
+    */
+  def neighborSums(points: DataFrame, id: Column, x: Column, y: Column,
+      vx: Column, vy: Column, radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val pts = points.select(id.as("id"), x.as("x"), y.as("y"),
+        vx.as("vx"), vy.as("vy"))
+      .withColumn("cx", floor(col("x") / radius).cast("long"))
+      .withColumn("cy", floor(col("y") / radius).cast("long"))
+    val pools = pts.groupBy(col("cx"), col("cy"))
+      .agg(collect_list(struct(col("id"), col("x"), col("y"),
+        col("vx"), col("vy"))).as("pool"))
+    val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy)
+    val nbr = pools.select(col("pool").as("npool"),
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+      }: _*)).as("cell"))
+      .select(col("cell.cx"), col("cell.cy"), col("npool"))
+    val partial = pools.join(nbr, Seq("cx", "cy"))
+      .select(explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.GridNeighborSumsExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("pool")),
+          org.apache.spark.sql.GraftBridge.expression(col("npool")),
+          radius * radius))).as("p"))
+    partial.groupBy(col("p.id").as("id"))
+      .agg(sum(col("p.n")).as("n_nb"),
+        sum(col("p.sx")).as("sx"), sum(col("p.sy")).as("sy"),
+        sum(col("p.svx")).as("svx"), sum(col("p.svy")).as("svy"))
+  }
+
   def neighborPairs(points: DataFrame, id: Column, x: Column, y: Column,
       radius: Double): DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")

@@ -187,4 +187,33 @@ class NativeGramSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(native == hof)
   }
+
+  test("HashFeaturesExpr == explode -> two-level groupBy shape (64 buckets)") {
+    val hof = df
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
+      .withColumn("bucket", expr(
+        """aggregate(
+          |  transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+          |  CAST(7 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin) % 64)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"), sum(col("c")).as("n_tokens"),
+        min(struct((-col("c")).as("nc"), col("bucket").as("b"))).as("top"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("doc_id"), col("nnz"), col("n_tokens"),
+        col("top.b").as("top_bucket"), (-col("top.nc")).as("top_count"),
+        col("sumsq"))
+    val native = df
+      .select(col("doc_id"), GraftBridge.column(
+        HashFeaturesExpr(GraftBridge.expression(col("text")), 64)).as("f"))
+      .filter(expr("f[1] > 0"))
+      .select(col("doc_id"), expr("f[0]").as("nnz"), expr("f[1]").as("n_tokens"),
+        expr("f[2]").as("top_bucket"), expr("f[3]").as("top_count"),
+        expr("f[4]").as("sumsq"))
+    val h = hof.orderBy("doc_id").collect().map(_.toSeq)
+    val n = native.orderBy("doc_id").collect().map(_.toSeq)
+    assert(h.toSeq == n.toSeq)
+  }
 }

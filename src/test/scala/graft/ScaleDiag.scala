@@ -86,6 +86,41 @@ object ScaleDiag {
         "5-piece pair keys")
     }
 
+    if (what == "lshsweep") {
+      // C14 (dedup_lsh_sweep) sf100 post-mortem: the sweep died on
+      // spill (`No space left on device`, 67 GB free). The cost
+      // drivers are (a) identical-minhash-signature FAMILIES — a
+      // family of n docs collides in EVERY band of EVERY r, so it
+      // alone contributes C(n,2) distinct candidate pairs 3x — and
+      // (b) residual band-bucket skew among distinct signatures.
+      val reps = Tables.load(spark, dir, "documents")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      println(s"[diag] lshsweep reps=${reps.count()}")
+      val vals = DedupQueries.minhashValuesFor(reps)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // full-signature digest: order-canonical fold over (j, m)
+      val sig = vals.groupBy(col("doc_id"))
+        .agg(sum(expr("(m * (2*j + 17)) % 1000000007")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stats(sig.groupBy(col("sig")).agg(count(lit(1)).as("df")),
+        "exact-signature families")
+      val famReps = sig.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+      val rs = { import spark.implicits._; Seq(4, 8, 16).toDF("r") }
+      val bands = vals.crossJoin(broadcast(rs))
+        .groupBy(col("r"), col("doc_id"), expr("j DIV r").as("band_id"))
+        .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (r <- Seq(4, 8, 16)) {
+        stats(bands.filter(col("r") === r)
+          .groupBy(col("band_id"), col("band_hash")).agg(count(lit(1)).as("df")),
+          s"r=$r band buckets (all docs)")
+        stats(bands.filter(col("r") === r)
+          .join(famReps.select(col("doc_id")), Seq("doc_id"))
+          .groupBy(col("band_id"), col("band_hash")).agg(count(lit(1)).as("df")),
+          s"r=$r band buckets (family reps)")
+      }
+    }
+
     if (what == "minhash") {
       // C10 (dedup_minhash_est) cost drivers: band-bucket skew decides
       // the candidate join; |pairs| decides the est (×64) and exact

@@ -73,4 +73,41 @@ class SpatialGridSpec extends SparkSpec {
     val got = grid(pts, 3.0)
     assert(got.toSet == Set((1L, 2L, 0.0)))
   }
+
+  test("neighborSums matches brute-force sums on a seeded random cloud") {
+    // integer-valued coordinates/velocities → sums are order-exact,
+    // so set equality (not tolerance) is the right assertion
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 400L).map(i =>
+      (i, rnd.nextInt(150).toDouble, rnd.nextInt(150).toDouble,
+        rnd.nextInt(21).toDouble - 10.0, rnd.nextInt(21).toDouble - 10.0))
+    for (r <- Seq(6.0, 25.0)) {
+      val want = (for {
+        (ia, xa, ya, _, _) <- pts
+        nbs = pts.filter { case (ib, xb, yb, _, _) =>
+          ib != ia &&
+            (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= r * r
+        }
+        if nbs.nonEmpty
+      } yield (ia, nbs.size.toLong, nbs.map(_._2).sum, nbs.map(_._3).sum,
+        nbs.map(_._4).sum, nbs.map(_._5).sum)).toSet
+      val got = SpatialGrid.neighborSums(
+          pts.toDF("id", "x", "y", "vx", "vy"),
+          col("id"), col("x"), col("y"), col("vx"), col("vy"), r)
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+      assert(got == want, s"neighbor-sum mismatch at r=$r")
+    }
+  }
+
+  test("neighborSums: isolated point emits no row; co-located ids exclude self") {
+    val pts = Seq((1L, 0.0, 0.0, 1.0, 2.0), (2L, 0.0, 0.0, 3.0, 4.0),
+      (3L, 100.0, 100.0, 5.0, 6.0))
+    val got = SpatialGrid.neighborSums(
+        pts.toDF("id", "x", "y", "vx", "vy"),
+        col("id"), col("x"), col("y"), col("vx"), col("vy"), 5.0)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0.0, 0.0, 3.0, 4.0),
+      (2L, 1L, 0.0, 0.0, 1.0, 2.0)))
+  }
 }
