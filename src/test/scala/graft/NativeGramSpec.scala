@@ -216,4 +216,24 @@ class NativeGramSpec extends SparkSpec {
     val n = native.orderBy("doc_id").collect().map(_.toSeq)
     assert(h.toSeq == n.toSeq)
   }
+
+  test("LiteralHitsExpr == per-literal regexp_replace hits stack") {
+    // the E1 literal set plus overlap-adversarial literals
+    val lits = Seq(" the ", " and ", " a ", " el ", " la ", " de ",
+      " le ", " et ", " un ", " der ", " und ", " ein ", "aa", " ")
+    val adversarial = df.unionByName(Seq(
+      (100L, "aaaaa aa a the the the and"), // overlapping runs
+      (101L, "THE AND A EL LA DE LE ET UN DER UND EIN"),
+      (102L, "a a a a a a")
+    ).toDF("doc_id", "text"))
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val hofCols = lits.zipWithIndex.map { case (w, i) =>
+      TextQueries.hits(padded, w).as(s"h$i") }
+    val hof = adversarial.select(col("doc_id") +: hofCols: _*)
+    val native = adversarial.select(col("doc_id") +: lits.indices.map(i =>
+      element_at(GraftBridge.column(LiteralHitsExpr(
+        GraftBridge.expression(col("text")), lits)), i + 1).as(s"h$i")): _*)
+    assert(hof.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      native.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
 }
