@@ -1309,20 +1309,42 @@ object DedupQueries {
     val famClosed = fams
       .agg(coalesce(sum(expr("nf * (nf - 1) DIV 2")), lit(0L)))
       .collect()(0).getLong(0) // one scalar: Σ C(n_f, 2)
-    val famBands = fams.select(col("rep_id"), col("nf"),
-      posexplode(col("bh")).as(Seq("slot", "band_hash")))
-    val crossSums = famBands
-      .select(col("slot"), col("band_hash"), col("rep_id").as("id_a"),
-        col("nf").as("na"))
-      .join(famBands.select(col("slot"), col("band_hash"),
-        col("rep_id").as("id_b"), col("nf").as("nb")), Seq("slot", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("r", when(col("slot") < 16, 4L).when(col("slot") < 24, 8L)
+    // First-collision emission (r10, second iteration): the family
+    // collapse alone did NOT survive sf100 — ScaleDiag measured the
+    // cross-family r=4 buckets at Σ C(df,2) ≈ 2.5G pair occurrences
+    // (80M band rows, sum_df² 5.06G, hottest bucket 9197), and the
+    // `.distinct()` that deduped a pair colliding in several bands
+    // shuffled ALL of them (>100 GB spill → ENOSPC). Instead each
+    // (slot, band_hash) row now carries the PREFIX of its r-group's
+    // earlier band hashes (avg 7.5 ints for r=4), and a pair is
+    // emitted only at its FIRST colliding slot — `exists(zip_with(…))`
+    // checks the prefixes in-task — so every distinct pair surfaces
+    // exactly once and the pair stream feeds a partial aggregate
+    // directly: the only shuffles are the two linear famSlots sides
+    // (ReuseExchange writes the sort once), never the O(pairs) set.
+    // Bit-identical to the oracle's DISTINCT-pair weights: same pair
+    // set, one representative occurrence per pair.
+    val famSlots = fams
+      .select(col("rep_id"), col("nf").cast("int").as("nf"), col("bh"),
+        posexplode(col("bh")).as(Seq("slot", "band_hash")))
+      .withColumn("rbase", when(col("slot") < 16, 0)
+        .when(col("slot") < 24, 16).otherwise(24))
+      .select(col("slot"), col("band_hash"), col("rep_id"), col("nf"),
+        expr("transform(slice(bh, rbase + 1, slot - rbase)," +
+          " x -> cast(x as int))").as("pfx"))
+    val crossSums = famSlots.as("a")
+      .join(famSlots.as("b"),
+        col("a.slot") === col("b.slot") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.rep_id") < col("b.rep_id"))
+      .filter(!org.apache.spark.sql.GraftBridge.column(
+        graft.functions.AnySlotEqualExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("a.pfx")),
+          org.apache.spark.sql.GraftBridge.expression(col("b.pfx")))))
+      .withColumn("r", when(col("a.slot") < 16, 4L).when(col("a.slot") < 24, 8L)
         .otherwise(16L))
-      .select(col("r"), col("id_a"), col("id_b"),
-        (col("na") * col("nb")).as("w"))
-      .distinct() // a rep pair colliding in several bands of one r counts once
-      .groupBy(col("r")).agg(sum(col("w")).as("cross_cand"))
+      .groupBy(col("r"))
+      .agg(sum(col("a.nf").cast("long") * col("b.nf")).as("cross_cand"))
       .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
     val docBh = sigArr.withColumn("bh", bhExpr).select(col("doc_id"), col("bh"))
     val windFlags = docBh

@@ -27,11 +27,22 @@ object SourceQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
       .repartition(s.sparkContext.defaultParallelism)
-    base.write.mode("overwrite").json(s"$tmp/json")
+    // r10: gzip both text legs and drop each intermediate once its
+    // consumer has materialized. Uncompressed, sf100's lineitem made
+    // ~36 GB JSON + ~20 GB CSV live at once — a TASK_WRITE_FAILED
+    // disk death on the probe box — and no production lake writes
+    // uncompressed text interchange anyway; the serde paths under
+    // test are unchanged (same reader/writer, plus the codec).
+    base.write.mode("overwrite").option("compression", "gzip")
+      .json(s"$tmp/json")
     val fromJson = s.read.schema(RoundtripSchema).json(s"$tmp/json")
-    fromJson.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
-    val fromCsv = s.read.schema(RoundtripSchema).option("header", "true").csv(s"$tmp/csv")
+    fromJson.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(s"$tmp/csv")
+    TmpDir.delete(s"$tmp/json")
+    val fromCsv = s.read.schema(RoundtripSchema).option("header", "true")
+      .csv(s"$tmp/csv")
     fromCsv.write.mode("overwrite").parquet(s"$tmp/parquet")
+    TmpDir.delete(s"$tmp/csv")
     s.read.parquet(s"$tmp/parquet")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

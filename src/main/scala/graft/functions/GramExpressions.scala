@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -432,4 +432,46 @@ case class CdcCutsExpr(child: Expression, win: Int, modulus: Int)
   override protected def withNewChildInternal(newChild: Expression): CdcCutsExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_cdc_cuts"
+}
+
+/** Elementwise equality witness over two int arrays — true iff any
+  * position i has `a[i] == b[i]`. Replaces
+  * `exists(zip_with(a, b, (x, y) -> x = y), v -> v)` in C14's
+  * first-collision band filter, where the interpreted HOF pair
+  * (lambda dispatch + a GenericArrayData allocation per evaluated
+  * PAIR) sat on a ~3.2G-pair stream at sf100. Arrays may differ in
+  * length; only the common prefix is compared (C14 always passes
+  * equal-length prefixes). Null elements never match.
+  */
+case class AnySlotEqualExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<int> children, got $other")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getInt(i) == b.getInt(i))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AnySlotEqualExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_any_slot_equal"
 }
