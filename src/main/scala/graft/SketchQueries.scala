@@ -74,12 +74,23 @@ object SketchQueries {
     val building = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bloomDf = building.agg(bloom(col("c_custkey")).as("bf"))
-    val hit = bloomContains(col("bf"), col("o_custkey"))
+    // r10 — q81's two measured lessons applied here too: (1) SIZE THE
+    // FILTER TO THE DOMAIN — the old fixed 2^17 bits saturate at sf100
+    // (~3M BUILDING keys into 131 Kbit → FPR → 1, violating the
+    // query's own fpr_ok claim); ~16 bits/key keeps FPR(k=7) ≈ 0.07%
+    // at any scale, and the count is one tiny agg over the dim side a
+    // real runtime-filter planner always has. (2) embed the built
+    // filter as a LITERAL in the probe — the broadcast-joined COLUMN
+    // carry copied the full buffer into every probe row's UnsafeRow.
+    val nKeys = building.count()
+    val numBits = math.max(65536L, java.lang.Long.highestOneBit(
+      nKeys * 16 * 2 - 1)).min(1L << 28).toInt
+    val bfBytes = building.agg(bloom(col("c_custkey"), numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hit = bloomContains(lit(bfBytes), col("o_custkey"))
     val isMember = col("c_custkey").isNotNull
     Tables.load(s, dir, "orders")
       .join(broadcast(building.distinct()), col("o_custkey") === col("c_custkey"), "left")
-      .crossJoin(broadcast(bloomDf))
       .agg(
         count(lit(1)).as("n_probes"),
         count(when(isMember, 1)).as("n_member"),
