@@ -1326,10 +1326,34 @@ object TextQueries {
 
   /** The RAKE pipeline over any (doc_id, text) frame — shared with
     * RakeSpec, which plants known keyword phrases.
+    *
+    * r10: the whole extraction is doc-local, so it runs as ONE native
+    * pass per row ([[graft.functions.RakeTopPhraseExpr]], same
+    * integer scoring + tie-break) — the exploded window shape pushed
+    * ~750M token rows at sf100 through five shuffles (266 s). The old
+    * pipeline survives as [[rakeWindowedFor]]; RakeSpec asserts
+    * native == windowed on its planted corpus.
     */
-  private[graft] def rakeFor(docFrame: DataFrame): DataFrame = {
-    val stop = Seq("the", "and", "a", "of", "to", "in", "is", "it",
-      "that", "for", "on", "with", "as")
+  private[graft] def rakeFor(docFrame: DataFrame): DataFrame =
+    docFrame
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.RakeTopPhraseExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          RakeStopwords)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), col("r.top_phrase").as("top_phrase"),
+        col("r.score_scaled").as("score_scaled"),
+        col("r.n_candidates").as("n_candidates"))
+      .transform(QueryShape.stagedSort(_, col("doc_id")))
+
+  private[graft] val RakeStopwords = Seq("the", "and", "a", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** The pre-r10 window-algebra RAKE shape, kept as the parity
+    * reference for RakeSpec.
+    */
+  private[graft] def rakeWindowedFor(docFrame: DataFrame): DataFrame = {
+    val stop = RakeStopwords
     val toks = docFrame
       .select(col("doc_id"), posexplode(expr(
         "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"))

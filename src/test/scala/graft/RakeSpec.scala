@@ -50,4 +50,23 @@ class RakeSpec extends SparkSpec {
     // island score = wscore(alpha) + wscore(beta|gamma) = 20000 + 20000
     assert(score == 40000L)
   }
+
+  test("native pass == window pipeline on an adversarial corpus") {
+    val docs = Seq(
+      (1L, "deep neural network is great and deep neural network is fast"),
+      (2L, "red apple pie is red apple pie of red"),
+      (3L, "the of and to in is it"),                   // no candidates
+      (4L, ""),                                          // empty
+      (5L, "alpha beta is alpha gamma for omega"),
+      (6L, "  Mixed   CASE tokens,, with;; punctuation!! runs  "),
+      (7L, "a1 b2 c3 of a1 b2 for c3 a1"),              // digits + ties
+      (8L, "tie tie of tie tie"),                        // equal-score islands
+      (9L, "x " * 200 + "y")                             // long doc
+    ).toDF("doc_id", "text")
+    val native = TextQueries.rakeFor(docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val windowed = TextQueries.rakeWindowedFor(docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(native == windowed)
+  }
 }
