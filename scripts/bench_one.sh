@@ -27,6 +27,10 @@ timeout -k 10 "$TMO" java $ADD_OPENS -Xmx"$XMX" \
   > /tmp/bench_one.log 2>&1
 CODE=$?
 ELAPSED=$(( $(date +%s) - T0 ))
+# partial lines survive a mid-group death now that the child appends
+# per key — always surface them, then mark the group's failure mode
+# (report scripts flag the still-missing keys explicitly)
+[ -s "$OUT" ] && cat "$OUT"
 if [ $CODE -eq 124 ]; then
   echo "TIMEOUT	$KEYS	>${TMO}s"
 elif [ $CODE -eq 137 ]; then
@@ -37,8 +41,6 @@ elif [ $CODE -eq 137 ]; then
   fi
 elif [ $CODE -ne 0 ] && [ ! -s "$OUT" ]; then
   echo "ERR	$KEYS	exit${CODE}_after_${ELAPSED}s"
-else
-  cat "$OUT"
 fi
 rm -f "$OUT"
 exit 0

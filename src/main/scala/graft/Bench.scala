@@ -98,7 +98,16 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val sb = new StringBuilder
+    // append each key's line as it completes (not one bulk write at
+    // exit): a child killed mid-group — OOM, timeout, disk death —
+    // keeps every finished key's measurement, and the missing keys
+    // surface as explicit absences in the report
+    val outP = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.write(outP, Array.emptyByteArray)
+    def emit(line: String): Unit =
+      java.nio.file.Files.write(outP,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
     ordered.foreach { case (name, fn) =>
       var err: Option[String] = None
       def trial(): Option[Double] = {
@@ -127,12 +136,10 @@ object Bench {
       // are no longer referenced — within-suite residue control.
       System.gc()
       if (times.isEmpty)
-        sb.append(s"ERR\t$name\t${err.getOrElse("no trials").replace("\t", " ").replace("\n", " ")}\n")
+        emit(s"ERR\t$name\t${err.getOrElse("no trials").replace("\t", " ").replace("\n", " ")}\n")
       else
-        sb.append(f"OK\t$name\t${median(times)}%.3f\t${times.min}%.3f\t${times.max}%.3f%n")
+        emit(f"OK\t$name\t${median(times)}%.3f\t${times.min}%.3f\t${times.max}%.3f%n")
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 

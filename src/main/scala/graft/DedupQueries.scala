@@ -186,6 +186,11 @@ object DedupQueries {
           org.apache.spark.sql.GraftBridge.expression(col("text")), 3)).as("ps0"))
       .select(col("doc_id"), array_distinct(col("ps0")).as("ps"))
     val feat = sigs.join(psets, Seq("doc_id"))
+    // (r10 measured, NOT kept: a shuffle_hash hint on these two
+    // attach joins cut sf10 22% by skipping the SMJ sorts, but
+    // REGRESSED sf100 376 -> 483 s — the ~160 MB-per-partition hash
+    // builds of the 1 KB feature rows spill at decade 4. SMJ's sort
+    // is the scale-safe shape here.)
     val out = pairs
       .join(feat.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
         col("ps").as("ps_a")), Seq("id_a"))
