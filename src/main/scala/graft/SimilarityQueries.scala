@@ -650,40 +650,81 @@ object SimilarityQueries {
     * Candidate-candidate sims are a per-query pool×pool self-join,
     * never corpus-wide; the greedy argmax ties on nid. Returns
     * (qid, nid, rank, rel).
+    *
+    * The greedy runs on the DRIVER over the collected pool (r10): the
+    * pool is top-12 per query over a FIXED query set, so the collect
+    * is ≤ 12·|Q| rows ≈ 40 KB at ANY corpus scale — a bounded driver
+    * artifact like BpeTrainer's per-round argmax, not a corpus
+    * collect. The r9 shape ran each greedy round as a checkpointed
+    * Spark job (pool + pairs checkpoints + 4 rounds = 6 jobs per
+    * chain, pure scheduler latency for ≤ 660-row inputs). Float
+    * semantics replicate the Catalyst path exactly: DotProductExpr's
+    * sequential left fold, Math.sqrt norms, (0.7·rel) − (0.3·pen),
+    * java.lang.Double.compare ordering with the nid tie-break —
+    * MmrSelectSpec pins equality against the r9 per-round DataFrame
+    * formula, ties included.
     */
-  private def mmrSelect(pool0: DataFrame, rounds: Int = 5): DataFrame = {
-    val pool = pool0.localCheckpoint(eager = true) // greedy rounds re-read it
-    val pairs = pool.select(col("qid"), col("nid").as("a"), col("nv").as("av"))
-      .join(pool.select(col("qid"), col("nid").as("b"), col("nv").as("bv")), Seq("qid"))
-      .filter(col("a") =!= col("b"))
-      .select(col("qid"), col("a"), col("b"),
-        VectorOps.cosine(col("av"), col("bv")).as("sim"))
-      .localCheckpoint(eager = true)
-    val wPick = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    var selected = pool
-      .withColumn("score", col("rel"))
-      .withColumn("rk", row_number().over(wPick))
-      .filter(col("rk") === 1)
-      .select(col("qid"), col("nid"), lit(1L).as("rank"), col("rel"))
-    for (r <- 2 to rounds) {
-      val penalty = pairs
-        .join(selected.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
-        .groupBy(col("qid"), col("a").as("nid"))
-        .agg(max(col("sim")).as("pen"))
-      val pick = pool
-        .join(selected.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
-        .join(penalty, Seq("qid", "nid"))
-        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("pen"))
-        .withColumn("rk", row_number().over(wPick))
-        .filter(col("rk") === 1)
-        .select(col("qid"), col("nid"), lit(r.toLong).as("rank"), col("rel"))
-      // pin each round: `selected` feeds THREE plan branches per round
-      // (penalty, anti-join, union), so an unpinned chain re-executes
-      // every earlier round ~3^r times — the selection is ≤ 5·|queries|
-      // rows, one tiny job per round
-      selected = selected.unionByName(pick).localCheckpoint(eager = true)
+  private[graft] def mmrGreedy(
+      rows: Seq[(Long, Long, Array[Double], Double)],
+      rounds: Int): Seq[(Long, Long, Long, Double)] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
     }
-    selected
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // (score desc, nid asc) — row_number's ordering on (score, nid)
+    def beats(s1: Double, n1: Long, s2: Double, n2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && n1 < n2)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    rows.groupBy(_._1).foreach { case (qid, cands0) =>
+      val cands = cands0.map(t => (t._2, t._3, t._4)).sortBy(_._1)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      for (r <- 1 to rounds) {
+        var bestNid = -1L; var bestScore = 0.0; var bestRel = 0.0
+        var bestV: Array[Double] = null
+        cands.foreach { case (nid, nv, rel) =>
+          if (!selected.exists(_._1 == nid)) {
+            val score =
+              if (r == 1) rel
+              else {
+                var pen = 0.0; var hasPen = false
+                selected.foreach { case (_, bv) =>
+                  val sim = cos(nv, bv)
+                  // max() aggregate semantics: NaN greatest, like Spark
+                  if (!hasPen || java.lang.Double.compare(sim, pen) > 0) {
+                    pen = sim; hasPen = true
+                  }
+                }
+                0.7 * rel - 0.3 * pen
+              }
+            if (bestV == null || beats(score, nid, bestScore, bestNid)) {
+              bestNid = nid; bestScore = score; bestRel = rel; bestV = nv
+            }
+          }
+        }
+        if (bestV != null) {
+          selected += ((bestNid, bestV))
+          out += ((qid, bestNid, r.toLong, bestRel))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def mmrSelect(pool0: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = pool0.sparkSession
+    import spark.implicits._
+    val collected = pool0.select(col("qid"), col("nid"), col("nv"), col("rel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+      .toSeq
+    mmrGreedy(collected, rounds).toDF("qid", "nid", "rank", "rel")
   }
 
   // D12 — HNSW-lite, the FOURTH ANN tier (graft.operators.HnswLite):

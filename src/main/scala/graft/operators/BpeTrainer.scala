@@ -51,6 +51,16 @@ object BpeTrainer {
     val pairExpr = expr(
       """transform(sequence(1, size(toks) - 1),
         | i -> struct(element_at(toks, i) AS pa, element_at(toks, i + 1) AS pb))""".stripMargin)
+    // The per-round pair-count aggregate is the FIRST scan of the
+    // round's word table, so it is also what populates that table's
+    // cache — the previous round's parent can only be released after
+    // it runs (unpersisting earlier would let the lazy fold chain
+    // recompute through the whole merge history). Riding the cache
+    // materialization on that aggregate instead of a dedicated
+    // `count()` halves the jobs per round (one, not two) and skips
+    // the FINAL round's fold outright (its output is never scanned —
+    // only the merge table leaves this function).
+    var prev: Option[DataFrame] = None
     for (k <- 1 to nMerges) {
       val best = words.filter(size(col("toks")) >= 2)
         .select(col("cnt"), explode(pairExpr).as("p"))
@@ -58,6 +68,8 @@ object BpeTrainer {
         .agg(sum(col("cnt")).as("weight"))
         .orderBy(col("weight").desc, col("pa"), col("pb"))
         .limit(1).collect()
+      prev.foreach(_.unpersist(false))
+      prev = None
       if (best.nonEmpty) {
         val r = best.head
         val (pa, pb, wt) = (r.getString(0), r.getString(1), r.getLong(2))
@@ -65,12 +77,12 @@ object BpeTrainer {
         val next = words
           .withColumn("toks", mergeFold(pa, pb))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent cache
-        words.unpersist(false)
+        prev = Some(words)
         words = next
       }
     }
     words.unpersist(false)
+    prev.foreach(_.unpersist(false))
     mergesToDf(spark, merges.toSeq)
   }
 
