@@ -46,32 +46,45 @@ object DedupQueries {
     * shared with DedupScaleSpec, which drives it at 10⁶ docs to probe
     * band-bucket skew (the number that decides 100 TB feasibility).
     */
+  /** Per-doc 64-permutation minhash SIGNATURE (doc_id, sig) — ONE
+    * native pass per row (r10, [[graft.functions.MinhashSigExpr]]):
+    * the explode(shingles) × explode(0..63) → groupBy.min shape this
+    * replaces pushed |docs|·|shingles|·64 rows through a hash
+    * aggregate (~64 M at sf0.1, ~64 G at sf100 — the bulk of the
+    * minhash family's time). Same shingle fold, same permutation
+    * hash, bit-equal minima (min over the multiset == min over the
+    * distinct set). Docs with no tokens are absent, exactly as the
+    * exploded shape emitted no rows for them.
+    */
+  private[graft] def minhashSigFor(docFrame: DataFrame): DataFrame =
+    docFrame
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MinhashSigExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          3, 64)).as("sig"))
+      .filter(col("sig").isNotNull)
+
   private[graft] def minhashBandsFor(docFrame: DataFrame): DataFrame =
-    minhashValuesFor(docFrame)
-      .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
-      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
-      .select(col("doc_id"), col("band_id"), col("band_hash"))
+    minhashSigFor(docFrame)
+      // 8 band hashes per doc, row-locally: XOR-fold of the same
+      // (m·131 + j) mod 1e9+7 terms the bit_xor aggregate folded —
+      // XOR is order-invariant, so the values are bit-identical
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
+          | (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007)))"""
+          .stripMargin)).as(Seq("band_pos", "band_hash")))
+      // `j DIV 8` was a LONG; keep the column type identical
+      .select(col("doc_id"), col("band_pos").cast("long").as("band_id"),
+        col("band_hash"))
 
   /** The per-permutation minhash values (doc_id, j, m) the bands fold
-    * over — C10 compares them pairwise to estimate Jaccard.
+    * over — C10 compares them pairwise to estimate Jaccard. Exploded
+    * view of the native signature; (doc_id, j, m) rows are bit-equal
+    * to the pre-r10 aggregate's.
     */
-  private[graft] def minhashValuesFor(docFrame: DataFrame): DataFrame = {
-    // shingle mod-hashes p computed NATIVELY in one pass per doc
-    // (WordShingleModHashesExpr: same tokens-joined-by-space fold
-    // (acc·31+c) mod 1e9+7 the oracle replays) — the exploded-string
-    // + per-char aggregate-lambda shape this replaces was the bulk of
-    // the minhash family's sf1 time. Dedup is by p rather than by
-    // shingle string; per-permutation MIN is invariant to that.
-    val shingleRows = docFrame
-      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
-        graft.functions.WordShingleModHashesExpr(
-          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("p"))
-    shingleRows
-      .select(col("doc_id"), col("p"), explode(sequence(lit(0), lit(63))).as("j"))
-      .select(col("doc_id"), col("j"),
-        ((col("p") * (col("j") * 2 + 1) + (col("j") * 7919 + 13)) % 1000000007L).as("h"))
-      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("m"))
-  }
+  private[graft] def minhashValuesFor(docFrame: DataFrame): DataFrame =
+    minhashSigFor(docFrame)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "m")))
 
   // C2 — MinHash+LSH candidate pairs: same (band_id, band_hash) bucket.
   // Signatures compute over exact-content REPRESENTATIVES (min doc_id
@@ -158,11 +171,16 @@ object DedupQueries {
   //     leave the row.
   private def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
     val reps = docs(s, dir).groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    val vals = minhashValuesFor(reps)
+    // r10: ONE native signature pass (MinhashSigExpr) replaces the
+    // 64-way explode + groupBy.min; bands and the per-doc sig payload
+    // both derive row-locally from the cached signature
+    val sigDf = minhashSigFor(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = vals
-      .groupBy(col("doc_id"), expr("j DIV 8").as("band_id"))
-      .agg(bit_xor((col("m") * 131 + col("j")) % 1000000007L).as("band_hash"))
+    val bands = sigDf
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
+          | (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007)))"""
+          .stripMargin)).as(Seq("band_id", "band_hash")))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
     val pool = bands.withColumn("prn", row_number().over(wB))
@@ -177,9 +195,7 @@ object DedupQueries {
     // shingle-hash set (the same p identities the permutations act
     // on — est and truth measure Jaccard over one universe; the
     // oracle mirrors the p-identity intersect)
-    val sigs = vals
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("sig"))
+    val sigs = sigDf.select(col("doc_id"), col("sig"))
     val psets = reps
       .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.WordShingleModHashesExpr(
@@ -210,7 +226,7 @@ object DedupQueries {
             + lit(0.0))), 4) + lit(0.0)).as("abs_err"))
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
       .localCheckpoint(eager = true)
-    vals.unpersist(false)
+    sigDf.unpersist(false)
     out
   }
 
@@ -1236,8 +1252,6 @@ object DedupQueries {
     import s.implicits._
     val reps = docs(s, dir).groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val vals = minhashValuesFor(reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact windowed ground truth over the same shingle universe —
     // distinct p per doc in one native pass (WordShingleModHashesExpr,
     // identical fold to the oracle's)
@@ -1291,9 +1305,10 @@ object DedupQueries {
     // exists) — no quadratic pair set ever becomes rows. Bit-identical
     // to the oracle's DISTINCT-pair counts: the decomposition is by
     // pair identity (same-signature vs not), not an approximation.
-    val sigArr = vals.groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)")
-        .as("sig"))
+    // r10: the signature is ONE native pass per doc (MinhashSigExpr,
+    // bit-equal minima in j order) — no per-permutation rows, no
+    // collect_list re-assembly
+    val sigArr = minhashSigFor(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 28 band hashes packed one array per signature: slots 1-16 are
     // r=4's 16 bands, 17-24 r=8's, 25-28 r=16's — the same
@@ -1392,7 +1407,6 @@ object DedupQueries {
       "n_window_candidates", "n_true_found", "n_true_total", "recall")
       .orderBy(col("rows_per_band"))
       .localCheckpoint(eager = true)
-    vals.unpersist(false)
     sigArr.unpersist(false)
     fams.unpersist(false)
     digests.unpersist(false)

@@ -552,3 +552,73 @@ object HashBucketCountsExpr {
     new GenericArrayData(counts)
   }
 }
+
+/** Per-document MinHash SIGNATURE — the 64 per-permutation minima in
+  * one compiled pass, replacing the `explode(shingles) ×
+  * explode(sequence(0, 63)) → groupBy(doc_id, j).min` shape whose
+  * intermediate is |docs|·|shingles|·64 rows through a hash aggregate
+  * (~64 M rows at sf0.1, ~64 G at sf100 — the bulk of the minhash
+  * family's time). The signature is ROW-LOCAL: same shingle stream as
+  * [[WordShingleModHashesExpr]] (k-gram rolling (acc·31+c) mod 1e9+7
+  * over space-joined lowercase tokens), same permutation hash
+  * h_j(p) = (p·(2j+1) + (7919·j+13)) mod 1e9+7, same min — element j
+  * of the result is bit-equal to the old aggregate's `m` for
+  * permutation `j` (min over the multiset equals min over the
+  * distinct set, so shingle dedup is immaterial).
+  *
+  * Returns NULL when the text has no tokens: the exploded shape
+  * emitted no rows for such docs, so consumers filter nulls and see
+  * the identical doc set.
+  */
+case class MinhashSigExpr(child: Expression, k: Int, perms: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1 && perms >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSigExpr.compute(input.asInstanceOf[UTF8String], k, perms)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinhashSigExpr {
+
+  private final val Mod = 1000000007L
+
+  /** Null when the text has no tokens (the exploded shape emits no
+    * rows there); otherwise the `perms`-long signature.
+    */
+  def compute(text: UTF8String, k: Int, perms: Int): GenericArrayData = {
+    val ps = WordShingleModHashesExpr.compute(text, k, distinct = false)
+    val m = ps.numElements()
+    if (m == 0) return null
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val p = ps.getLong(i)
+      var j = 0
+      while (j < perms) {
+        val h = (p * (2L * j + 1L) + (7919L * j + 13L)) % Mod
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
