@@ -95,6 +95,24 @@ object DedupQueries {
   // the same data). Exact families are C1's output; near-dup
   // candidacy is decided once per distinct content.
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // r10 decade-4 finding (this key was never sf100-probed before):
+    // 794 s under the r9 code at sf100, ~90× its sf10 wall. Diagnosis
+    // (one bucket-stats job): the 8-band bucket self-join emits ~1.0G
+    // pair OCCURRENCES at sf100 with a hottest bucket of 9311 —
+    // identical-signature short-doc families planted by the synthetic
+    // resampler collide in every band, so the OUTPUT pair set itself
+    // is quadratic in family size and no ≤12× row-scaling is
+    // attainable without a result-changing cap. The native signature
+    // (minhashSigFor) cut it to 599 s. A C14-style FIRST-COLLISION
+    // emission was built and MEASURED here, twice: prefix-array carry
+    // (sf10 35.9 s — the per-row transform(slice(...)) lambda), then
+    // a native FirstEqualSlotExpr over full bh arrays (sf10 17.0 s,
+    // sf0.1 1.30 s) — both LOSE to the plain `.distinct()` at every
+    // driver-measured scale (sf0.1 0.99 s, sf10 6.7 s): the 8-long
+    // array carry through the 40M-row SMJ sort costs more than the
+    // narrow-row distinct exchange saves below decade 4. Kept: the
+    // distinct shape; the sf100 tail is output-bound by the planted
+    // family structure (documented in OPTIMIZATION_r10.md).
     // persist: the self-join would otherwise recompute the whole
     // signature pipeline for both sides (bands ≈ 8 rows/doc — tiny
     // next to the corpus, and the expensive part is above it)

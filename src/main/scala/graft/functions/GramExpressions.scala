@@ -444,7 +444,7 @@ case class CdcCutsExpr(child: Expression, win: Int, modulus: Int)
   * equal-length prefixes). Null elements never match.
   */
 case class AnySlotEqualExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -456,9 +456,31 @@ case class AnySlotEqualExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = BooleanType
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    AnySlotEqualExpr.anyEqual(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  // real codegen (r10): as a CodegenFallback this expression both ran
+  // interpreted per row AND broke whole-stage codegen for its stage —
+  // at C2's sf10 scale that filter sees ~10⁸ pair occurrences (10⁹ at
+  // sf100), and the fallback measured 5× the whole query's wall
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.AnySlotEqualExpr.anyEqual($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AnySlotEqualExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_any_slot_equal"
+}
+
+object AnySlotEqualExpr {
+  /** True iff any aligned (non-null) slot pair is equal. */
+  def anyEqual(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
     while (i < n) {
@@ -468,10 +490,5 @@ case class AnySlotEqualExpr(left: Expression, right: Expression)
     }
     false
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): AnySlotEqualExpr =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "graft_any_slot_equal"
 }
+

@@ -104,21 +104,30 @@ object WordShingleModHashesExpr {
   def compute(text: UTF8String, k: Int, distinct: Boolean): GenericArrayData = {
     val bytes = text.getBytes.clone()
     val n = bytes.length
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
+    // primitive int buffers (r10): the boxed ArrayList[Integer] pair
+    // this replaces allocated ~2 boxed ints per token — ~7G boxed
+    // allocations across a 5M-doc sf100 signature pass, pure GC churn
+    var starts = new Array[Int](math.max(16, n / 8))
+    var ends = new Array[Int](starts.length)
+    var ntok = 0
     var i = 0
     var inTok = false
     while (i < n) {
       val b = bytes(i)
       val lower: Byte = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
       val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
-      if (isTok && !inTok) { starts.add(i); inTok = true }
-      if (!isTok && inTok) { ends.add(i); inTok = false }
+      if (isTok && !inTok) {
+        if (ntok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, ntok * 2)
+          ends = java.util.Arrays.copyOf(ends, ntok * 2)
+        }
+        starts(ntok) = i; inTok = true
+      }
+      if (!isTok && inTok) { ends(ntok) = i; ntok += 1; inTok = false }
       bytes(i) = lower
       i += 1
     }
-    if (inTok) ends.add(n)
-    val ntok = starts.size()
+    if (inTok) { ends(ntok) = n; ntok += 1 }
     // no tokens ⇒ no shingles (a plain token explode emits no rows;
     // the corpus has no all-separator docs, so the minhash consumers
     // see no difference either)
@@ -133,8 +142,8 @@ object WordShingleModHashesExpr {
       val tEnd = math.min(g + k, ntok)
       while (t < tEnd) {
         if (t > g) h = (h * 31L + ' '.toLong) % Mod
-        var p = starts.get(t).intValue()
-        val e = ends.get(t).intValue()
+        var p = starts(t)
+        val e = ends(t)
         while (p < e) {
           h = (h * 31L + (bytes(p) & 0xffL)) % Mod
           p += 1
@@ -611,10 +620,21 @@ object MinhashSigExpr {
     var i = 0
     while (i < m) {
       val p = ps.getLong(i)
+      // incremental modular stepping (r10): h_j = (p·(2j+1) + 7919j +
+      // 13) mod M satisfies h_{j+1} = h_j + (2p + 7919) (mod M), so
+      // after one reduction of the step the inner loop is an add and
+      // a conditional subtract — no multiply, no division. Bit-equal
+      // to the closed form (pure integer congruence, no overflow:
+      // h + step < 2M < 2⁶³); the direct-formula loop measured 200 s
+      // for the 5M-doc sf100 signature pass, ~all of it the 64 `%`
+      // reductions per shingle.
+      var h = (p + 13L) % Mod
+      val step = (2L * p + 7919L) % Mod
       var j = 0
       while (j < perms) {
-        val h = (p * (2L * j + 1L) + (7919L * j + 13L)) % Mod
         if (h < sig(j)) sig(j) = h
+        h += step
+        if (h >= Mod) h -= Mod
         j += 1
       }
       i += 1
