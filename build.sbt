@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract line must reach stdout VERBATIM and LAST: with
+// the default forked-run output strategy sbt relogs the app's stdout
+// with an "[info] " prefix and then appends its own "[success] Total
+// time" line — every BENCH_r*.json came back `parsed: null` because
+// the driver's capture never saw a bare JSON line. StdoutOutput pipes
+// the forked JVM's stdout through untouched; showSuccess drops the
+// trailing banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

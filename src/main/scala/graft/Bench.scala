@@ -208,19 +208,47 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    // Heavy-key detail (median > 2 s) rides at the END of the stdout
-    // line: the driver's BENCH_r{N}.json keeps only the stdout TAIL
-    // when the 300-key line overflows its capture (r8's artifact held
-    // ~200 trailing bytes), so the keys where round-over-round
-    // decisions are made — exactly the ones the ±15-50% small-key
-    // variance note does NOT cover — must be the bytes that survive.
-    // [median, min, max] of the 3 trials, sorted heaviest first.
+    // Heavy-key detail (median > 2 s) with [median, min, max] spreads —
+    // kept in the FULL artifact for round-over-round spread checks.
     val heavy = results.toSeq.filter(_._2._1 > 2.0)
       .sortBy(-_._2._1)
       .map { case (k, (med, mn, mx)) =>
         "\"" + k + "\":[" + fmt(med) + "," + fmt(mn) + "," + fmt(mx) + "]"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":"$trials (+2 for keys >2s)","isolation":"jvm-per-suite","queries":$qs,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
+    // r11 (VERDICT r10 ask #2): the driver keeps only the LAST ~2000
+    // bytes of stdout, and the full 302-key line is ~8 KB — BENCH_r07
+    // through r10 all came back `parsed: null` because only the line's
+    // tail survived. The stdout contract line is therefore BUDGETED to
+    // fit the capture whole: `queries` carries the heaviest keys that
+    // fit (they are where round-over-round decisions are made; the
+    // sub-second keys dropped here are the ones whose ±15-50% run-to-
+    // run variance carries no signal anyway), ordered lightest→heaviest
+    // so the heavy keys are the surviving bytes even if the capture
+    // shrinks further. EVERY key's median+spread still lands in the
+    // full artifact (bench/bench_full_latest.json, tracked), exactly as
+    // before — nothing is measured less, only printed shorter.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1800").toInt
+    // stdout variant of the error map: message text capped hard so a
+    // failure storm cannot push the line past the capture window (the
+    // full artifact keeps the 200-char messages)
+    val errStdout = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" +
+        v.take(60).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    def lineFor(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qj = entries.map { case (k, med) => "\"" + k + "\":" + fmt(med) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":"$trials (+2 for keys >2s)","isolation":"jvm-per-suite","n_queries":${results.size},"queries_omitted":$omitted,"full":"bench/bench_full_latest.json","errors":$errStdout,"sf":"$sfDir","queries":$qj}"""
+    }
+    val byWeight = results.toSeq.map { case (k, (med, _, _)) => (k, med) }
+      .sortBy { case (k, med) => (-med, k) }
+    // largest prefix of the heaviest-first list whose line fits the budget
+    val keep = (byWeight.length to 0 by -1).view
+      .map(n => byWeight.take(n))
+      .find(sel => lineFor(sel.sortBy(e => (e._2, e._1)), results.size - sel.size)
+        .length <= budget)
+      .getOrElse(Seq.empty)
+    val line = lineFor(keep.sortBy(e => (e._2, e._1)), results.size - keep.size)
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","trials":"$trials (+2 for keys >2s)","isolation":"jvm-per-suite","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir","heavy":$heavy}"""
     // full artifact: untracked target/ copy AND the tracked bench/ copy
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))

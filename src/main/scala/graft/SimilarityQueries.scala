@@ -716,7 +716,8 @@ object SimilarityQueries {
     out.toSeq
   }
 
-  private def mmrSelect(pool0: DataFrame, rounds: Int = 5): DataFrame = {
+  private def mmrSelect(pool0: DataFrame, rounds: Int = 5,
+      maxPool: Int = 4096): DataFrame = {
     val spark = pool0.sparkSession
     import spark.implicits._
     val collected = pool0.select(col("qid"), col("nid"), col("nv"), col("rel"))
@@ -724,6 +725,13 @@ object SimilarityQueries {
       .map(r => (r.getLong(0), r.getLong(1),
         r.getSeq[Double](2).toArray, r.getDouble(3)))
       .toSeq
+    // ADVICE r10 #2: the collect is only legitimate because every
+    // caller's pool is bounded (top-k per FIXED query set, ≤ ~40 KB at
+    // any corpus scale). Fail fast if a future caller hands this an
+    // unbounded pool instead of silently OOMing the driver.
+    require(collected.size <= maxPool,
+      s"mmrSelect pool collected ${collected.size} rows > maxPool=$maxPool; " +
+        "the driver greedy is only valid for bounded per-query pools")
     mmrGreedy(collected, rounds).toDF("qid", "nid", "rank", "rel")
   }
 
