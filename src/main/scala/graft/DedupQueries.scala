@@ -188,53 +188,73 @@ object DedupQueries {
   //     shuffled rows (444M at sf10) for math that never needed to
   //     leave the row.
   private def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val reps = docs(s, dir).groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    // r10: ONE native signature pass (MinhashSigExpr) replaces the
-    // 64-way explode + groupBy.min; bands and the per-doc sig payload
-    // both derive row-locally from the cached signature
-    val sigDf = minhashSigFor(reps)
+    // r11 (VERDICT r10 ask #1 — the C5/C3 packed-pool treatment for
+    // the exact-Jaccard audit): the previous shape distinct'd the
+    // capped id pairs and then ATTACHED each side's ~1 KB (sig, ps)
+    // feature row through two sort-merge joins — at sf100 the full
+    // candidate set re-sorted twice with the payload glued on was
+    // ~all of the 282.6 s median (spread 152-413 s). Now every doc
+    // row computes its signature, sorted-distinct shingle-hash set
+    // (WordShingleModHashesExpr sorts + dedups natively — the former
+    // array_distinct(ps0) was a no-op on it), and 8 band hashes
+    // ROW-LOCALLY in one pass; the bucket pool (≤256 lowest-id
+    // members with payloads) packs into ONE ROW PER (band, hash); the
+    // probe join is 1:1; and MinhashPoolScoresExpr emits each pair's
+    // (cnt, inter, na, nb) integers in-task with canonical-band
+    // emission (a pair surfaces only at its first shared-pooled band)
+    // — no distinct over the candidate set, no payload attach joins.
+    // The published est/exact/abs_err doubles fold from the same
+    // integers through the same rounding arithmetic, bit-identically.
+    val bhExpr = expr(
+      """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
+        | (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007)))"""
+        .stripMargin)
+    val feat = reps
+      .select(col("doc_id"),
+        GraftBridge.column(graft.functions.MinhashSigExpr(
+          GraftBridge.expression(col("text")), 3, 64)).as("sig"),
+        GraftBridge.column(graft.functions.WordShingleModHashesExpr(
+          GraftBridge.expression(col("text")), 3)).as("ps"))
+      .filter(col("sig").isNotNull)
+      .withColumn("bh", bhExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigDf
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
-          | (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007)))"""
-          .stripMargin)).as(Seq("band_id", "band_hash")))
+    val bk = feat.select(col("doc_id"), col("sig"), col("ps"), col("bh"),
+      posexplode(col("bh")).as(Seq("band", "band_hash")))
     val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
-    val pool = bands.withColumn("prn", row_number().over(wB))
+      .partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
+    // pooled rows materialize once (they feed both the poolmask agg
+    // and the packing — unmaterialized, the window would run twice)
+    val pooled = bk.withColumn("prn", row_number().over(wB))
       .filter(col("prn") <= 256)
-      .select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
-    val pairs = pool
-      .join(bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b")),
-        Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    // per-doc feature row: ordered 64-value signature + distinct
-    // shingle-hash set (the same p identities the permutations act
-    // on — est and truth measure Jaccard over one universe; the
-    // oracle mirrors the p-identity intersect)
-    val sigs = sigDf.select(col("doc_id"), col("sig"))
-    val psets = reps
-      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
-        graft.functions.WordShingleModHashesExpr(
-          org.apache.spark.sql.GraftBridge.expression(col("text")), 3)).as("ps0"))
-      .select(col("doc_id"), array_distinct(col("ps0")).as("ps"))
-    val feat = sigs.join(psets, Seq("doc_id"))
-    // (r10 measured, NOT kept: a shuffle_hash hint on these two
-    // attach joins cut sf10 22% by skipping the SMJ sorts, but
-    // REGRESSED sf100 376 -> 483 s — the ~160 MB-per-partition hash
-    // builds of the 1 KB feature rows spill at decade 4. SMJ's sort
-    // is the scale-safe shape here.)
-    val out = pairs
-      .join(feat.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-        col("ps").as("ps_a")), Seq("id_a"))
-      .join(feat.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-        col("ps").as("ps_b")), Seq("id_b"))
-      .withColumn("est", expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0"))
-      .withColumn("i", size(array_intersect(col("ps_a"), col("ps_b"))).cast("long"))
-      .withColumn("na", size(col("ps_a")).cast("long"))
-      .withColumn("nb", size(col("ps_b")).cast("long"))
+      .drop("prn")
+      .localCheckpoint(true)
+    // poolmask: bit b set = the id is inside band b's capped pool (of
+    // whatever bucket it lands in there); small frame, broadcast back
+    val mask = pooled.groupBy(col("doc_id"))
+      .agg(bit_or(expr("shiftleft(1L, band)")).as("poolmask"))
+    val packed = pooled.join(broadcast(mask), Seq("doc_id"))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(struct(col("doc_id").as("id"), col("sig"),
+        col("ps"), col("bh"), col("poolmask"))).as("pool"))
+    val scores = GraftBridge.column(graft.functions.MinhashPoolScoresExpr(
+      GraftBridge.expression(col("sig_b")),
+      GraftBridge.expression(col("ps_b")),
+      GraftBridge.expression(col("id_b")),
+      GraftBridge.expression(col("bh_b")),
+      GraftBridge.expression(col("band")),
+      GraftBridge.expression(col("pool"))))
+    val out = bk
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_b"),
+        col("sig").as("sig_b"), col("ps").as("ps_b"), col("bh").as("bh_b"))
+      .join(packed, Seq("band", "band_hash"))
+      .select(col("id_b"), explode(scores).as("m"))
+      .withColumn("id_a", col("m.id_a"))
+      .withColumn("est", col("m.cnt") / lit(64.0))
+      .withColumn("i", col("m.inter").cast("long"))
+      .withColumn("na", col("m.na").cast("long"))
+      .withColumn("nb", col("m.nb").cast("long"))
       .select(col("id_a"), col("id_b"),
         (round(col("est"), 4) + lit(0.0)).as("est_jaccard"),
         (round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
@@ -244,7 +264,7 @@ object DedupQueries {
             + lit(0.0))), 4) + lit(0.0)).as("abs_err"))
       .transform(QueryShape.stagedSort(_, col("id_a"), col("id_b")))
       .localCheckpoint(eager = true)
-    sigDf.unpersist(false)
+    feat.unpersist(false)
     out
   }
 
@@ -1270,42 +1290,7 @@ object DedupQueries {
     import s.implicits._
     val reps = docs(s, dir).groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-    // exact windowed ground truth over the same shingle universe —
-    // distinct p per doc in one native pass (WordShingleModHashesExpr,
-    // identical fold to the oracle's)
-    val digests = reps
-      .select(col("doc_id"), explode(org.apache.spark.sql.GraftBridge.column(
-        graft.functions.WordShingleModHashesExpr(
-          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = digests.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    // Hot-shingle guard (VERDICT r6 finding 2): the truth join is
-    // WINDOWED (id_b ∈ (id_a, id_a+windowW]), so join on (p, id-bucket)
-    // with BUCKET WIDTH == WINDOW WIDTH — that invariant is what makes
-    // the 2-bucket replication exhaustive: id_b's bucket is id_a's
-    // bucket or the next one, so side A replicates to exactly 2 keys
-    // and each pair is produced exactly once. A shingle shared by n
-    // docs now yields O(n · window) join rows instead of n² — exact
-    // semantics preserved, no stop-list needed (nshared counts stay
-    // bit-identical). windowW is the single source for the bucket
-    // exprs AND both window filters below (ADVICE r7: they must move
-    // together; keep the oracle SQL's `+ 10` in sync if changed).
     val windowW = 10
-    val shared = digests
-      .select(col("doc_id").as("id_a"), col("p"),
-        explode(array(expr(s"doc_id DIV $windowW"),
-          expr(s"doc_id DIV $windowW + 1"))).as("bkt"))
-      .join(digests.select(col("doc_id").as("id_b"), col("p"),
-        expr(s"doc_id DIV $windowW").as("bkt")), Seq("p", "bkt"))
-      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + windowW)
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("nshared"))
-    val truth = shared
-      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-      .filter(col("nshared") * 3 >= col("na") + col("nb"))
-      .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTruth = truth.count()
     // —— signature-family collapse (r10, after the sf100 spill death:
     // `No space left on device` with 67 GB free). Band hashes are pure
     // functions of the 64-value minhash signature, so CANDIDACY is
@@ -1325,9 +1310,23 @@ object DedupQueries {
     // pair identity (same-signature vs not), not an approximation.
     // r10: the signature is ONE native pass per doc (MinhashSigExpr,
     // bit-equal minima in j order) — no per-permutation rows, no
-    // collect_list re-assembly
-    val sigArr = minhashSigFor(reps)
+    // collect_list re-assembly. r11: the same pass also carries the
+    // sorted-distinct shingle-hash set (WordShingleModHashesExpr) —
+    // the exact ground truth below reads it row-locally instead of
+    // re-deriving exploded (doc, p) rows. sig NULL ⟺ ps empty (both
+    // need ≥1 token), so the doc set matches the old exploded frames.
+    val feat = reps
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.MinhashSigExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3, 64))
+          .as("sig"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WordShingleModHashesExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 3))
+          .as("ps"))
+      .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigArr = feat.select(col("doc_id"), col("sig"))
     // 28 band hashes packed one array per signature: slots 1-16 are
     // r=4's 16 bands, 17-24 r=8's, 25-28 r=16's — the same
     // xor((m_j·131 + j) mod p) fold over GLOBAL j the banding used.
@@ -1384,35 +1383,86 @@ object DedupQueries {
       .groupBy(col("r"))
       .agg(sum(col("a.nf").cast("long") * col("b.nf")).as("cross_cand"))
       .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-    val docBh = sigArr.withColumn("bh", bhExpr).select(col("doc_id"), col("bh"))
-    val windFlags = docBh
-      .select(col("doc_id").as("id_a"), col("bh").as("bha"),
-        explode(array(expr(s"doc_id DIV $windowW"),
-          expr(s"doc_id DIV $windowW + 1"))).as("bkt"))
-      .join(docBh.select(col("doc_id").as("id_b"), col("bh").as("bhb"),
-        expr(s"doc_id DIV $windowW").as("bkt")), Seq("bkt"))
-      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + windowW)
-      .select(col("id_a"), col("id_b"),
-        expr("exists(zip_with(slice(bha, 1, 16), slice(bhb, 1, 16)," +
-          " (x, y) -> x = y), v -> v)").as("c4"),
-        expr("exists(zip_with(slice(bha, 17, 8), slice(bhb, 17, 8)," +
-          " (x, y) -> x = y), v -> v)").as("c8"),
-        expr("exists(zip_with(slice(bha, 25, 4), slice(bhb, 25, 4)," +
-          " (x, y) -> x = y), v -> v)").as("c16"))
-      .filter(col("c4") || col("c8") || col("c16"))
-      .join(truth.withColumn("is_true", lit(1L)), Seq("id_a", "id_b"), "left")
-      .agg(
-        sum(when(col("c4"), 1L).otherwise(0L)).as("wc4"),
-        sum(when(col("c8"), 1L).otherwise(0L)).as("wc8"),
-        sum(when(col("c16"), 1L).otherwise(0L)).as("wc16"),
-        sum(when(col("c4") && col("is_true").isNotNull, 1L).otherwise(0L))
-          .as("tf4"),
-        sum(when(col("c8") && col("is_true").isNotNull, 1L).otherwise(0L))
-          .as("tf8"),
-        sum(when(col("c16") && col("is_true").isNotNull, 1L).otherwise(0L))
-          .as("tf16"))
-      .collect()(0) // one row of six counters
-    def cnt(i: Int): Long = if (windFlags.isNullAt(i)) 0L else windFlags.getLong(i)
+    // —— FUSED windowed pass (r11, VERDICT r10 ask #3): the exact
+    // ground truth and the three per-r collision flags are BOTH
+    // windowed-pair (id_b ∈ (id_a, id_a+10]) computations, and both
+    // read only row-local payloads (the sorted-distinct shingle set;
+    // the 28 band hashes). The old shape ran them as two separate
+    // O(n·window) self-joins — the truth one over EXPLODED (doc, p)
+    // rows through a (p, id-bucket) equi-join + pair groupBy + two
+    // size-attach joins + a persist/count, the flags one over
+    // bh-carrying id buckets LEFT-joined back against the truth
+    // table — at sf10 those two pipelines were most of the 68.7 s
+    // wall. Now ONE bucketed sliding-window pass (the C4/C8
+    // boundedOffsetIntersects skeleton: 2¹⁴-id buckets + lookahead
+    // boundary copies, per-partition ≤windowW-row buffer) computes,
+    // per in-window pair and entirely in-task: the sorted-merge
+    // shingle intersection (== the old nshared count over distinct
+    // p), the truth predicate nshared·3 ≥ na+nb, and the three
+    // any-band-equal flags — and folds them into SEVEN partition
+    // counters. No pair row ever reaches an exchange; the only
+    // shuffle is the one bk repartition of the (ps, bh) table.
+    // Counter semantics are bit-identical: wc_r counts in-window
+    // pairs colliding at r, tf_r those also true, ntrue ALL true
+    // pairs (flagged or not) — exactly the old aggregate + count().
+    val B = 1L << 14
+    val docFrame = feat
+      .withColumn("bh", bhExpr)
+      .select(col("doc_id"), col("ps"), col("bh"))
+      .withColumn("bk", (col("doc_id") / lit(B)).cast("long"))
+      .withColumn("cp", lit(false))
+    val lookahead = docFrame
+      .filter(pmod(col("doc_id"), lit(B)) < windowW && col("bk") > 0)
+      .withColumn("bk", col("bk") - 1)
+      .withColumn("cp", lit(true))
+    val counters = docFrame.unionByName(lookahead)
+      .select(col("bk"), col("doc_id"), col("ps"), col("bh"), col("cp"))
+      .repartition(col("bk"))
+      .sortWithinPartitions(col("bk"), col("doc_id"))
+      .as[(Long, Long, Array[Long], Array[Long], Boolean)]
+      .mapPartitions { iter =>
+        def interCount(x: Array[Long], y: Array[Long]): Long = {
+          var i = 0; var j = 0; var c = 0L
+          while (i < x.length && j < y.length) {
+            if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+            else if (x(i) < y(j)) i += 1
+            else j += 1
+          }
+          c
+        }
+        def anyEq(x: Array[Long], y: Array[Long], from: Int, until: Int): Boolean = {
+          var i = from
+          while (i < until) { if (x(i) == y(i)) return true; i += 1 }
+          false
+        }
+        val acc = new Array[Long](7) // wc4 wc8 wc16 tf4 tf8 tf16 ntrue
+        val buf = scala.collection.mutable.ArrayDeque
+          .empty[(Long, Long, Array[Long], Array[Long], Boolean)]
+        iter.foreach { case cur @ (bk, id, ps, bh, _) =>
+          while (buf.nonEmpty &&
+            (buf.head._1 != bk || buf.head._2 < id - windowW)) buf.removeHead()
+          buf.foreach { case (_, _, psA, bhA, cpA) =>
+            if (!cpA) { // a lookahead copy never plays id_a
+              val c4 = anyEq(bhA, bh, 0, 16)
+              val c8 = anyEq(bhA, bh, 16, 24)
+              val c16 = anyEq(bhA, bh, 24, 28)
+              val isTrue = interCount(psA, ps) * 3 >= psA.length + ps.length
+              if (c4) { acc(0) += 1; if (isTrue) acc(3) += 1 }
+              if (c8) { acc(1) += 1; if (isTrue) acc(4) += 1 }
+              if (c16) { acc(2) += 1; if (isTrue) acc(5) += 1 }
+              if (isTrue) acc(6) += 1
+            }
+          }
+          buf.append(cur)
+        }
+        Iterator.single((acc(0), acc(1), acc(2), acc(3), acc(4), acc(5), acc(6)))
+      }
+      .toDF("wc4", "wc8", "wc16", "tf4", "tf8", "tf16", "ntrue")
+      .agg(sum("wc4"), sum("wc8"), sum("wc16"),
+        sum("tf4"), sum("tf8"), sum("tf16"), sum("ntrue"))
+      .collect()(0) // one row of seven counters
+    def cnt(i: Int): Long = if (counters.isNullAt(i)) 0L else counters.getLong(i)
+    val nTruth = cnt(6)
     val rows = Seq(4L, 8L, 16L).zipWithIndex.map { case (r, i) =>
       val nTrue = cnt(i + 3)
       val recall = if (nTruth == 0) 1.0
@@ -1425,10 +1475,8 @@ object DedupQueries {
       "n_window_candidates", "n_true_found", "n_true_total", "recall")
       .orderBy(col("rows_per_band"))
       .localCheckpoint(eager = true)
-    sigArr.unpersist(false)
+    feat.unpersist(false)
     fams.unpersist(false)
-    digests.unpersist(false)
-    truth.unpersist(false)
     out
   }
 

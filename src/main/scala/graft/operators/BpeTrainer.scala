@@ -86,6 +86,75 @@ object BpeTrainer {
     mergesToDf(spark, merges.toSeq)
   }
 
+  /** Train `nMerges` BPE merges INDEPENDENTLY per group over a
+    * (groupCol, word, cnt) word-type table, with every group's
+    * per-round work fused into ONE job: the round's pair counts
+    * aggregate grouped by (group, pa, pb), each group's winner falls
+    * out of a per-group `min(struct(-weight, pa, pb))` (≡ ORDER BY
+    * weight DESC, pa, pb LIMIT 1 — struct ordering is lexicographic
+    * and string comparison is the same binary UTF8 order), and every
+    * group's merge applies in one pass through a per-group CASE over
+    * the same greedy fold. Merge tables are bit-identical to running
+    * [[train]] once per group (same counts — the group key rides the
+    * aggregation; same argmax; same fold), but the merge loop
+    * synchronizes `nMerges` times instead of `nMerges · |groups|`
+    * (r11, VERDICT r10 ask #6: the four per-language chains were 16
+    * collect-sync jobs; each job's fixed scheduling cost, not the
+    * aggregation, dominated text_bpe_perlang's 6.2 s wall).
+    *
+    * A group with no pair in some round keeps its word table
+    * unchanged that round and receives no merge — exactly [[train]]'s
+    * "no pair found → no merge" behavior.
+    */
+  def trainGrouped(wordCounts: DataFrame, groupCol: String,
+      nMerges: Int): Map[String, Seq[Merge]] = {
+    var words = wordCounts.withColumn("toks",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col(groupCol).as("__grp"), col("word"), col("cnt"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Merge]]
+    val pairExpr = expr(
+      """transform(sequence(1, size(toks) - 1),
+        | i -> struct(element_at(toks, i) AS pa, element_at(toks, i + 1) AS pb))""".stripMargin)
+    var prev: Option[DataFrame] = None
+    for (k <- 1 to nMerges) {
+      val best = words.filter(size(col("toks")) >= 2)
+        .select(col("__grp"), col("cnt"), explode(pairExpr).as("p"))
+        .groupBy(col("__grp"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("cnt")).as("weight"))
+        .groupBy(col("__grp"))
+        .agg(min(struct((col("weight") * lit(-1L)).as("nw"),
+          col("pa"), col("pb"))).as("b"))
+        .select(col("__grp"), col("b.pa"), col("b.pb"),
+          (col("b.nw") * lit(-1L)).as("weight"))
+        .collect()
+      prev.foreach(_.unpersist(false))
+      prev = None
+      if (best.nonEmpty) {
+        val winners = best.map(r => r.getString(0) ->
+          ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+        winners.foreach { case (g, (pa, pb, wt)) =>
+          merges.getOrElseUpdate(g,
+            scala.collection.mutable.ArrayBuffer.empty[Merge]) +=
+            Merge(k.toLong, pa, pb, wt)
+        }
+        var tokCol: org.apache.spark.sql.Column = col("toks")
+        winners.toSeq.sortBy(_._1).foreach { case (g, (pa, pb, _)) =>
+          tokCol = when(col("__grp") === lit(g), mergeFold(pa, pb))
+            .otherwise(tokCol)
+        }
+        val next = words.withColumn("toks", tokCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev = Some(words)
+        words = next
+      }
+    }
+    words.unpersist(false)
+    prev.foreach(_.unpersist(false))
+    merges.map { case (g, b) => g -> b.toSeq }.toMap
+  }
+
   /** Tokenize each word type to characters and apply `merges` in
     * rank order (the same greedy fold training used). Returns
     * (word, n_toks) — the per-type BPE token count; joining it back

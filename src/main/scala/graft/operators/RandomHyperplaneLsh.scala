@@ -244,7 +244,8 @@ object RandomHyperplaneLsh {
     * set re-ranks per node. Returns (qid, rn, nid, cos) — cos raw.
     */
   def refineOnce(edges: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, midCap: Int = 24): DataFrame = {
+      vecCol: String, k: Int, midCap: Int = 24,
+      prune: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The base list fans out FOUR ways below (two und branches, the
     // anti join, the final union) — without a lineage cut the whole
@@ -305,6 +306,7 @@ object RandomHyperplaneLsh {
       .join(fv.select(col(idCol).as("nid"), col("vf").as("nv"),
         col("nrm").as("nn")), Seq("nid"))
       .select(col("mid"), col("nid"), col("nv"), col("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     val scored = aSide.join(bSide, Seq("mid"))
       .filter(col("qid") =!= col("nid"))
       // float-native dot (r10): DotProductExpr widens per element —
@@ -313,9 +315,34 @@ object RandomHyperplaneLsh {
       .withColumn("cos", VectorOps.dot(col("qv"), col("nv")) /
         (col("qn") * col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
+      // DENSE-RANK PRUNE BEFORE THE DISTINCT (r11, VERDICT r10 ask #4
+      // — knnGraphEdges' rank-prune move applied to the refine): the
+      // wedge stream is O(n·midCap²) triples and a pair repeats once
+      // per shared middle node (UNBOUNDED multiplicity — low-id nodes
+      // sit in every neighboring mid's pool), so the row_number trick
+      // can't cap it but dense_rank can: duplicates carry the
+      // identical (cos, nid) key, so dense_rank ≤ k keeps exactly the
+      // top-k DISTINCT candidates per qid (with their copies, which
+      // the distinct then drops). Spark's partial WindowGroupLimit
+      // applies the filter MAP-SIDE, so the wedge stream — 1.15G
+      // triples / ~28 GB through the distinct exchange at the r10
+      // sf100 probe, the disk-bound tail of knn_graph's 171-254 s
+      // spread — shrinks to ≤ k distinct values per (qid, map task)
+      // before any exchange. LOSSLESS for the final top-k: a triple
+      // with dense_rank > k has ≥ k distinct better-ranked scored
+      // candidates, all present in the union below (via scored, or
+      // via e with the bit-identical cos the base pass computed), so
+      // it can never enter the final rn ≤ k — and an e-duplicate
+      // pruned here survives through e itself.
+      // (`prune = false` keeps the pre-r11 unpruned path — spec hook
+      // only, so RefinePruneParitySpec can pin the equivalence)
+      .transform(df => if (prune)
+        df.withColumn("dr", dense_rank().over(w))
+          .filter(col("dr") <= k)
+          .drop("dr")
+        else df)
       .distinct()
       .join(e.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     e.union(scored)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
