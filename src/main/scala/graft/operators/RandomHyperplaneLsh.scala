@@ -239,16 +239,16 @@ object RandomHyperplaneLsh {
     * bucket geometry. This is the recall lever that lets the LSH
     * generator run CHEAP (occupancy-targeted bits): locally, if q's
     * list holds n and n's list holds m, (q, m) gets scored even when
-    * no bucket ever co-housed them. Pairs already in the base list
-    * are anti-joined out (their cosine is already known); the merged
-    * set re-ranks per node. Returns (qid, rn, nid, cos) — cos raw.
+    * no bucket ever co-housed them. The merged (base ∪ scored) set
+    * dedups once (a re-scored base pair carries the bit-identical
+    * cos) and re-ranks per node. Returns (qid, rn, nid, cos) — raw.
     */
   def refineOnce(edges: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, midCap: Int = 24,
       prune: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The base list fans out FOUR ways below (two und branches, the
-    // anti join, the final union) — without a lineage cut the whole
+    // The base list fans out THREE ways below (two und branches, the
+    // final union) — without a lineage cut the whole
     // LSH build re-executes per branch (measured 3× at sf1).
     // Checkpointing n·k id+cos rows is the standard move for any
     // iterative graph refinement; at cluster scale this is a
@@ -275,7 +275,7 @@ object RandomHyperplaneLsh {
     // neighbors-of-neighbors join attaches its OUTER endpoint's
     // vector first — O(n·k) rows with a 280 B payload — so the
     // O(n·k²) candidate stream scores in-task and only (qid, nid,
-    // cos) triples shuffle for the distinct/anti-join/window. The
+    // cos) triples shuffle for the dedup/window. The
     // previous shape distinct'd id pairs first, then re-shuffled the
     // candidate volume twice with vectors attached. Same output set:
     // duplicates of a pair (several middle nodes m) score
@@ -334,16 +334,20 @@ object RandomHyperplaneLsh {
       // via e with the bit-identical cos the base pass computed), so
       // it can never enter the final rn ≤ k — and an e-duplicate
       // pruned here survives through e itself.
-      // (`prune = false` keeps the pre-r11 unpruned path — spec hook
-      // only, so RefinePruneParitySpec can pin the equivalence)
+      // (`prune = false` keeps the unpruned path — spec hook only, so
+      // RefinePruneParitySpec can pin the equivalence)
       .transform(df => if (prune)
         df.withColumn("dr", dense_rank().over(w))
           .filter(col("dr") <= k)
           .drop("dr")
         else df)
-      .distinct()
-      .join(e.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
-    e.union(scored)
+    // ONE distinct over the (tiny, post-prune) union replaces the old
+    // distinct + anti-join pair: e is already duplicate-free, a wedge
+    // triple that also lives in e carries the bit-identical cos (same
+    // float-dot expression scored it there), so
+    // distinct(e ∪ wedge) == e ∪ (distinct(wedge) \ e) as sets — the
+    // exact multiset the old shape ranked.
+    e.union(scored).distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
