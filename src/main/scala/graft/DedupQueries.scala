@@ -190,71 +190,69 @@ object DedupQueries {
   private def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val reps = docs(s, dir).groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    // r11 (VERDICT r10 ask #1 — the C5/C3 packed-pool treatment for
-    // the exact-Jaccard audit): the previous shape distinct'd the
-    // capped id pairs and then ATTACHED each side's ~1 KB (sig, ps)
-    // feature row through two sort-merge joins — at sf100 the full
-    // candidate set re-sorted twice with the payload glued on was
-    // ~all of the 282.6 s median (spread 152-413 s). Now every doc
-    // row computes its signature, sorted-distinct shingle-hash set
-    // (WordShingleModHashesExpr sorts + dedups natively — the former
-    // array_distinct(ps0) was a no-op on it), and 8 band hashes
-    // ROW-LOCALLY in one pass; the bucket pool (≤256 lowest-id
-    // members with payloads) packs into ONE ROW PER (band, hash); the
-    // probe join is 1:1; and MinhashPoolScoresExpr emits each pair's
-    // (cnt, inter, na, nb) integers in-task with canonical-band
-    // emission (a pair surfaces only at its first shared-pooled band)
-    // — no distinct over the candidate set, no payload attach joins.
-    // The published est/exact/abs_err doubles fold from the same
-    // integers through the same rounding arithmetic, bit-identically.
-    val bhExpr = expr(
-      """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
-        | (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007)))"""
-        .stripMargin)
+    // r11, measured TWICE before landing (VERDICT r10 ask #1):
+    //  - A packed-pool rewrite (per-bucket payload pools + canonical-
+    //    band emission, the C5/C3 shape) was BUILT AND REJECTED: it
+    //    replicates every doc's ~1.5 KB (sig, ps) payload once per
+    //    band (×8) through three materializations (pool window
+    //    exchange, pool checkpoint, probe-side SMJ sort) — sf10
+    //    regressed 15.1 → 145.5 s on the probe. Payload-in-pool only
+    //    pays when the payload is small relative to the fan-out (C5's
+    //    280 B vectors); here the pool trick moves MORE bytes than
+    //    the attach joins it removes.
+    //  - Kept instead: the old narrow-pairs + two-attach-join shape
+    //    with (a) ONE row-local pass computing both features
+    //    (MinhashSigExpr + WordShingleModHashesExpr — the former
+    //    array_distinct(ps0) was a no-op on the expr's sorted-distinct
+    //    output), and (b) INT-NARROWED payloads (§2.3 "narrower
+    //    types"): every sig/ps value is mod 1e9+7 < 2³¹, so the
+    //    long→int cast is exact, zip_with equality and array_intersect
+    //    sizes are unchanged, and the attach-join sorts carry HALF the
+    //    bytes — the sorts being ~all of the 282.6 s sf100 median.
     val feat = reps
       .select(col("doc_id"),
         GraftBridge.column(graft.functions.MinhashSigExpr(
-          GraftBridge.expression(col("text")), 3, 64)).as("sig"),
+          GraftBridge.expression(col("text")), 3, 64)).as("sig0"),
         GraftBridge.column(graft.functions.WordShingleModHashesExpr(
-          GraftBridge.expression(col("text")), 3)).as("ps"))
-      .filter(col("sig").isNotNull)
-      .withColumn("bh", bhExpr)
+          GraftBridge.expression(col("text")), 3)).as("ps0"))
+      .filter(col("sig0").isNotNull)
+      .select(col("doc_id"),
+        col("sig0").cast("array<int>").as("sig"),
+        col("ps0").cast("array<int>").as("ps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bk = feat.select(col("doc_id"), col("sig"), col("ps"), col("bh"),
-      posexplode(col("bh")).as(Seq("band", "band_hash")))
+    // band hashes re-widen per element inside the fold, so the values
+    // stay bit-identical to the long-signature derivation
+    val bands = feat
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
+          | (acc, j) -> acc ^ ((cast(element_at(sig, j+1) AS BIGINT) * 131 + j)
+          |   % 1000000007)))"""
+          .stripMargin)).as(Seq("band_id", "band_hash")))
     val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
-    // pooled rows materialize once (they feed both the poolmask agg
-    // and the packing — unmaterialized, the window would run twice)
-    val pooled = bk.withColumn("prn", row_number().over(wB))
+      .partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
+    val pool = bands.withColumn("prn", row_number().over(wB))
       .filter(col("prn") <= 256)
-      .drop("prn")
-      .localCheckpoint(true)
-    // poolmask: bit b set = the id is inside band b's capped pool (of
-    // whatever bucket it lands in there); small frame, broadcast back
-    val mask = pooled.groupBy(col("doc_id"))
-      .agg(bit_or(expr("shiftleft(1L, band)")).as("poolmask"))
-    val packed = pooled.join(broadcast(mask), Seq("doc_id"))
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(struct(col("doc_id").as("id"), col("sig"),
-        col("ps"), col("bh"), col("poolmask"))).as("pool"))
-    val scores = GraftBridge.column(graft.functions.MinhashPoolScoresExpr(
-      GraftBridge.expression(col("sig_b")),
-      GraftBridge.expression(col("ps_b")),
-      GraftBridge.expression(col("id_b")),
-      GraftBridge.expression(col("bh_b")),
-      GraftBridge.expression(col("band")),
-      GraftBridge.expression(col("pool"))))
-    val out = bk
-      .select(col("band"), col("band_hash"), col("doc_id").as("id_b"),
-        col("sig").as("sig_b"), col("ps").as("ps_b"), col("bh").as("bh_b"))
-      .join(packed, Seq("band", "band_hash"))
-      .select(col("id_b"), explode(scores).as("m"))
-      .withColumn("id_a", col("m.id_a"))
-      .withColumn("est", col("m.cnt") / lit(64.0))
-      .withColumn("i", col("m.inter").cast("long"))
-      .withColumn("na", col("m.na").cast("long"))
-      .withColumn("nb", col("m.nb").cast("long"))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val pairs = pool
+      .join(bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // (r10 measured, NOT kept: a shuffle_hash hint on these two
+    // attach joins cut sf10 22% by skipping the SMJ sorts, but
+    // REGRESSED sf100 376 -> 483 s — the per-partition hash builds of
+    // the feature rows spill at decade 4. SMJ's sort is the
+    // scale-safe shape here.)
+    val out = pairs
+      .join(feat.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("ps").as("ps_a")), Seq("id_a"))
+      .join(feat.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("ps").as("ps_b")), Seq("id_b"))
+      .withColumn("est", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 64.0"))
+      .withColumn("i", size(array_intersect(col("ps_a"), col("ps_b"))).cast("long"))
+      .withColumn("na", size(col("ps_a")).cast("long"))
+      .withColumn("nb", size(col("ps_b")).cast("long"))
       .select(col("id_a"), col("id_b"),
         (round(col("est"), 4) + lit(0.0)).as("est_jaccard"),
         (round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)

@@ -656,167 +656,3 @@ object MinhashSigExpr {
     new GenericArrayData(sig)
   }
 }
-
-/** Per-bucket POOL scoring for the C10 MinHash est-vs-exact audit —
-  * the [[graft.functions]] pool-matcher shape (LshPoolMatchesExpr /
-  * SimhashPoolMatchesExpr) specialized to C10: members carry
-  * (id, 64-long signature, sorted-distinct shingle-hash set, 8 band
-  * hashes, poolmask), the probe carries the same payload plus the
-  * current band index, and the per-pair work is the 64-slot signature
-  * agreement count (the MinHash estimator's numerator) plus a
-  * sorted-merge intersection of the two distinct shingle-hash sets
-  * (the exact-Jaccard numerator). Both inputs are sorted-distinct by
-  * construction ([[WordShingleModHashesExpr]] sorts and dedups), so
-  * the merge count equals `size(array_intersect(ps_a, ps_b))`.
-  *
-  * Canonical-band emission: a pair emits at band t only if NO earlier
-  * band t' < t both (a) band-hash-collides for the pair and (b) pools
-  * the member (poolmask bit t'), so each unordered pair surfaces
-  * exactly once across the 8-band fan-out and the caller needs no
-  * distinct — the emitted set equals the distinct of the naive
-  * pool×bands join (a pair survives that iff SOME shared band pools
-  * its lower id; canonical emission picks the first such band).
-  *
-  * Why packed (r11, VERDICT r10 ask #1): the previous shape
-  * distinct'd the capped id pairs and then attached each side's
-  * ~1 KB (sig, ps) feature row through TWO sort-merge joins — at
-  * sf100 that re-sorted the full candidate set twice with the payload
-  * glued on (282.6 s median, spread 152-413 s, ~all of it the audit
-  * attach). Packed, each probe row meets exactly one pool row per
-  * band, every candidate scores in-task, and only scored pairs become
-  * rows.
-  *
-  * Emits array<struct<id_a bigint, cnt int, inter int, na int,
-  * nb int>>: cnt = signature positions agreeing, inter = |ps_a∩ps_b|,
-  * na/nb = |ps_a|/|ps_b| — the integers the caller's rounding
-  * arithmetic (est = cnt/64.0, exact = inter/(na+nb−inter)) folds
-  * into the published doubles, bit-identically to the zip_with /
-  * array_intersect column math it replaces.
-  */
-case class MinhashPoolScoresExpr(sig: Expression, ps: Expression,
-    id: Expression, codes: Expression, band: Expression, pool: Expression)
-    extends Expression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  override def children: Seq[Expression] = Seq(sig, ps, id, codes, band, pool)
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def longArr(t: DataType): Boolean = t match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    }
-    val pOk = pool.dataType match {
-      case ArrayType(StructType(fs), _) if fs.length == 5 =>
-        fs(0).dataType == LongType && longArr(fs(1).dataType) &&
-          longArr(fs(2).dataType) && longArr(fs(3).dataType) &&
-          fs(4).dataType == LongType
-      case _ => false
-    }
-    if (longArr(sig.dataType) && longArr(ps.dataType) &&
-        id.dataType == LongType && longArr(codes.dataType) &&
-        band.dataType == IntegerType && pOk)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<bigint>, array<bigint>, bigint, " +
-        s"array<bigint>, int, array<struct<id bigint, sig array<bigint>, " +
-        s"ps array<bigint>, bh array<bigint>, poolmask bigint>>), got " +
-        s"(${sig.dataType.catalogString}, ${ps.dataType.catalogString}, " +
-        s"${id.dataType.catalogString}, ${codes.dataType.catalogString}, " +
-        s"${band.dataType.catalogString}, ${pool.dataType.catalogString})")
-  }
-
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("id_a", LongType, nullable = false),
-    StructField("cnt", IntegerType, nullable = false),
-    StructField("inter", IntegerType, nullable = false),
-    StructField("na", IntegerType, nullable = false),
-    StructField("nb", IntegerType, nullable = false))), containsNull = false)
-
-  override def nullable: Boolean = children.exists(_.nullable)
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val sAny = sig.eval(input)
-    val pAny = ps.eval(input)
-    val idAny = id.eval(input)
-    val cAny = codes.eval(input)
-    val bAny = band.eval(input)
-    val poolAny = pool.eval(input)
-    if (sAny == null || pAny == null || idAny == null || cAny == null ||
-      bAny == null || poolAny == null) return null
-    MinhashPoolScoresExpr.compute(
-      sAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      pAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      idAny.asInstanceOf[Long],
-      cAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      bAny.asInstanceOf[Int],
-      poolAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-  }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): MinhashPoolScoresExpr =
-    copy(sig = newChildren(0), ps = newChildren(1), id = newChildren(2),
-      codes = newChildren(3), band = newChildren(4), pool = newChildren(5))
-
-  override def prettyName: String = "graft_minhash_pool_scores"
-}
-
-object MinhashPoolScoresExpr {
-
-  def compute(sig: org.apache.spark.sql.catalyst.util.ArrayData,
-      ps: org.apache.spark.sql.catalyst.util.ArrayData, idB: Long,
-      codes: org.apache.spark.sql.catalyst.util.ArrayData, band: Int,
-      pool: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
-    // read the probe payload into primitive buffers once — the member
-    // loop then streams only pool-side arrays
-    val sigB = sig.toLongArray()
-    val psB = ps.toLongArray()
-    val cb = codes.toLongArray()
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.catalyst.InternalRow]
-    val m = pool.numElements()
-    var i = 0
-    while (i < m) {
-      val row = pool.getStruct(i, 5)
-      val idA = row.getLong(0)
-      if (idA < idB) {
-        // canonical-band check BEFORE the scoring loops: skip if an
-        // earlier band already co-housed this pair with the member
-        // pooled there (that task emitted it)
-        val mBh = row.getArray(3)
-        val mask = row.getLong(4)
-        var emitted = false
-        var tp = 0
-        while (tp < band && !emitted) {
-          if (((mask >> tp) & 1L) == 1L && mBh.getLong(tp) == cb(tp))
-            emitted = true
-          tp += 1
-        }
-        if (!emitted) {
-          val sigA = row.getArray(1)
-          var cnt = 0
-          var j = 0
-          while (j < sigB.length) {
-            if (sigA.getLong(j) == sigB(j)) cnt += 1
-            j += 1
-          }
-          val psA = row.getArray(2)
-          val na = psA.numElements()
-          var a = 0
-          var b = 0
-          var inter = 0
-          while (a < na && b < psB.length) {
-            val x = psA.getLong(a)
-            val y = psB(b)
-            if (x == y) { inter += 1; a += 1; b += 1 }
-            else if (x < y) a += 1
-            else b += 1
-          }
-          out += org.apache.spark.sql.catalyst.InternalRow(
-            idA, cnt, inter, na, psB.length)
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray[Any])
-  }
-}
