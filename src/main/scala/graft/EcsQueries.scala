@@ -375,12 +375,24 @@ object EcsQueries {
   def trajectory(spark: SparkSession, dir: String): DataFrame = {
     val world = World.make(spark, "sim_graft", "run_traj")
     world.addProcessor(MovementProcessor)
-    world.spawnBatch(PosVel, seedCustomers(spark, dir))
+    val seed = seedCustomers(spark, dir)
+    // r11 (guide §2.5 — scale-adaptive layout): the bucket count was a
+    // FIXED 8, so the shuffle-free displacement join ran 8 tasks at
+    // every scale — at sf100 (180M history rows) each task re-sorted
+    // ~2×2.5M step-filtered rows serially on a 32-core box (probe:
+    // 488 s, factor 12.7). Derive it from the KNOWN history row count
+    // (entities × 9 step frames, ~2M rows per bucket): 8 at the test
+    // SFs and sf10 (layout unchanged, bench comparable), ~85 at
+    // sf100. One cheap metadata-count job; join results are
+    // byte-identical (count + sums of exact integer displacements).
+    val nBuckets = math.max(8L, math.min(512L,
+      seed.count() * 9L / (2L << 20))).toInt
+    world.spawnBatch(PosVel, seed)
     (1 to 8).foreach(_ => world.step(0.25))
     val hist = world.getHistory(PosVel)(PosVelHash)
       .select(col("entity_id"), col("step"), col("position__x"), col("position__y"))
     val tbl = s"graft_traj_${java.util.UUID.randomUUID().toString.take(8)}"
-    hist.write.bucketBy(8, "entity_id").sortBy("entity_id").saveAsTable(tbl)
+    hist.write.bucketBy(nBuckets, "entity_id").sortBy("entity_id").saveAsTable(tbl)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -202,16 +202,39 @@ object SourceQueries {
   // asserted ON THE PLAN inside the query (a silent layout regression
   // fails the correctness gate, not just a spec). Oracle = the plain
   // join result, which bucketing must not change.
+  //
+  // r11 (guide §2.5/§6 — scale the layout, not the constant): the
+  // bucket count was a FIXED 8, so the shuffle-free join ran 8 tasks
+  // regardless of scale — at sf100 (7.3 GB lineitem) that is 8 tasks
+  // each re-sorting ~50M multi-file-bucket rows on a 32-core box
+  // (probe: 598 s, factor 16.2). The count now derives from the
+  // big side's KNOWN file bytes (~64 MB of parquet per bucket, the
+  // same data-quantity gate style as HnswLite's): 8 at the test SFs
+  // (layout and bench numbers unchanged) and ~117 at sf100. Each side
+  // is also repartitioned by the join key into exactly its bucket
+  // partitioning before the write — Spark's bucket id is the same
+  // pmod(murmur3, n), so every bucket lands as ONE sorted file, the
+  // scan regains the sortBy order (no in-task re-sort under the SMJ)
+  // and the table has n files instead of tasks × n. Join results are
+  // byte-identical: count/max are order-free and sum(l_quantity)
+  // folds exact small integers.
   private def srcBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val liTbl = s"graft_li_bkt_$tag"
     val ordTbl = s"graft_ord_bkt_$tag"
-    Tables.load(s, dir, "lineitem")
+    val liRaw = Tables.load(s, dir, "lineitem")
+    // size the layout from the UNPROJECTED relation's file bytes
+    // (projection would scale the estimate by guessed column widths)
+    val nBuckets = math.max(8L, math.min(512L,
+      liRaw.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / (64L << 20))).toInt
+    liRaw
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
+      .repartition(nBuckets, col("l_orderkey"))
+      .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
     Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTbl)
+      .repartition(nBuckets, col("o_orderkey"))
+      .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTbl)
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAutoScan = s.conf.get(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
