@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** C10's r11 packed-pool rewrite (per-bucket payload pools +
-  * canonical-band emission + in-task est/exact scoring) must equal the
-  * shape it replaced — distinct the capped candidate pairs, then
-  * attach each side's (sig, ps) feature row by two keyed joins and
-  * score with column math — row for row, double for double. This is
-  * the exact-output contract that keeps the unchanged DuckDB oracle
-  * valid after the audit-join rewrite.
+/** C10's r11 shape (one fused row-local feature pass feeding the
+  * distinct-pairs + attach-join scoring; the packed-pool and
+  * int-narrowed variants were both built, measured and rejected) must
+  * equal the pre-r11 shape it refines — separate signature and
+  * shingle-set passes glued by a join — row for row, double for
+  * double. This is the exact-output contract that keeps the unchanged
+  * DuckDB oracle valid.
   */
 class MinhashEstParitySpec extends SparkSpec {
 

@@ -52,18 +52,14 @@ object PlanDumpR11 {
       val feat = reps
         .select(col("doc_id"),
           GraftBridge.column(graft.functions.MinhashSigExpr(
-            GraftBridge.expression(col("text")), 3, 64)).as("sig0"),
+            GraftBridge.expression(col("text")), 3, 64)).as("sig"),
           GraftBridge.column(graft.functions.WordShingleModHashesExpr(
-            GraftBridge.expression(col("text")), 3)).as("ps0"))
-        .filter(col("sig0").isNotNull)
-        .select(col("doc_id"),
-          col("sig0").cast("array<int>").as("sig"),
-          col("ps0").cast("array<int>").as("ps"))
+            GraftBridge.expression(col("text")), 3)).as("ps"))
+        .filter(col("sig").isNotNull)
       val bands = feat
         .select(col("doc_id"), posexplode(expr(
           """transform(sequence(0, 7), b -> aggregate(sequence(b*8, b*8+7), 0L,
-            | (acc, j) -> acc ^ ((cast(element_at(sig, j+1) AS BIGINT) * 131 + j)
-            |   % 1000000007)))"""
+            | (acc, j) -> acc ^ ((element_at(sig, j+1) * 131 + j) % 1000000007)))"""
             .stripMargin)).as(Seq("band_id", "band_hash")))
       val wB = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band_id"), col("band_hash")).orderBy(col("doc_id"))
