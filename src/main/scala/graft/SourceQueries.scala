@@ -238,8 +238,15 @@ object SourceQueries {
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAutoScan = s.conf.get(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val prevSortedScan = s.conf.get(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // one file per bucket (the repartitioned write guarantees it), so
+    // the scan may advertise the sortBy order — off by default since
+    // SPARK-32859 because the single-file check costs a listing; here
+    // the layout is known and the SMJ drops both per-task Sorts
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
       // join AND aggregate both on the bucket key: the whole pipeline
       // rides the storage partitioning — zero exchanges end to end
@@ -262,6 +269,7 @@ object SourceQueries {
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAutoScan)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevSortedScan)
       s.sql(s"DROP TABLE IF EXISTS $liTbl")
       s.sql(s"DROP TABLE IF EXISTS $ordTbl")
     }

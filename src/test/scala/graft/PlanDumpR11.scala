@@ -192,7 +192,10 @@ object PlanDumpR11 {
             round(max(col("o_totalprice")), 2).as("max_price"))
       }
       dumpAs("src_bucketed_join_internal", "before", bktJoin("b", repart = false))
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       dumpAs("src_bucketed_join_internal", "after", bktJoin("a", repart = true))
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
       Seq("pd_li_b", "pd_ord_b", "pd_li_a", "pd_ord_a")
